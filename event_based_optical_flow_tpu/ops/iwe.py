@@ -1,0 +1,278 @@
+"""Image of Warped Events (IWE) rasterization.
+
+Behavioral parity target: reference ``src/event_image_converter.py``
+(``bilinear_vote_tensor`` :316-374, ``count_event_tensor`` :209-255,
+``create_iwe`` :45-67, ``create_eventmask`` :69-82).  Coordinates follow
+the reference convention: ``events[..., 0]`` is the height coordinate,
+``events[..., 1]`` the width coordinate; image index is
+``col + row * W`` after floor(+eps) with out-of-bounds corners masked.
+
+Two backends:
+
+* ``scatter`` — exact reference semantics: floor(x + eps), four corner
+  indices, OOB corners redirected to index 0 with zero weight, then a
+  flattened scatter-add.  Gradients w.r.t. event positions flow through
+  the fractional weights exactly as in the reference torch autograd.
+* ``matmul`` (default) — the MXU formulation.  The bilinear corner
+  weights of one event along the row axis are exactly the "hat" function
+  ``relu(1 - |r - x|)`` evaluated on the row grid (and likewise for
+  columns), so the whole IWE is one matrix product::
+
+      IWE[h, w] = sum_n weight_n * hat_r[n, h] * hat_c[n, w]
+                = (weight * hat_r)^T @ hat_c
+
+  This replaces a serialized scatter with a dense matmul that XLA tiles
+  onto the systolic array.  Out-of-bounds handling matches the reference
+  automatically (the hat support is exactly the two in-bounds corners).
+  The only divergence is the floor epsilon (1e-6) tie-shift, which
+  perturbs weights by <= eps.
+"""
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from .blur import gaussian_blur3, gaussian_filter
+
+Array = jax.Array
+
+
+def _normalize_padding(padding) -> Tuple[int, int]:
+    if isinstance(padding, (int, float)):
+        return (int(padding), int(padding))
+    return (int(padding[0]), int(padding[1]))
+
+
+def _corner_contributions(
+    events: Array,
+    image_size: Tuple[int, int],
+    padding: Tuple[int, int],
+    weight: Union[float, Array],
+    eps: float,
+):
+    """Exact reference corner decomposition (ref event_image_converter.py:340-372).
+
+    Returns (inds [n*4], vals [n*4]) for a single [n, 4] event array.
+    """
+    h, w = image_size
+    ph, pw = padding
+    floor_x = jnp.floor(events[:, 0] + eps)  # row floor
+    floor_y = jnp.floor(events[:, 1] + eps)  # col floor
+    fx = events[:, 0] - floor_x  # fractional part, row
+    fy = events[:, 1] - floor_y  # fractional part, col
+    row = floor_x + ph
+    col = floor_y + pw
+
+    inds = jnp.concatenate(
+        [
+            col + row * w,
+            col + (row + 1) * w,
+            (col + 1) + row * w,
+            (col + 1) + (row + 1) * w,
+        ]
+    )
+    in_r0 = (0 <= row) & (row < h)
+    in_r1 = (0 <= row + 1) & (row + 1 < h)
+    in_c0 = (0 <= col) & (col < w)
+    in_c1 = (0 <= col + 1) & (col + 1 < w)
+    mask = jnp.concatenate([in_c0 & in_r0, in_c0 & in_r1, in_c1 & in_r0, in_c1 & in_r1])
+
+    w00 = (1 - fx) * (1 - fy) * weight
+    w10 = fx * (1 - fy) * weight
+    w01 = (1 - fx) * fy * weight
+    w11 = fx * fy * weight
+    vals = jnp.concatenate([w00, w10, w01, w11])
+
+    inds = jnp.where(mask, inds, 0.0).astype(jnp.int32)
+    vals = vals * mask
+    return inds, vals
+
+
+def _bilinear_vote_scatter(events, image_size, padding, weight, eps):
+    h, w = image_size
+    inds, vals = _corner_contributions(events, image_size, padding, weight, eps)
+    image = jnp.zeros(h * w, dtype=vals.dtype).at[inds].add(vals)
+    return image.reshape(image_size)
+
+
+def _hat(coords: Array, size: int) -> Array:
+    """Triangular one-hot rows: hat[n, i] = relu(1 - |i - coords[n]|)."""
+    grid = jax.lax.broadcasted_iota(coords.dtype, (coords.shape[0], size), 1)
+    return jax.nn.relu(1.0 - jnp.abs(grid - coords[:, None]))
+
+
+def _bilinear_vote_matmul(events, image_size, padding, weight):
+    h, w = image_size
+    ph, pw = padding
+    x = events[:, 0] + ph
+    y = events[:, 1] + pw
+    rvec = _hat(x, h)
+    cvec = _hat(y, w)
+    if isinstance(weight, (int, float)):
+        if weight != 1.0:
+            rvec = rvec * weight
+    else:
+        rvec = rvec * weight[:, None]
+    return jnp.einsum("nh,nw->hw", rvec, cvec, preferred_element_type=rvec.dtype)
+
+
+def _indicator(coords: Array, size: int, eps: float) -> Array:
+    """Two-corner indicator rows used by the count method (ref :227-253):
+    each event contributes 1 to floor(x+eps) and floor(x+eps)+1 (both axes),
+    so the count image is an outer product of {0,1} indicator matrices.
+    """
+    fl = jnp.floor(coords + eps)
+    grid = jax.lax.broadcasted_iota(coords.dtype, (coords.shape[0], size), 1)
+    return ((grid == fl[:, None]) | (grid == fl[:, None] + 1)).astype(coords.dtype)
+
+
+def _count_vote_matmul(events, image_size, padding, weight, eps):
+    h, w = image_size
+    ph, pw = padding
+    rvec = _indicator(events[:, 0] + ph, h, eps)
+    cvec = _indicator(events[:, 1] + pw, w, eps)
+    if not isinstance(weight, (int, float)):
+        rvec = rvec * weight[:, None]
+    elif weight != 1.0:
+        rvec = rvec * weight
+    return jnp.einsum("nh,nw->hw", rvec, cvec, preferred_element_type=rvec.dtype)
+
+
+def _count_vote_scatter(events, image_size, padding, weight, eps):
+    h, w = image_size
+    ones = jnp.ones(events.shape[0], dtype=events.dtype)
+    wgt = ones * weight if not isinstance(weight, (int, float)) else ones * weight
+    # count uses weight 1 at all four corners, not bilinear fractions
+    ph, pw = padding
+    floor_x = jnp.floor(events[:, 0] + eps)
+    floor_y = jnp.floor(events[:, 1] + eps)
+    row = floor_x + ph
+    col = floor_y + pw
+    inds = jnp.concatenate(
+        [col + row * w, col + (row + 1) * w, (col + 1) + row * w, (col + 1) + (row + 1) * w]
+    )
+    in_r0 = (0 <= row) & (row < h)
+    in_r1 = (0 <= row + 1) & (row + 1 < h)
+    in_c0 = (0 <= col) & (col < w)
+    in_c1 = (0 <= col + 1) & (col + 1 < w)
+    mask = jnp.concatenate([in_c0 & in_r0, in_c0 & in_r1, in_c1 & in_r0, in_c1 & in_r1])
+    vals = jnp.concatenate([wgt, wgt, wgt, wgt]) * mask
+    inds = jnp.where(mask, inds, 0.0).astype(jnp.int32)
+    return jnp.zeros(h * w, dtype=vals.dtype).at[inds].add(vals).reshape(image_size)
+
+
+def _apply_over_batch(fn, events, weight):
+    """Apply a single-batch kernel over [n,4] or [b,n,4] events."""
+    if events.ndim == 2:
+        return fn(events, weight)
+    if events.ndim == 3:
+        if isinstance(weight, (int, float)):
+            return jax.vmap(lambda e: fn(e, weight))(events)
+        return jax.vmap(fn)(events, weight)
+    raise ValueError(f"events must be [n,4] or [b,n,4], got {events.shape}")
+
+
+def bilinear_vote(
+    events: Array,
+    image_size: Tuple[int, int],
+    padding=(0, 0),
+    weight: Union[float, Array] = 1.0,
+    eps: float = 1e-6,
+    backend: Optional[str] = None,
+) -> Array:
+    """Bilinear voting of events into an image.  [n,4] -> [H,W] (or batched).
+
+    ``weight`` may be a scalar or per-event array; zero weights make padded
+    events inert.  Parity: reference ``bilinear_vote_tensor``
+    (event_image_converter.py:316-374).
+    """
+    backend = backend or config.iwe_backend()
+    padding = _normalize_padding(padding)
+    if backend == "scatter":
+        fn = lambda e, wgt: _bilinear_vote_scatter(e, image_size, padding, wgt, eps)
+    else:
+        fn = lambda e, wgt: _bilinear_vote_matmul(e, image_size, padding, wgt)
+    return _apply_over_batch(fn, events, weight)
+
+
+def count_vote(
+    events: Array,
+    image_size: Tuple[int, int],
+    padding=(0, 0),
+    weight: Union[float, Array] = 1.0,
+    eps: float = 1e-6,
+    backend: Optional[str] = None,
+) -> Array:
+    """Count voting (1 per in-bounds corner — reference quirk kept;
+    ref count_event_tensor, event_image_converter.py:209-255)."""
+    backend = backend or config.iwe_backend()
+    padding = _normalize_padding(padding)
+    if backend == "scatter":
+        fn = lambda e, wgt: _count_vote_scatter(e, image_size, padding, wgt, eps)
+    else:
+        fn = lambda e, wgt: _count_vote_matmul(e, image_size, padding, wgt, eps)
+    return _apply_over_batch(fn, events, weight)
+
+
+def event_mask(
+    events: Array,
+    image_size: Tuple[int, int],
+    padding=(0, 0),
+    weight: Union[float, Array] = 1.0,
+) -> Array:
+    """Boolean [(b,) 1, H, W] mask of pixels receiving any vote
+    (ref create_eventmask, event_image_converter.py:69-82)."""
+    iwe = bilinear_vote(events, image_size, padding, weight)
+    return (iwe != 0)[..., None, :, :]
+
+
+class EventImageConverter:
+    """Config-holding facade mirroring the reference class
+    (ref event_image_converter.py:14-42): the stored image size grows by
+    2x the outer padding.
+    """
+
+    def __init__(self, image_size: Tuple[int, int], outer_padding=0):
+        self.outer_padding = _normalize_padding(outer_padding)
+        self.image_size = tuple(
+            int(i + 2 * p) for i, p in zip(image_size, self.outer_padding)
+        )
+
+    def create_iwe(
+        self,
+        events: Array,
+        method: str = "bilinear_vote",
+        sigma: int = 1,
+        weight: Union[float, Array] = 1.0,
+        blur_mode: str = "torch",
+        backend: Optional[str] = None,
+    ) -> Array:
+        """Create the IWE.  ``blur_mode='torch'`` applies the 3-tap reflect
+        gaussian used on the reference optimization path
+        (torchvision gaussian_blur, ref :153-158); ``'scipy'`` applies the
+        truncated (radius=4*sigma) symmetric gaussian of the reference
+        numpy/metrics path (scipy.ndimage.gaussian_filter, ref :122-123).
+        """
+        if method == "count":
+            image = count_vote(events, self.image_size, self.outer_padding, weight, backend=backend)
+        elif method == "bilinear_vote":
+            image = bilinear_vote(events, self.image_size, self.outer_padding, weight, backend=backend)
+        elif method == "polarity":
+            pos_w = (events[..., 3] > 0).astype(events.dtype)
+            wgt = weight if not isinstance(weight, (int, float)) else 1.0 * weight
+            pos = bilinear_vote(events, self.image_size, self.outer_padding, wgt * pos_w, backend=backend)
+            neg = bilinear_vote(events, self.image_size, self.outer_padding, wgt * (1 - pos_w), backend=backend)
+            image = jnp.stack([pos, neg], axis=-3)
+        else:
+            raise NotImplementedError(f"IWE method {method!r} is not supported.")
+        if sigma > 0:
+            if blur_mode == "torch":
+                image = gaussian_blur3(image, sigma)
+            else:
+                image = gaussian_filter(image, sigma)
+        return image
+
+    def create_eventmask(self, events: Array, weight: Union[float, Array] = 1.0) -> Array:
+        return event_mask(events, self.image_size, self.outer_padding, weight)

@@ -1,0 +1,277 @@
+"""Event warping under different motion models.
+
+Parity target: reference ``src/warp.py``.  Motion models:
+
+* ``"2d-translation"`` / ``"rigid-optical-flow"`` — global 2-DoF
+  translation: ``x' = x + dt * tx`` (sign per ref warp.py:512-514).
+* ``"dense-flow"`` — per-pixel flow [2, H, W]: ``x' = x - dt * u(x, y)``
+  gathered at the (integer) original event position (ref warp.py:263-313).
+* ``"dense-flow-voxel"`` — time-binned flow [T, 2, H, W]; events are
+  bucketed by dt into T bins (edges per ref warp.py:344-345) and each
+  bucket gathers from its own flow slice (ref warp.py:315-396).  The
+  reference masks-and-loops per bin; here the bin id is computed in
+  closed form and the gather is a single vectorized lookup — identical
+  result, one kernel.
+
+All functions accept an optional per-event ``weights`` mask so padded
+buffers keep batch statistics (reference times are masked min/max).
+Warped events carry ``dt`` in the time column, as in the reference.
+"""
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+MOTION_MODELS = (
+    "2d-translation",
+    "rigid-optical-flow",
+    "dense-flow",
+    "dense-flow-voxel",
+)
+
+
+def _masked_min(x: Array, weights: Optional[Array]) -> Array:
+    if weights is None:
+        return jnp.min(x, axis=-1)
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    return jnp.min(jnp.where(weights > 0, x, big), axis=-1)
+
+
+def _masked_max(x: Array, weights: Optional[Array]) -> Array:
+    if weights is None:
+        return jnp.max(x, axis=-1)
+    small = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+    return jnp.max(jnp.where(weights > 0, x, small), axis=-1)
+
+
+def calculate_reftime(
+    events: Array,
+    direction: Union[str, float] = "first",
+    weights: Optional[Array] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> Array:
+    """Reference time for the warp (ref warp.py:201-233).
+
+    ``direction``: float in the [0, 1] convention, or one of
+    'first' | 'middle' | 'last' | 'random' | 'before' (-1.0) | 'after' (2.0).
+    """
+    t = events[..., 2]
+    tmin = _masked_min(t, weights)
+    tmax = _masked_max(t, weights)
+    if isinstance(direction, float):
+        return tmin + (tmax - tmin) * direction
+    if direction == "first":
+        return tmin
+    if direction == "middle":
+        return tmin + (tmax - tmin) * 0.5
+    if direction == "last":
+        return tmax
+    if direction == "random":
+        r = (rng or np.random.default_rng()).uniform(0.0, 1.0)
+        return tmin + (tmax - tmin) * float(r)
+    if direction == "before":
+        return tmin + (tmax - tmin) * -1.0
+    if direction == "after":
+        return tmin + (tmax - tmin) * 2.0
+    raise ValueError(f"direction should be first/middle/last/random/before/after or float, got {direction}")
+
+
+def calculate_dt(
+    events: Array,
+    reference_time: Array,
+    normalize_t: bool,
+    time_period: Optional[Array] = None,
+    weights: Optional[Array] = None,
+) -> Array:
+    """dt = t - ref, optionally normalized so max-min = 1 (ref warp.py:235-259)."""
+    t = events[..., 2]
+    ref = jnp.asarray(reference_time, t.dtype)
+    if ref.ndim == t.ndim - 1:
+        ref = ref[..., None]
+    dt = t - ref
+    if normalize_t:
+        if time_period is None:
+            period = _masked_max(dt, weights) - _masked_min(dt, weights)
+        else:
+            period = jnp.asarray(time_period, t.dtype)
+        if jnp.ndim(period) == t.ndim - 1:
+            period = period[..., None]
+        dt = dt / period
+    return dt
+
+
+def _replace_xy_t(events: Array, x: Array, y: Array, dt: Array) -> Array:
+    return jnp.stack([x, y, dt, events[..., 3]], axis=-1)
+
+
+def warp_2dof(
+    events: Array,
+    translation: Array,
+    reference_time: Array,
+    normalize_t: bool = False,
+    time_period: Optional[Array] = None,
+    weights: Optional[Array] = None,
+) -> Array:
+    """Global 2-DoF translation warp: x' = x + dt*tx, y' = y + dt*ty
+    (plus sign: translation pose -> flow sign flip x warp sign flip,
+    ref warp.py:483-522)."""
+    dt = calculate_dt(events, reference_time, normalize_t, time_period, weights)
+    tx = translation[..., 0]
+    ty = translation[..., 1]
+    if jnp.ndim(tx) == events.ndim - 2:  # batched translation [b, 2] with [b, n, 4] events
+        tx = tx[..., None]
+        ty = ty[..., None]
+    x = events[..., 0] + dt * tx
+    y = events[..., 1] + dt * ty
+    return _replace_xy_t(events, x, y, dt)
+
+
+def _gather_flow_at_events(flow: Array, events: Array, image_size: Tuple[int, int]) -> Tuple[Array, Array]:
+    """Gather (u, v) from a [2, H, W] flow at integer event positions."""
+    h, w = image_size
+    ix = jnp.clip(events[..., 0].astype(jnp.int32), 0, h - 1)
+    iy = jnp.clip(events[..., 1].astype(jnp.int32), 0, w - 1)
+    flat = flow.reshape(2, -1)
+    lin = ix * w + iy
+    return flat[0, lin], flat[1, lin]
+
+
+def warp_dense_flow(
+    events: Array,
+    flow: Array,
+    reference_time: Array,
+    image_size: Tuple[int, int],
+    normalize_t: bool = False,
+    weights: Optional[Array] = None,
+) -> Array:
+    """Dense-flow warp: x' = x - dt * flow[0, x, y] (ref warp.py:263-313)."""
+    dt = calculate_dt(events, reference_time, normalize_t, weights=weights)
+    if events.ndim == 3:
+        return jax.vmap(lambda e, f, d: _warp_dense_single(e, f, d, image_size))(events, flow, dt)
+    return _warp_dense_single(events, flow, dt, image_size)
+
+
+def _warp_dense_single(events, flow, dt, image_size):
+    u, v = _gather_flow_at_events(flow, events, image_size)
+    x = events[..., 0] - dt * u
+    y = events[..., 1] - dt * v
+    return _replace_xy_t(events, x, y, dt)
+
+
+def warp_voxel_flow(
+    events: Array,
+    flow_voxel: Array,
+    reference_time: Array,
+    image_size: Tuple[int, int],
+    normalize_t: bool = False,
+    weights: Optional[Array] = None,
+) -> Array:
+    """Time-aware warp with a [T, 2, H, W] flow voxel (ref warp.py:315-396).
+
+    Bin edges are ``t_min + k/T * (t_max - t_min)`` for k=0..T-1 with the
+    last bin open-ended; the reference loops bins with masks, we compute
+    the bin id directly: ``clip(floor((dt - t_min)/(t_max - t_min) * T))``.
+    """
+    dt = calculate_dt(events, reference_time, normalize_t, weights=weights)
+    if events.ndim == 3:
+        return jax.vmap(
+            lambda e, f, d, wgt: _warp_voxel_single(e, f, d, image_size, wgt)
+        )(events, flow_voxel, dt, weights if weights is not None else jnp.ones_like(dt))
+    return _warp_voxel_single(events, flow_voxel, dt, image_size, weights)
+
+
+def _warp_voxel_single(events, flow_voxel, dt, image_size, weights):
+    n_bins = flow_voxel.shape[0]
+    h, w = image_size
+    t_min = _masked_min(dt, weights)
+    t_max = _masked_max(dt, weights)
+    span = jnp.where(t_max > t_min, t_max - t_min, 1.0)
+    bin_id = jnp.clip(
+        jnp.floor((dt - t_min) / span * n_bins).astype(jnp.int32), 0, n_bins - 1
+    )
+    ix = jnp.clip(events[..., 0].astype(jnp.int32), 0, h - 1)
+    iy = jnp.clip(events[..., 1].astype(jnp.int32), 0, w - 1)
+    flat = flow_voxel.reshape(n_bins, 2, -1)
+    lin = ix * w + iy
+    u = flat[bin_id, 0, lin]
+    v = flat[bin_id, 1, lin]
+    x = events[..., 0] - dt * u
+    y = events[..., 1] - dt * v
+    return _replace_xy_t(events, x, y, dt)
+
+
+def flow_from_2d_translation(motion: Array, image_size: Tuple[int, int]) -> Array:
+    """Dense [2, H, W] flow equivalent of a 2-DoF translation.
+
+    The reference computes this numerically by warping a synthetic pixel
+    grid and negating the displacement (ref warp.py:130-153); with the
+    2-DoF warp that is analytically flow = -(tx, ty) broadcast.
+    """
+    h, w = image_size
+    return jnp.broadcast_to((-motion)[..., :, None, None], motion.shape[:-1] + (2, h, w))
+
+
+class Warp:
+    """Facade mirroring the reference ``Warp`` class (ref warp.py:24-62)."""
+
+    def __init__(
+        self,
+        image_size: Tuple[int, int],
+        calculate_feature: bool = False,  # feature path is a stub upstream too
+        normalize_t: bool = False,
+        calib_param=None,
+    ):
+        self.image_size = tuple(image_size)
+        self.normalize_t = normalize_t
+        self.calib_param = calib_param
+
+    def get_key_names(self, motion_model: str):
+        if motion_model in ("dense-flow", "2d-translation", "rigid-optical-flow"):
+            return ["trans_x", "trans_y"]
+        raise ValueError(f"motion model {motion_model!r} not supported")
+
+    def get_motion_vector_size(self, motion_model: str) -> int:
+        return len(self.get_key_names(motion_model))
+
+    def motion_model_to_motion(self, motion_model: str, params: dict) -> np.ndarray:
+        if motion_model == "dense-flow":
+            motion = np.array([params["trans_x"], params["trans_y"]])
+            return np.asarray(flow_from_2d_translation(jnp.asarray(motion), self.image_size))
+        if motion_model in ("2d-translation", "rigid-optical-flow"):
+            return np.array([params["trans_x"], params["trans_y"]])
+        raise ValueError(f"motion model {motion_model!r} not supported")
+
+    def motion_model_from_motion(self, motion, motion_model: str) -> dict:
+        if motion_model in ("dense-flow", "2d-translation", "rigid-optical-flow"):
+            return {"trans_x": motion[0], "trans_y": motion[1]}
+        raise ValueError(f"motion model {motion_model!r} not supported")
+
+    def get_flow_from_motion(self, motion, motion_model: str):
+        if motion_model in ("2d-translation", "rigid-optical-flow"):
+            return flow_from_2d_translation(jnp.asarray(motion), self.image_size)
+        raise ValueError(f"motion model {motion_model!r} not supported")
+
+    def warp_event(
+        self,
+        events: Array,
+        motion: Array,
+        motion_model: str,
+        direction: Union[str, float] = "first",
+        weights: Optional[Array] = None,
+    ):
+        """Dispatch per motion model (ref warp.py:156-199).  Returns the
+        warped events (the reference also returns a feature dict from a
+        mock calculator; we drop that dead surface)."""
+        ref_time = calculate_reftime(events, direction, weights)
+        motion = jnp.asarray(motion)
+        if motion_model == "dense-flow":
+            return warp_dense_flow(events, motion, ref_time, self.image_size, self.normalize_t, weights)
+        if motion_model == "dense-flow-voxel":
+            return warp_voxel_flow(events, motion, ref_time, self.image_size, self.normalize_t, weights)
+        if motion_model in ("2d-translation", "rigid-optical-flow"):
+            return warp_2dof(events, motion, ref_time, self.normalize_t, weights=weights)
+        raise ValueError(f"motion model {motion_model!r} not supported")
