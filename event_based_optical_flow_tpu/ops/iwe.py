@@ -97,19 +97,30 @@ def _bilinear_vote_scatter(events, image_size, padding, weight, eps):
     return image.reshape(image_size)
 
 
-def _hat(coords: Array, size: int) -> Array:
-    """Triangular one-hot rows: hat[n, i] = relu(1 - |i - coords[n]|)."""
+def _bilinear_rows(coords: Array, size: int, eps: float) -> Array:
+    """Per-event bilinear weight rows on the index grid:
+    row[n, i] = (1-frac_n) at i == floor(coord_n + eps), frac_n at i+1,
+    zero elsewhere.  Equivalent to the triangular hat function in value
+    but built exactly like the reference (floor + fractional blend,
+    ref event_image_converter.py:340-368), which matters for gradients:
+    d/dcoord is -1 / +1 at the two corners (one-sided, reference autograd
+    semantics) rather than the hat's symmetric-kink zero subgradient at
+    integer coordinates.  Out-of-range corners fall off the grid, which
+    reproduces the reference's OOB masking."""
+    fl = jnp.floor(coords + eps)
+    frac = (coords - fl)[:, None]
     grid = jax.lax.broadcasted_iota(coords.dtype, (coords.shape[0], size), 1)
-    return jax.nn.relu(1.0 - jnp.abs(grid - coords[:, None]))
+    fl = fl[:, None]
+    return jnp.where(grid == fl, 1.0 - frac, 0.0) + jnp.where(grid == fl + 1.0, frac, 0.0)
 
 
-def _bilinear_vote_matmul(events, image_size, padding, weight):
+def _bilinear_vote_matmul(events, image_size, padding, weight, eps):
     h, w = image_size
     ph, pw = padding
     x = events[:, 0] + ph
     y = events[:, 1] + pw
-    rvec = _hat(x, h)
-    cvec = _hat(y, w)
+    rvec = _bilinear_rows(x, h, eps)
+    cvec = _bilinear_rows(y, w, eps)
     if isinstance(weight, (int, float)):
         if weight != 1.0:
             rvec = rvec * weight
@@ -193,7 +204,7 @@ def bilinear_vote(
     if backend == "scatter":
         fn = lambda e, wgt: _bilinear_vote_scatter(e, image_size, padding, wgt, eps)
     else:
-        fn = lambda e, wgt: _bilinear_vote_matmul(e, image_size, padding, wgt)
+        fn = lambda e, wgt: _bilinear_vote_matmul(e, image_size, padding, wgt, eps)
     return _apply_over_batch(fn, events, weight)
 
 

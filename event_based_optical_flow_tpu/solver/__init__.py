@@ -1,0 +1,34 @@
+"""L3 solver layer and registry.
+
+Registry names match the reference (ref src/solver/__init__.py:14-19).
+"""
+
+from .base import SolverBase, TORCH_OPTIMIZERS
+from .mixed import MixedPatchContrastMaximization
+from .objective import ObjectiveSpec, build_objective, build_value_grad_hvp
+from .patch_base import PatchContrastMaximization, prepare_patch
+from .pyramid import PyramidalPatchContrastMaximization
+from .scipy_bridge import SCIPY_OPTIMIZERS, minimize
+from .time_aware import TimeAwarePatchContrastMaximization
+
+collections = {
+    "pyramidal_patch_contrast_maximization": PyramidalPatchContrastMaximization,
+    "time_aware_mixed_patch_contrast_maximization": TimeAwarePatchContrastMaximization,
+    "mixed_patch_contrast_maximization": MixedPatchContrastMaximization,
+}
+
+__all__ = [
+    "SolverBase",
+    "PatchContrastMaximization",
+    "MixedPatchContrastMaximization",
+    "TimeAwarePatchContrastMaximization",
+    "PyramidalPatchContrastMaximization",
+    "ObjectiveSpec",
+    "build_objective",
+    "build_value_grad_hvp",
+    "prepare_patch",
+    "minimize",
+    "collections",
+    "SCIPY_OPTIMIZERS",
+    "TORCH_OPTIMIZERS",
+]

@@ -1,0 +1,174 @@
+"""Jit-compiled CMax objectives.
+
+In the reference, every objective evaluation crosses
+numpy -> torch(device) -> autograd -> numpy through a vendored
+scipy-autograd bridge (reference ``src/solver/scipy_autograd/``,
+``patch_contrast_pyramid.py:430-462``).  Here the entire inner loop —
+tile->dense interpolation, (optional) Burgers/upwind voxelization, three
+warps, four IWEs, Sobel costs — is a single jit-compiled
+``value_and_grad`` (plus a forward-over-reverse HVP for Newton-CG),
+compiled once per (scale, event-buffer-size) and reused across frames.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import costs as costs_mod
+from ..flow.voxel import construct_dense_flow_voxel
+from ..ops.interp import tile_to_dense_flow
+from ..ops.iwe import EventImageConverter
+from ..ops.warp import Warp
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class ObjectiveSpec:
+    """Static description of one CMax objective (one pyramid scale)."""
+
+    image_shape: Tuple[int, int]
+    outer_padding: int
+    patch_image_size: Tuple[int, int]
+    patch_size: Tuple[int, int]
+    sliding_window: Tuple[int, int]
+    patch_shift: Tuple[int, int]
+    filter_type: str
+    iwe_method: str
+    blur_sigma: float
+    cost_name: str
+    cost_with_weight: Optional[Tuple[Tuple[str, object], ...]]  # for hybrid
+    time_aware: bool = False
+    time_bin: int = 10
+    flow_interpolation: str = "burgers"
+    t0_location: str = "middle"
+    scale_later: bool = False
+    iwe_backend: Optional[str] = None
+
+
+def make_cost(spec: ObjectiveSpec):
+    if spec.cost_name == "hybrid":
+        return costs_mod.HybridCost(
+            direction="minimize", cost_with_weight=dict(spec.cost_with_weight)
+        )
+    return costs_mod.functions[spec.cost_name](direction="minimize")
+
+
+def motion_to_dense_flow(spec: ObjectiveSpec, motion_flat: Array, t_scale) -> Array:
+    """Tile motion -> dense flow (optionally a time voxel), matching
+    reference ``PyramidalPatchContrastMaximization.motion_to_dense_flow``
+    (patch_contrast_pyramid.py:464-516)."""
+    dense = tile_to_dense_flow(
+        motion_flat,
+        spec.patch_image_size,
+        spec.image_shape,
+        spec.patch_size,
+        spec.sliding_window,
+        spec.patch_shift,
+        spec.filter_type,
+    )
+    if not spec.time_aware:
+        return dense
+    scale = jnp.max(dense) if spec.scale_later else 1.0
+    voxel = construct_dense_flow_voxel(
+        dense * t_scale / scale,
+        spec.time_bin,
+        spec.flow_interpolation,
+        t0_location=spec.t0_location,
+    )
+    return voxel * scale / t_scale
+
+
+def build_objective(spec: ObjectiveSpec):
+    """Return pure fn(motion_flat, events, weights) -> (loss, components).
+
+    Semantics of one evaluation (reference call stack SURVEY §3.1):
+      t_scale = t.max - t.min over valid events
+      flow    = interp(tiles) * t_scale  (voxelized if time-aware)
+      IWEs    = orig + {first,last,middle}-warped bilinear votes, blur
+      loss    = cost (hybrid: multi-focal + TV on raw tile motions)
+      nan -> 0 guard (ref patch_contrast_base.py:283-287)
+    """
+    cost = make_cost(spec)
+    required = set(cost.required_keys)
+    pad = spec.outer_padding
+    imager = EventImageConverter(spec.image_shape, outer_padding=pad)
+    warper = Warp(spec.image_shape, normalize_t=True)
+    motion_model = "dense-flow-voxel" if spec.time_aware else "dense-flow"
+    n_motion = 2
+
+    def iwe_of(events, weights):
+        return imager.create_iwe(
+            events,
+            spec.iwe_method,
+            spec.blur_sigma,
+            weight=weights,
+            blur_mode="torch",
+            backend=spec.iwe_backend,
+        )
+
+    def objective(motion_flat: Array, events: Array, weights: Optional[Array]):
+        t = events[:, 2]
+        if weights is None:
+            t_scale = jnp.max(t) - jnp.min(t)
+        else:
+            big = jnp.finfo(t.dtype).max
+            t_scale = jnp.max(jnp.where(weights > 0, t, -big)) - jnp.min(
+                jnp.where(weights > 0, t, big)
+            )
+        flow = motion_to_dense_flow(spec, motion_flat, t_scale) * t_scale
+
+        arg = {"omit_boundary": True, "clip": True}
+        if "orig_iwe" in required:
+            arg["orig_iwe"] = iwe_of(events, weights)
+        if required & {"iwe", "backward_iwe", "backward_warp"}:
+            bwd = warper.warp_event(events, flow, motion_model, direction="first", weights=weights)
+            biwe = iwe_of(bwd, weights)
+            arg.update({"iwe": biwe, "backward_iwe": biwe, "backward_warp": bwd})
+        if required & {"forward_iwe", "forward_warp"}:
+            fwd = warper.warp_event(events, flow, motion_model, direction="last", weights=weights)
+            arg.update({"forward_iwe": iwe_of(fwd, weights), "forward_warp": fwd})
+        if "middle_iwe" in required:
+            mid = warper.warp_event(events, flow, motion_model, direction="middle", weights=weights)
+            arg["middle_iwe"] = iwe_of(mid, weights)
+        if "flow" in required:
+            arg["flow"] = motion_flat.reshape((n_motion,) + tuple(spec.patch_image_size))
+
+        if isinstance(cost, costs_mod.HybridCost):
+            loss, components = cost.calculate_with_components(arg)
+        else:
+            loss = cost.calculate(arg)
+            components = {cost.name: loss}
+        loss = jnp.where(jnp.isnan(loss), 0.0, loss)
+        return loss, components
+
+    return objective
+
+
+def build_value_grad_hvp(spec: ObjectiveSpec, jit: bool = True):
+    """Return (value_and_grad_fn, hvp_fn) over the flat motion vector.
+
+    value_and_grad_fn(x, events, weights) -> (loss, grad, components)
+    hvp_fn(x, p, events, weights)         -> H @ p   (forward-over-reverse)
+    """
+    obj = build_objective(spec)
+
+    def vg(x, events, weights):
+        (loss, components), grad = jax.value_and_grad(obj, has_aux=True)(x, events, weights)
+        return loss, grad, components
+
+    def hvp(x, p, events, weights):
+        grad_fn = lambda m: jax.grad(lambda mm: obj(mm, events, weights)[0])(m)
+        return jax.jvp(grad_fn, (x,), (p,))[1]
+
+    def hess(x, events, weights):
+        return jax.hessian(lambda m: obj(m, events, weights)[0])(x)
+
+    if jit:
+        vg = jax.jit(vg)
+        hvp = jax.jit(hvp)
+        hess = jax.jit(hess)
+    return vg, hvp, hess

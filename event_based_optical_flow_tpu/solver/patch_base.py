@@ -1,0 +1,251 @@
+"""Patch (tile) based contrast maximization: shared machinery.
+
+Mirrors the reference ``PatchContrastMaximization``
+(src/solver/patch_contrast_base.py): tile-grid construction, per-patch
+initialization strategies, tile->dense interpolation.  The per-evaluation
+cost assembly lives in objective.py (jit-compiled); initialization
+searches live in sampling.py (vmapped device sweeps).
+"""
+
+import logging
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interp import tile_to_dense_flow
+from ..types import FlowPatch
+from .base import SolverBase, TORCH_OPTIMIZERS
+from .objective import ObjectiveSpec, build_objective, build_value_grad_hvp
+from .sampling import build_patch_search, gather_patch_events
+from .scipy_bridge import SCIPY_OPTIMIZERS, minimize
+
+logger = logging.getLogger(__name__)
+
+
+def prepare_patch(
+    image_size: Tuple[int, int],
+    patch_size: Tuple[int, int],
+    sliding_window: Tuple[int, int],
+) -> Tuple[Dict[int, FlowPatch], tuple]:
+    """Tile-center lattice (ref patch_contrast_base.py:73-105)."""
+    image_h, image_w = image_size
+    patch_h, patch_w = patch_size
+    slide_h, slide_w = sliding_window
+    center_x = np.arange(0, image_h - patch_h + slide_h, slide_h) + patch_h / 2
+    center_y = np.arange(0, image_w - patch_w + slide_w, slide_w) + patch_w / 2
+    xx, yy = np.meshgrid(center_x, center_y)
+    patch_shape = xx.T.shape
+    xx = xx.T.reshape(-1)
+    yy = yy.T.reshape(-1)
+    patches = {
+        i: FlowPatch(x=xx[i], y=yy[i], shape=patch_size, u=0.0, v=0.0)
+        for i in range(len(xx))
+    }
+    return patches, patch_shape
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(1, x)))))
+
+
+class PatchContrastMaximization(SolverBase):
+    def __init__(
+        self,
+        image_shape: tuple,
+        calibration_parameter: dict,
+        solver_config: dict = {},
+        optimizer_config: dict = {},
+        output_config: dict = {},
+        visualize_module=None,
+    ):
+        self.patch_shift = (0, 0)
+        self.patch_image_size = (0, 0)
+        self.n_patch = 0
+        self.patches: Dict[int, FlowPatch] = {}
+        super().__init__(
+            image_shape,
+            calibration_parameter,
+            solver_config,
+            optimizer_config,
+            output_config,
+            visualize_module,
+        )
+        self.filter_type = self.slv_config["patch"]["filter_type"]
+        self._fun_cache: Dict = {}
+        self._search_cache: Dict = {}
+        self._key = jax.random.PRNGKey(int(self.slv_config.get("seed", 0)))
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def set_patch_size_and_sliding_window(self):
+        size = self.slv_config["patch"]["size"]
+        self.patch_size = (size, size) if isinstance(size, int) else tuple(size)
+        sw = self.slv_config["patch"]["sliding_window"]
+        self.sliding_window = (sw, sw) if isinstance(sw, int) else tuple(sw)
+
+    # --- initialization strategies ------------------------------------------
+    def initialize_random(self):
+        """Uniform in the configured parameter box (ref :108-119)."""
+        x0 = self._rng.random((self.motion_vector_size, self.n_patch))
+        p = self.opt_config["parameters"]
+        x0[0] = x0[0] * (p["trans_x"]["max"] - p["trans_x"]["min"]) + p["trans_x"]["min"]
+        x0[1] = x0[1] * (p["trans_y"]["max"] - p["trans_y"]["min"]) + p["trans_y"]["min"]
+        return x0
+
+    def initialize_zeros(self):
+        return np.zeros((self.motion_vector_size, self.n_patch), dtype=np.float64)
+
+    # --- tile -> dense ------------------------------------------------------
+    def interpolate_dense_flow_from_patch(self, motion_array) -> np.ndarray:
+        return np.asarray(
+            tile_to_dense_flow(
+                jnp.asarray(np.asarray(motion_array, dtype=np.float64)),
+                self.patch_image_size,
+                self.image_shape,
+                self.patch_size,
+                self.sliding_window,
+                self.patch_shift,
+                self.filter_type,
+            )
+        )
+
+    def motion_to_dense_flow(self, motion_array):
+        return self.interpolate_dense_flow_from_patch(motion_array)
+
+    # --- objective construction ---------------------------------------------
+    def _current_spec(self, time_aware: Optional[bool] = None) -> ObjectiveSpec:
+        ta = self.is_time_aware if time_aware is None else time_aware
+        return ObjectiveSpec(
+            image_shape=self.image_shape,
+            outer_padding=self.padding,
+            patch_image_size=tuple(self.patch_image_size),
+            patch_size=tuple(self.patch_size),
+            sliding_window=tuple(self.sliding_window),
+            patch_shift=tuple(self.patch_shift),
+            filter_type=self.filter_type,
+            iwe_method=self.iwe_config["method"],
+            blur_sigma=self.iwe_config["blur_sigma"],
+            cost_name=self.slv_config["cost"],
+            cost_with_weight=(
+                tuple(self.slv_config["cost_with_weight"].items())
+                if self.slv_config["cost"] == "hybrid"
+                else None
+            ),
+            time_aware=ta,
+            time_bin=getattr(self, "time_bin", 10),
+            flow_interpolation=getattr(self, "flow_interpolation", "burgers"),
+            t0_location=getattr(self, "t0_flow_location", "middle"),
+            scale_later=getattr(self, "scale_later", False),
+            iwe_backend=self.iwe_backend,
+        )
+
+    def _get_funs(self, spec: ObjectiveSpec):
+        if spec not in self._fun_cache:
+            self._fun_cache[spec] = build_value_grad_hvp(spec)
+        return self._fun_cache[spec]
+
+    def _history_cb(self, loss, components):
+        if not self.cost_func.store_history:
+            return
+        self.cost_func.history["loss"].append(float(loss))
+        if components and hasattr(self.cost_func, "cost_func"):
+            for name, val in components.items():
+                if name in self.cost_func.cost_func:
+                    self.cost_func.cost_func[name]["func"].history["loss"].append(float(val))
+
+    # --- scipy path ---------------------------------------------------------
+    def _run_scipy_on_spec(self, spec, events_dev, weights_dev, motion0, options):
+        vg, hvp, hess = self._get_funs(spec)
+        dt = self.dtype
+
+        def vg_np(x):
+            loss, grad, aux = vg(jnp.asarray(x, dt), events_dev, weights_dev)
+            return loss, grad, aux
+
+        result = minimize(
+            vg_np,
+            np.asarray(motion0, dtype=np.float64).reshape(-1),
+            method=self.opt_method,
+            options=options,
+            hvp=lambda x, p: hvp(jnp.asarray(x, dt), jnp.asarray(p, dt), events_dev, weights_dev),
+            hess=lambda x: hess(jnp.asarray(x, dt), events_dev, weights_dev),
+            history_cb=self._history_cb,
+        )
+        return result
+
+    # --- sampling ("optuna") path -------------------------------------------
+    def _run_sampling_on_spec(self, spec, events_dev, weights_dev, motion0, n_iter: int,
+                              n_rounds: int = 4):
+        """Joint sampling optimizer standing in for the reference's Optuna
+        studies (ref base.py:738-787): rounds of per-patch perturbed
+        candidates, each evaluated with the full jitted objective; the
+        incumbent always survives."""
+        obj = build_objective(spec)
+        p = self.opt_config["parameters"]
+        lo = np.array([p["trans_x"]["min"], p["trans_y"]["min"]])
+        hi = np.array([p["trans_x"]["max"], p["trans_y"]["max"]])
+        k_per_round = max(1, n_iter // n_rounds)
+        best = np.asarray(motion0, dtype=np.float64).reshape(-1)
+        eval_batch = jax.jit(jax.vmap(lambda x: obj(x, events_dev, weights_dev)[0]))
+
+        best_loss = float(eval_batch(jnp.asarray(best[None], self.dtype))[0])
+        scale = 1.0
+        for r in range(n_rounds):
+            if r == 0 and self.sampling_method in ("TPE", "random"):
+                cands = self._rng.random((k_per_round, best.size))
+                box_lo = np.tile(lo, best.size // 2)
+                box_hi = np.tile(hi, best.size // 2)
+                cands = cands * (box_hi - box_lo) + box_lo
+            else:
+                sigma = (np.tile(hi - lo, best.size // 2)) / 8.0 * scale
+                cands = best[None] + self._rng.standard_normal((k_per_round, best.size)) * sigma
+            losses = np.asarray(eval_batch(jnp.asarray(cands, self.dtype)))
+            i = int(np.nanargmin(losses))
+            if losses[i] < best_loss:
+                best_loss = float(losses[i])
+                best = cands[i]
+            scale *= 0.5
+            self._history_cb(best_loss, None)
+        return best, best_loss
+
+    # --- per-patch init search ----------------------------------------------
+    def _patch_capacity(self, n_events: int) -> int:
+        guess = 2 * n_events // max(1, self.n_patch)
+        return int(min(max(512, _next_pow2(guess)), _next_pow2(n_events)))
+
+    def _get_patch_search(self, key):
+        if key not in self._search_cache:
+            patch_size, n_candidates, capacity = key
+            self._search_cache[key] = build_patch_search(
+                patch_size,
+                n_candidates,
+                blur_sigma=self.iwe_config["blur_sigma"],
+                iwe_method=self.iwe_config["method"],
+                outer_padding=self.padding,
+                iwe_backend=self.iwe_backend,
+            )
+        return self._search_cache[key]
+
+    def initialize_guess_from_patch_search(
+        self, events_np: np.ndarray, motion0: np.ndarray, n_candidates: int,
+        patch_size: Optional[Tuple[int, int]] = None,
+    ) -> np.ndarray:
+        """Per-patch refinement of motion0 [2, n_patch] via the device
+        sampling sweep (replaces ref initialize_guess_from_optuna_sampling,
+        patch_contrast_pyramid.py:320-361)."""
+        patch_size = tuple(patch_size or self.patch_size)
+        capacity = self._patch_capacity(len(events_np))
+        patch_events, weights, counts = gather_patch_events(events_np, self.patches, capacity)
+        search = self._get_patch_search((patch_size, int(n_candidates), capacity))
+        motion1 = search(
+            jnp.asarray(patch_events, self.dtype),
+            jnp.asarray(weights, self.dtype),
+            jnp.asarray(counts),
+            jnp.asarray(np.asarray(motion0, dtype=np.float64).reshape(2, -1).T, self.dtype),
+            self._next_key(),
+        )
+        return np.asarray(motion1, dtype=np.float64).T  # [2, n_patch]

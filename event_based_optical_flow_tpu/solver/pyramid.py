@@ -1,0 +1,289 @@
+"""Pyramidal (coarse-to-fine) tile CMax — the flagship solver.
+
+Mirrors reference ``PyramidalPatchContrastMaximization``
+(src/solver/patch_contrast_pyramid.py): scales s = 1..patch.scale-1 over a
+center crop, per-scale non-overlapping tile grids (size crop/2^s), each
+scale solved with Newton-CG (gtol 1e-5, maxiter from config) warm-started
+from the expanded coarser solution (averaged with the previous frame when
+available) and refined per-patch by a sampling search; finally a
+fine-to-coarse pyramid_reduce feedback produces the per-scale result dict.
+
+TPU mapping: each scale's objective is one jit-compiled value_and_grad /
+HVP (compiled once, reused across frames); the per-patch init search is a
+single vmapped device sweep over all patches x candidates instead of the
+reference's sequential per-patch Optuna CPU loop.
+"""
+
+import logging
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..flow.voxel import construct_dense_flow_voxel
+from ..ops.interp import pyramid_expand, pyramid_reduce, tile_to_dense_flow
+from ..ops.iwe import EventImageConverter
+from ..ops.warp import Warp
+from ..costs import functional as F
+from ..flow.metrics import calculate_flow_error_numpy
+from .base import TORCH_OPTIMIZERS
+from .patch_base import PatchContrastMaximization, prepare_patch
+from .scipy_bridge import SCIPY_OPTIMIZERS
+
+logger = logging.getLogger(__name__)
+
+
+class PyramidalPatchContrastMaximization(PatchContrastMaximization):
+    def __init__(
+        self,
+        image_shape: tuple,
+        calibration_parameter: dict,
+        solver_config: dict = {},
+        optimizer_config: dict = {},
+        output_config: dict = {},
+        visualize_module=None,
+    ):
+        super().__init__(
+            image_shape,
+            calibration_parameter,
+            solver_config,
+            optimizer_config,
+            output_config,
+            visualize_module,
+        )
+        self.coarsest_scale = 1
+        self.patch_scales = self.slv_config["patch"]["scale"]
+        self.cropped_height = self.slv_config["patch"]["crop_height"]
+        self.cropped_width = self.slv_config["patch"]["crop_width"]
+        self.cropped_image_shape = (self.cropped_height, self.cropped_width)
+        self.prepare_pyramidal_patch(self.cropped_image_shape, self.coarsest_scale, self.patch_scales)
+        self.overload_patch_configuration(self.coarsest_scale)
+        self.patch_shift = (
+            (self.image_shape[0] - self.cropped_height) // 2,
+            (self.image_shape[1] - self.cropped_width) // 2,
+        )
+
+    def prepare_pyramidal_patch(self, image_size, coarsest_scale: int, finest_scale: int):
+        """Per-scale tile geometry (ref patch_contrast_pyramid.py:69-100)."""
+        self.scaled_patches = {}
+        self.scaled_patch_image_size = {}
+        self.scaled_n_patch = {}
+        self.scaled_patch_size = {}
+        self.scaled_sliding_window = {}
+        self.total_n_patch = 0
+        self.current_scale = coarsest_scale
+        for i in range(coarsest_scale, finest_scale):
+            scaled = (image_size[0] // (2**i), image_size[1] // (2**i))
+            self.scaled_patch_size[i] = scaled
+            self.scaled_sliding_window[i] = scaled
+            self.scaled_patches[i], self.scaled_patch_image_size[i] = prepare_patch(
+                image_size, scaled, scaled
+            )
+            self.scaled_n_patch[i] = len(self.scaled_patches[i])
+            self.total_n_patch += self.scaled_n_patch[i]
+
+    def overload_patch_configuration(self, n_scale: int):
+        self.current_scale = n_scale
+        self.patches = self.scaled_patches[n_scale]
+        self.patch_image_size = self.scaled_patch_image_size[n_scale]
+        self.n_patch = self.scaled_n_patch[n_scale]
+        self.sliding_window = self.scaled_sliding_window[n_scale]
+        self.patch_size = self.scaled_patch_size[n_scale]
+
+    # ----------------------------------------------------------------- main
+    def optimize(self, events: np.ndarray) -> Dict[int, np.ndarray]:
+        logger.info(f"Start optimization. DoF {self.motion_vector_size * self.total_n_patch}")
+        events = np.asarray(events, dtype=np.float64)
+        ev, w = self.prepare_events(events)
+
+        best_motion_per_scale: Dict[int, np.ndarray] = {}
+        for s in range(self.coarsest_scale, self.patch_scales):
+            self.overload_patch_configuration(s)
+            spec = self._current_spec()
+            motion0 = self._init_scale(s, events, best_motion_per_scale)
+
+            if self.opt_method in SCIPY_OPTIMIZERS:
+                self.cost_func.enable_history_register()
+                result = self._run_scipy_on_spec(
+                    spec,
+                    ev,
+                    w,
+                    motion0,
+                    options={
+                        "gtol": 1e-5,
+                        "disp": False,
+                        "maxiter": self.opt_config.get("max_iter", 25),
+                    },
+                )
+                best = result.x
+            elif self.opt_method == "optuna":
+                best, _ = self._run_sampling_on_spec(spec, ev, w, motion0, self.opt_config["n_iter"])
+            elif self.opt_method in TORCH_OPTIMIZERS:
+                from .optax_loop import run_first_order
+
+                best, _ = run_first_order(
+                    self._get_funs(spec)[0], motion0, self.opt_method, self.opt_config, ev, w, self.dtype
+                )
+            else:
+                raise NotImplementedError(f"Optimizer {self.opt_method} is not supported")
+
+            best_motion_per_scale[s] = np.asarray(best, dtype=np.float64).reshape(
+                (self.motion_vector_size,) + tuple(self.patch_image_size)
+            )
+            logger.info(f"Scale {s} done.")
+
+        refined = self.update_coarse_from_fine(best_motion_per_scale)
+        if self.visualizer and self.cost_func.get_history()["loss"]:
+            self.visualizer.visualize_scipy_history(self.cost_func.get_history(), self.cost_weight)
+        self.cost_func.clear_history()
+        return refined
+
+    def _init_scale(self, s: int, events_np: np.ndarray, coarser: Dict[int, np.ndarray]) -> np.ndarray:
+        """Initialization per reference run_scipy (pyramid.py:252-301)."""
+        warm = self.previous_frame_best_estimation
+        if warm is not None and s == self.coarsest_scale:
+            return np.copy(warm[s])
+        if s > self.coarsest_scale:
+            motion0 = pyramid_expand(coarser[s - 1]).reshape(2, -1)
+            # guard: expansion shape must match this scale's grid
+            expect = self.scaled_patch_image_size[s]
+            motion0 = motion0.reshape((2,) + tuple(expect))
+            if warm is not None:
+                motion0 = (motion0 + warm[s]) / 2.0
+            n_cand = max(4, int(self.opt_config["n_iter"] / max(1, s - self.coarsest_scale)))
+            return self.initialize_guess_from_patch_search(
+                events_np, motion0.reshape(2, -1), n_cand
+            )
+        init = self.slv_config["patch"]["initialize"]
+        if init == "random":
+            return self.initialize_random()
+        if init == "zero":
+            return self.initialize_zeros()
+        if init == "optuna-sampling":
+            return self.initialize_guess_from_patch_search(
+                events_np, self.initialize_zeros(), self.opt_config["n_iter"]
+            )
+        if init in ("global-best", "grid-best"):
+            best = self._grid_best_translation(events_np, step=10 if init == "global-best" else 30)
+            return np.tile(best[:, None], (1, self.n_patch))
+        raise NotImplementedError(f"Initialization {init!r} not implemented")
+
+    def _grid_best_translation(self, events_np: np.ndarray, step: int) -> np.ndarray:
+        import jax
+        from .objective import build_objective
+
+        spec = self._current_spec()
+        obj = build_objective(spec)
+        ev, w = self.prepare_events(events_np)
+        field = np.arange(-150, 150, step, dtype=np.float64)
+        grid = np.stack(np.meshgrid(field, field, indexing="ij"), -1).reshape(-1, 2)
+        tiles = np.repeat(grid[:, :, None], self.n_patch, axis=2).reshape(len(grid), -1)
+        eval_batch = jax.jit(jax.vmap(lambda x: obj(x, ev, w)[0]))
+        losses = np.asarray(eval_batch(jnp.asarray(tiles, self.dtype)))
+        return grid[int(np.nanargmin(losses))]
+
+    def update_coarse_from_fine(self, motion_per_scale: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
+        """Fine-to-coarse feedback via pyramid_reduce (ref pyramid.py:205-223)."""
+        finest = max(motion_per_scale.keys())
+        coarsest = min(motion_per_scale.keys())
+        refined = {finest: motion_per_scale[finest]}
+        for i in range(finest, coarsest, -1):
+            refined[i - 1] = pyramid_reduce(refined[i])
+        return refined
+
+    # --------------------------------------------------------------- metrics
+    def motion_to_dense_flow(self, pyramidal_motion, t_scale: float = 1.0):
+        """Finest-scale tiles -> dense flow (+ optional time voxel)
+        (ref pyramid.py:464-516)."""
+        finest = (
+            pyramidal_motion[self.current_scale]
+            if isinstance(pyramidal_motion, dict)
+            else pyramidal_motion
+        )
+        dense = tile_to_dense_flow(
+            jnp.asarray(np.asarray(finest, dtype=np.float64)),
+            self.patch_image_size,
+            self.image_shape,
+            self.patch_size,
+            self.sliding_window,
+            self.patch_shift,
+            self.filter_type,
+        )
+        if not self.is_time_aware:
+            return np.asarray(dense)
+        scale = float(jnp.max(dense)) if self.scale_later else 1.0
+        voxel = construct_dense_flow_voxel(
+            dense * t_scale / scale,
+            self.time_bin,
+            self.flow_interpolation,
+            t0_location=self.t0_flow_location,
+        )
+        return np.asarray(voxel * scale / t_scale)
+
+    def calculate_flow_error(self, motion, gt_flow, timescale: float = 1.0, events=None) -> dict:
+        """(ref pyramid.py:560-599)"""
+        gt_flow = np.transpose(np.asarray(gt_flow), (2, 0, 1))
+        pred_flow = self.motion_to_dense_flow(motion, timescale) * timescale
+        if self.is_time_aware:
+            pred_flow = self.get_original_flow_from_time_aware_flow_voxel(pred_flow)
+        pred_flow = pred_flow[None]
+        if events is not None:
+            event_mask = np.asarray(self.imager.create_eventmask(jnp.asarray(np.asarray(events))))
+            if self.padding:
+                event_mask = event_mask[..., self.padding : -self.padding, self.padding : -self.padding]
+            event_mask = event_mask[None] if event_mask.ndim == 3 else event_mask
+            fwl = self.calculate_fwl(motion, gt_flow, timescale, events)
+        else:
+            event_mask = None
+            fwl = {}
+        flow_error = calculate_flow_error_numpy(gt_flow[None], pred_flow, event_mask=event_mask)
+        flow_error.update(fwl)
+        logger.info(f"{flow_error = } for time period {timescale} sec.")
+        return flow_error
+
+    def calculate_fwl(self, motion, gt_flow, timescale: float, events) -> dict:
+        fwl = {"GT_FWL": self._fwl_of_flow(events, np.asarray(gt_flow), use_voxel=False)}
+        fwl.update(self.calculate_fwl_pred(motion, events, timescale))
+        return fwl
+
+    def calculate_fwl_pred(self, motion, events, timescale: float = 1.0) -> dict:
+        pred_flow = self.motion_to_dense_flow(motion, timescale) * timescale
+        return {"PRED_FWL": self._fwl_of_flow(events, pred_flow, use_voxel=self.is_time_aware)}
+
+    # --------------------------------------------------------- visualization
+    def visualize_one_batch_warp(self, events, warp=None):
+        if self.visualizer is None:
+            return
+        events = np.asarray(events)
+        flow = None
+        if warp is not None:
+            flow = self.motion_to_dense_flow(warp)
+            if self.normalize_t_in_batch:
+                flow = flow * (np.max(events[:, 2]) - np.min(events[:, 2]))
+            events = np.asarray(
+                self.warper.warp_event(jnp.asarray(events), jnp.asarray(flow), self.motion_model_for_dense_warp)
+            )
+            if self.is_time_aware:
+                flow = self.get_original_flow_from_time_aware_flow_voxel(flow)
+        clipped = self.create_clipped_iwe_for_visualization(events, self.iwe_visualize_max_scale)
+        self.visualizer.visualize_image(clipped)
+        if flow is not None:
+            self.visualizer.visualize_optical_flow_on_event_mask(flow, events)
+            self.visualizer.visualize_overlay_optical_flow_on_event(flow, clipped)
+
+    def visualize_pred_sequential(self, events, warp):
+        if self.visualizer is None:
+            return
+        events = np.asarray(events)
+        t_scale = (np.max(events[:, 2]) - np.min(events[:, 2])) if self.normalize_t_in_batch else 1.0
+        flow = self.motion_to_dense_flow(warp, t_scale) * t_scale
+        warped = np.asarray(
+            self.warper.warp_event(
+                jnp.asarray(events), jnp.asarray(flow), self.motion_model_for_dense_warp, direction="middle"
+            )
+        )
+        clipped = self.create_clipped_iwe_for_visualization(warped, self.iwe_visualize_max_scale)
+        if self.is_time_aware:
+            flow = self.get_original_flow_from_time_aware_flow_voxel(flow)
+        self.visualizer.visualize_image(clipped, file_prefix="pred_warp")
+        self.visualizer.visualize_optical_flow_on_event_mask(flow, warped, file_prefix="pred_masked")
