@@ -1,0 +1,23 @@
+"""L4 data layer: dataset loaders and registry.
+
+Registry mirrors reference ``src/data_loader/__init__.py`` (name-keyed
+``collections``); adds a self-contained synthetic loader for dataset-free
+runs and tests.
+"""
+
+import os
+
+DATASET_ROOT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "datasets"
+)
+
+from .base import DataLoaderBase
+from .mvsec import MvsecDataLoader
+from .synthetic import SyntheticDataLoader
+
+collections = {
+    MvsecDataLoader.NAME: MvsecDataLoader,
+    SyntheticDataLoader.NAME: SyntheticDataLoader,
+}
+
+__all__ = ["DataLoaderBase", "MvsecDataLoader", "SyntheticDataLoader", "collections", "DATASET_ROOT_DIR"]

@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""CLI driver for the TPU-native event-based optical flow framework.
+
+Same contract as the reference driver (reference ``main.py``):
+
+    python3 main.py --config_file configs/<cfg>.yaml [--eval] [--log LEVEL]
+
+Single-frame mode optimizes one event slice [ind1, ind2); --eval runs the
+sequential evaluation pipeline over gray-frame timestamps with GT flow
+(AEE/NPE/AE + FWL per frame, text dump + visualizations).
+"""
+
+import argparse
+import logging
+import os
+import shutil
+import sys
+
+import numpy as np
+import yaml
+
+from event_based_optical_flow_tpu import data, solver, utils, visualizer
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config_file",
+        default="./configs/mvsec_indoor_no_timeaware.yaml",
+        help="Config file yaml path",
+        type=str,
+    )
+    parser.add_argument("--eval", help="Add for evaluation run", action="store_true")
+    parser.add_argument(
+        "--log", help="Log level: [debug, info, warning, error, critical]", type=str, default="info"
+    )
+    args = parser.parse_args()
+    with open(args.config_file, "r") as f:
+        config = yaml.safe_load(f)
+    return config, args
+
+
+def save_config(save_dir: str, file_name: str, log_level=logging.INFO):
+    if not os.path.exists(save_dir):
+        os.makedirs(save_dir)
+    shutil.copy(file_name, save_dir)
+    logging.basicConfig(
+        handlers=[
+            logging.FileHandler(f"{save_dir}/main.log", mode="w"),
+            logging.StreamHandler(sys.stdout),
+        ],
+        level=log_level,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        force=True,
+    )
+
+
+def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, solv):
+    """Sequential evaluation pipeline (reference main.py:52-107): per
+    gray-frame window, fixed-count event batch for optimization, exact GT
+    window batch for metrics, warm start chaining (switchable via
+    data_config['warm_start']=False)."""
+    eval_dt = data_config["eval_dt"]
+    n_events = data_config["n_events_per_batch"]
+    warm_start = data_config.get("warm_start", True)
+    logger.info(f"Evaluation pipeline, dt={eval_dt}, warm_start={warm_start}")
+
+    for i1 in range(len(eval_frame_time_stamp_list) - eval_dt):
+        logger.info(f"Frame {i1} of {len(eval_frame_time_stamp_list)}")
+        if "ind1" in data_config and "ind2" in data_config:
+            if i1 < data_config["ind1"] or i1 > data_config["ind2"]:
+                continue
+        t1 = eval_frame_time_stamp_list[i1]
+        t2 = eval_frame_time_stamp_list[i1 + eval_dt]
+        ind1 = loader.time_to_index(t1)
+        ind2 = loader.time_to_index(t2)
+
+        batch_for_gt_slice = loader.load_event(ind1, ind2)
+        gt_flow = loader.load_optical_flow(t1, t2)
+        flow_time = t2 - t1
+        batch_for_gt_slice[..., 2] -= np.min(batch_for_gt_slice[..., 2])
+
+        # renormalize the optimization batch to a fixed event count
+        if ind2 - ind1 < n_events:
+            insufficient = n_events - (ind2 - ind1)
+            ind1 -= insufficient // 2
+            ind2 += insufficient // 2
+        elif ind2 - ind1 > n_events:
+            ind1 = ind2 - n_events
+        batch_for_optimization = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
+        batch_for_optimization[..., 2] -= np.min(batch_for_optimization[..., 2])
+
+        if utils.check_key_and_bool(data_config, "remove_car"):
+            batch_for_optimization = utils.crop_event(batch_for_optimization, 0, 193, 0, 346)
+
+        best_motion = solv.optimize(batch_for_optimization)
+        if warm_start:
+            solv.set_previous_frame_best_estimation(best_motion)
+        flow_error = solv.calculate_flow_error(
+            best_motion, gt_flow, timescale=flow_time, events=batch_for_gt_slice
+        )
+        solv.save_flow_error_as_text(i1, flow_error, "flow_error_per_frame_with_mask.txt")
+
+        solv.visualize_original_sequential(batch_for_gt_slice)
+        solv.visualize_pred_sequential(batch_for_gt_slice, best_motion)
+        solv.visualize_gt_sequential(batch_for_gt_slice, gt_flow)
+
+
+def main():
+    config, args = parse_args()
+    data_config: dict = config["data"]
+    out_config: dict = config["output"]
+    log_level = getattr(logging, args.log.upper(), None)
+    if not isinstance(log_level, int):
+        raise ValueError(f"Invalid log level: {args.log}")
+    save_config(out_config["output_dir"], args.config_file, log_level)
+
+    if utils.check_key_and_bool(config, "fix_random_seed"):
+        utils.fix_random_seed()
+
+    image_shape = (data_config["height"], data_config["width"])
+    if config.get("is_dnn") and "crop" in data_config.get("preprocess", {}):
+        image_shape = (
+            data_config["preprocess"]["crop"]["height"],
+            data_config["preprocess"]["crop"]["width"],
+        )
+
+    viz = visualizer.Visualizer(
+        image_shape,
+        show=out_config["show_interactive_result"],
+        save=True,
+        save_dir=out_config["output_dir"],
+    )
+
+    loader = data.collections[data_config["dataset"]](config=data_config)
+    loader.set_sequence(data_config["sequence"])
+
+    method_name = config["solver"]["method"]
+    solv = solver.collections[method_name](
+        image_shape,
+        calibration_parameter=loader.load_calib(),
+        solver_config=config["solver"],
+        optimizer_config=config["optimizer"],
+        output_config=config["output"],
+        visualize_module=viz,
+    )
+
+    if config.get("is_dnn"):
+        from event_based_optical_flow_tpu.models import run_dnn_flow
+
+        run_dnn_flow(config, loader, viz, evaluate=args.eval)
+        return
+
+    if args.eval:
+        assert loader.gt_flow_available, "evaluation requires GT flow"
+        eval_ts = loader.eval_frame_time_list()
+        evaluate_dataset_with_gt(eval_ts, data_config, loader, solv)
+        logger.info(f"Evaluation done! {data_config['sequence']}")
+        return
+
+    # single-frame optimization
+    ind1, ind2 = data_config["ind1"], data_config["ind2"]
+    batch = loader.load_event(ind1, ind2)
+    batch[..., 2] -= np.min(batch[..., 2])
+    if utils.check_key_and_bool(data_config, "remove_car"):
+        batch = utils.crop_event(batch, 0, 193, 0, 346)
+
+    solv.visualize_one_batch_warp(batch)
+    best_motion = solv.optimize(batch)
+    solv.visualize_one_batch_warp(batch, best_motion)
+
+    if loader.gt_flow_available:
+        t1 = loader.index_to_time(ind1)
+        t2 = loader.index_to_time(ind2)
+        gt_flow = loader.load_optical_flow(t1, t2)
+        solv.calculate_flow_error(best_motion, gt_flow, t2 - t1, batch)
+
+
+if __name__ == "__main__":
+    main()
