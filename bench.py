@@ -5,10 +5,13 @@ Prints ONE JSON line:
   {"metric": "warp_bilinear_iwe", "value": <Mevents/s>, "unit": "Mevents/s",
    "vs_baseline": <value / 500>}
 
-The north-star target (BASELINE.json) is >= 500 Mevents/s for the
-warp + bilinear-scatter kernel per chip; the reference repo publishes no
-numbers (its only perf artifact is a cProfile dump).  Additional detail
-lines go to stderr.
+Methodology: the measured region is a single jitted ``lax.fori_loop``
+whose iterations are data-dependent (each perturbs the inputs with the
+previous result), so neither XLA nor the runtime can dedupe repeated
+work, and per-call dispatch latency is amortized away.  The north-star
+target (BASELINE.json) is >= 500 Mevents/s for warp + bilinear vote per
+chip; the reference repo publishes no numbers (its only perf artifact is
+a cProfile dump).  Detail lines go to stderr.
 """
 
 import json
@@ -22,12 +25,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from event_based_optical_flow_tpu.ops.iwe import bilinear_vote
+    from event_based_optical_flow_tpu.ops.pallas_iwe import bilinear_vote_pallas
     from event_based_optical_flow_tpu.ops.warp import warp_dense_flow
 
     H, W = 260, 346
     n_events = 30720          # MVSEC protocol batch size (padded)
-    batch = 32                # frames per launch to saturate the chip
+    batch = 8                 # frames per step
+    iters = 24
 
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 0.2, (batch, n_events)), axis=1)
@@ -41,31 +45,45 @@ def main():
         axis=2,
     )
     flow = rng.uniform(-30, 30, (batch, 2, H, W))
-
     ev = jnp.asarray(events, jnp.float32)
     fl = jnp.asarray(flow, jnp.float32)
 
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
-    def warp_and_iwe(ev, fl):
-        warped = warp_dense_flow(ev, fl, ev[..., 2].min(axis=-1), (H, W), normalize_t=True)
-        return bilinear_vote(warped, (H, W))
+    def run(ev, fl):
+        def body(i, acc):
+            e = ev.at[..., 0].add(i * 0.013 + acc * 1e-20)
+            warped = warp_dense_flow(e, fl, e[..., 2].min(axis=-1), (H, W), normalize_t=True)
+            if use_pallas:
+                iwe = bilinear_vote_pallas(warped, (H, W))
+            else:
+                from event_based_optical_flow_tpu.ops.iwe import bilinear_vote
 
-    # warmup / compile
-    warp_and_iwe(ev, fl).block_until_ready()
+                iwe = bilinear_vote(warped, (H, W))
+            return acc + iwe.sum()
 
-    iters = 30
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    # NOTE: synchronize via host transfer (float()); block_until_ready does
+    # not reliably wait through tunneled PJRT runtimes.
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = warp_and_iwe(ev, fl)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(run(ev, fl))
+    compile_s = time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(3):
+        ev = ev.at[..., 0].add(0.07)  # genuinely new inputs each timed call
+        t0 = time.perf_counter()
+        float(run(ev, fl))
+        best = min(best, time.perf_counter() - t0)
 
     total_events = batch * n_events * iters
-    meps = total_events / dt / 1e6
+    meps = total_events / best / 1e6
     print(
         f"warp+bilinear IWE: {meps:.1f} Mevents/s "
-        f"({iters} iters x {batch} frames x {n_events} events in {dt:.3f}s on "
-        f"{jax.devices()[0].platform})",
+        f"({iters} iters x {batch} frames x {n_events} events in {best:.3f}s, "
+        f"compile {compile_s:.0f}s, backend={jax.default_backend()}, pallas={use_pallas})",
         file=sys.stderr,
     )
 

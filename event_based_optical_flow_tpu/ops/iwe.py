@@ -126,7 +126,8 @@ def _bilinear_vote_matmul(events, image_size, padding, weight, eps):
             rvec = rvec * weight
     else:
         rvec = rvec * weight[:, None]
-    return jnp.einsum("nh,nw->hw", rvec, cvec, preferred_element_type=rvec.dtype)
+    return jnp.einsum("nh,nw->hw", rvec, cvec, preferred_element_type=rvec.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _indicator(coords: Array, size: int, eps: float) -> Array:
@@ -148,7 +149,8 @@ def _count_vote_matmul(events, image_size, padding, weight, eps):
         rvec = rvec * weight[:, None]
     elif weight != 1.0:
         rvec = rvec * weight
-    return jnp.einsum("nh,nw->hw", rvec, cvec, preferred_element_type=rvec.dtype)
+    return jnp.einsum("nh,nw->hw", rvec, cvec, preferred_element_type=rvec.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _count_vote_scatter(events, image_size, padding, weight, eps):
@@ -203,6 +205,12 @@ def bilinear_vote(
     padding = _normalize_padding(padding)
     if backend == "scatter":
         fn = lambda e, wgt: _bilinear_vote_scatter(e, image_size, padding, wgt, eps)
+    elif backend in ("pallas", "pallas_bf16"):
+        from .pallas_iwe import bilinear_vote_pallas
+
+        return bilinear_vote_pallas(
+            events, image_size, padding, weight, eps, use_bf16=backend == "pallas_bf16"
+        )
     else:
         fn = lambda e, wgt: _bilinear_vote_matmul(e, image_size, padding, wgt, eps)
     return _apply_over_batch(fn, events, weight)

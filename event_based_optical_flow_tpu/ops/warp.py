@@ -204,6 +204,64 @@ def _warp_voxel_single(events, flow_voxel, dt, image_size, weights):
     return _replace_xy_t(events, x, y, dt)
 
 
+def multi_direction_dense_warp(
+    events: Array,
+    flow: Array,
+    directions,
+    image_size: Tuple[int, int],
+    weights: Optional[Array] = None,
+    time_aware: bool = False,
+):
+    """Warp one event set to several reference times with a SINGLE flow
+    gather.
+
+    The reference assembles its multi-focal cost by calling the warp once
+    per direction (first/last/middle — ref patch_contrast_base.py:289-352),
+    re-gathering the same per-event flow each time.  The gathered (u, v)
+    depend only on the integer event position (and, for the time-aware
+    voxel, the time-bin id, which is shift-invariant across reference
+    times), so one gather serves every direction.  On TPU the gather is
+    the expensive part, so this is a ~3x saving on the warp stage.
+
+    Args:
+        flow: [2, H, W] (time_aware=False) or [T, 2, H, W].
+        directions: iterable of floats in the [0, 1] reftime convention
+            (0 = first, 0.5 = middle, 1 = last).  normalize_t semantics
+            (dt scaled so max-min = 1) are built in, matching the solver's
+            ``normalize_t_in_batch``.
+
+    Returns:
+        list of warped event arrays, one per direction.
+    """
+    h, w = image_size
+    t = events[..., 2]
+    t_min = _masked_min(t, weights)
+    t_max = _masked_max(t, weights)
+    span = jnp.where(t_max > t_min, t_max - t_min, 1.0)
+
+    ix = jnp.clip(events[..., 0].astype(jnp.int32), 0, h - 1)
+    iy = jnp.clip(events[..., 1].astype(jnp.int32), 0, w - 1)
+    lin = ix * w + iy
+    if time_aware:
+        n_bins = flow.shape[0]
+        rel = (t - t_min) / span  # in [0, 1]; bin id is reftime-invariant
+        bin_id = jnp.clip(jnp.floor(rel * n_bins).astype(jnp.int32), 0, n_bins - 1)
+        flat = flow.reshape(n_bins, 2, -1)
+        u = flat[bin_id, 0, lin]
+        v = flat[bin_id, 1, lin]
+    else:
+        flat = flow.reshape(2, -1)
+        u = flat[0, lin]
+        v = flat[1, lin]
+
+    out = []
+    for d in directions:
+        ref = t_min + (t_max - t_min) * d
+        dt = (t - ref) / span
+        out.append(_replace_xy_t(events, events[..., 0] - dt * u, events[..., 1] - dt * v, dt))
+    return out
+
+
 def flow_from_2d_translation(motion: Array, image_size: Tuple[int, int]) -> Array:
     """Dense [2, H, W] flow equivalent of a 2-DoF translation.
 

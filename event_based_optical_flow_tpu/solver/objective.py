@@ -21,7 +21,7 @@ from .. import costs as costs_mod
 from ..flow.voxel import construct_dense_flow_voxel
 from ..ops.interp import tile_to_dense_flow
 from ..ops.iwe import EventImageConverter
-from ..ops.warp import Warp
+from ..ops.warp import Warp, multi_direction_dense_warp
 
 Array = jax.Array
 
@@ -121,19 +121,34 @@ def build_objective(spec: ObjectiveSpec):
             )
         flow = motion_to_dense_flow(spec, motion_flat, t_scale) * t_scale
 
+        # one shared flow gather feeds every warp direction
+        directions = []
+        if required & {"iwe", "backward_iwe", "backward_warp"}:
+            directions.append(("backward", 0.0))
+        if required & {"forward_iwe", "forward_warp"}:
+            directions.append(("forward", 1.0))
+        if "middle_iwe" in required:
+            directions.append(("middle", 0.5))
+        warped = multi_direction_dense_warp(
+            events,
+            flow,
+            [d for _, d in directions],
+            spec.image_shape,
+            weights=weights,
+            time_aware=spec.time_aware,
+        )
+        warped = dict(zip([n for n, _ in directions], warped))
+
         arg = {"omit_boundary": True, "clip": True}
         if "orig_iwe" in required:
             arg["orig_iwe"] = iwe_of(events, weights)
-        if required & {"iwe", "backward_iwe", "backward_warp"}:
-            bwd = warper.warp_event(events, flow, motion_model, direction="first", weights=weights)
-            biwe = iwe_of(bwd, weights)
-            arg.update({"iwe": biwe, "backward_iwe": biwe, "backward_warp": bwd})
-        if required & {"forward_iwe", "forward_warp"}:
-            fwd = warper.warp_event(events, flow, motion_model, direction="last", weights=weights)
-            arg.update({"forward_iwe": iwe_of(fwd, weights), "forward_warp": fwd})
-        if "middle_iwe" in required:
-            mid = warper.warp_event(events, flow, motion_model, direction="middle", weights=weights)
-            arg["middle_iwe"] = iwe_of(mid, weights)
+        if "backward" in warped:
+            biwe = iwe_of(warped["backward"], weights)
+            arg.update({"iwe": biwe, "backward_iwe": biwe, "backward_warp": warped["backward"]})
+        if "forward" in warped:
+            arg.update({"forward_iwe": iwe_of(warped["forward"], weights), "forward_warp": warped["forward"]})
+        if "middle" in warped:
+            arg["middle_iwe"] = iwe_of(warped["middle"], weights)
         if "flow" in required:
             arg["flow"] = motion_flat.reshape((n_motion,) + tuple(spec.patch_image_size))
 

@@ -10,6 +10,9 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# the env var alone is not enough when a PJRT plugin self-registers at
+# interpreter startup (sitecustomize); the config update always wins
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: repeat suite runs skip XLA recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_evflow_tests")

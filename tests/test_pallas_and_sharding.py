@@ -1,0 +1,129 @@
+"""Pallas fused IWE (interpret mode on CPU) and multi-device sharding.
+
+The sharded paths must reproduce the single-device kernels exactly:
+event-sharded IWE (psum of partial votes) and the fleet loss.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from event_based_optical_flow_tpu import ops
+from event_based_optical_flow_tpu.ops.pallas_iwe import bilinear_vote_pallas
+from event_based_optical_flow_tpu.parallel.sharded import (
+    build_fleet_step,
+    fleet_shardings,
+    make_mesh,
+    sharded_iwe,
+)
+from event_based_optical_flow_tpu.types import pad_events
+
+H, W = 16, 20
+
+
+def _events(n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    ev = np.stack(
+        [
+            rng.uniform(-1, H + 1, n),
+            rng.uniform(-1, W + 1, n),
+            np.sort(rng.uniform(0, 1, n)),
+            rng.integers(0, 2, n).astype(float),
+        ],
+        1,
+    )
+    return ev
+
+
+def test_pallas_forward_matches_scatter():
+    ev = _events(700)
+    wt = np.random.default_rng(1).uniform(0.2, 1.5, 700)
+    ref = np.asarray(ops.bilinear_vote(jnp.asarray(ev), (H, W), weight=jnp.asarray(wt), backend="scatter"))
+    out = np.asarray(bilinear_vote_pallas(jnp.asarray(ev), (H, W), weight=jnp.asarray(wt)))
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_pallas_gradient_matches_scatter():
+    ev = jnp.asarray(_events(300))
+    wt = jnp.asarray(np.random.default_rng(1).uniform(0.2, 1.5, 300))
+
+    def loss(fn):
+        return lambda e: (fn(e) ** 2).sum()
+
+    gp = jax.grad(loss(lambda e: bilinear_vote_pallas(e, (H, W), weight=wt)))(ev)
+    gs = jax.grad(loss(lambda e: ops.bilinear_vote(e, (H, W), weight=wt, backend="scatter")))(ev)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), atol=1e-8)
+
+
+def test_multi_direction_warp_matches_single():
+    from event_based_optical_flow_tpu.ops.warp import Warp, multi_direction_dense_warp
+
+    ev = _events(200)
+    ev[:, 0] = np.clip(np.round(ev[:, 0]), 0, H - 1)
+    ev[:, 1] = np.clip(np.round(ev[:, 1]), 0, W - 1)
+    flow = np.random.default_rng(2).uniform(-5, 5, (2, H, W))
+    warper = Warp((H, W), normalize_t=True)
+    multi = multi_direction_dense_warp(jnp.asarray(ev), jnp.asarray(flow), [0.0, 1.0, 0.5], (H, W))
+    for got, direction in zip(multi, ["first", "last", "middle"]):
+        want = warper.warp_event(jnp.asarray(ev), jnp.asarray(flow), "dense-flow", direction)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+    # voxel variant
+    voxel = np.random.default_rng(3).uniform(-5, 5, (4, 2, H, W))
+    multi = multi_direction_dense_warp(
+        jnp.asarray(ev), jnp.asarray(voxel), [0.0, 0.5], (H, W), time_aware=True
+    )
+    for got, direction in zip(multi, ["first", "middle"]):
+        want = warper.warp_event(jnp.asarray(ev), jnp.asarray(voxel), "dense-flow-voxel", direction)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_iwe_matches_single_device():
+    mesh = make_mesh(8, data=1, event=8)
+    ev = _events(512)
+    padded, wgt = pad_events(ev, target_n=1024)
+    ref = np.asarray(ops.bilinear_vote(jnp.asarray(padded), (H, W), weight=jnp.asarray(wgt)))
+    out = np.asarray(sharded_iwe(jnp.asarray(padded), jnp.asarray(wgt), (H, W), mesh))
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fleet_step_runs_and_descends():
+    mesh = make_mesh(8, data=4, event=2)
+    n_frames, n_events = 8, 512
+    evs, wgts = [], []
+    for b in range(n_frames):
+        ev = _events(n_events - 40, seed=b)
+        p, wgt = pad_events(ev, target_n=n_events)
+        evs.append(p)
+        wgts.append(wgt)
+    sh_m, sh_e, sh_w = fleet_shardings(mesh)
+    events = jax.device_put(jnp.asarray(np.stack(evs)), sh_e)
+    weights = jax.device_put(jnp.asarray(np.stack(wgts)), sh_w)
+    motions = jax.device_put(jnp.zeros((n_frames, 8)), sh_m)
+
+    step = build_fleet_step(mesh, (H, W), (2, 2), (8, 10), (8, 10), lr=0.1)
+    m1, loss1 = step(motions, events, weights)
+    m2, loss2 = step(m1, events, weights)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert float(loss2) <= float(loss1) + 1e-6
+
+
+def test_evflownet_forward_and_voxel_grid():
+    from event_based_optical_flow_tpu.models import EVFlowNet, events_to_voxel_grid
+
+    ev = _events(400)
+    padded, wgt = pad_events(ev, target_n=512)
+    vox = events_to_voxel_grid(jnp.asarray(padded), (H, W), n_bin=4, weights=jnp.asarray(wgt))
+    assert vox.shape == (H, W, 4)
+    # padded events contribute nothing
+    vox2 = events_to_voxel_grid(jnp.asarray(ev), (H, W), n_bin=4)
+    np.testing.assert_allclose(np.asarray(vox), np.asarray(vox2), atol=1e-10)
+
+    model = EVFlowNet(n_bin=4)
+    x = jnp.zeros((1, 32, 32, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    flows = model.apply(params, x)
+    assert flows["flow3"].shape == (1, 2, 32, 32)
+    assert flows["flow0"].shape == (1, 2, 4, 4)

@@ -19,11 +19,18 @@ from event_based_optical_flow_tpu.types import pad_events
 H, W = 24, 32
 
 
-def _synthetic_events(gt=np.array([6.0, -4.0]), n=2500, seed=3, h=H, w=W):
+def _synthetic_events(gt=np.array([12.0, -8.0]), n=2500, seed=3, h=H, w=W):
+    # sparse random "dots" scene: no spatial periodicity, so the CMax
+    # landscape has a unique basin (a lattice scene aliases translations
+    # by period/duration)
     rng = np.random.default_rng(seed)
-    t = np.sort(rng.uniform(0, 0.2, n))
-    xs = np.round(rng.uniform(2, h - 2, n) / 4) * 4 + rng.normal(0, 0.2, n)
-    ys = np.round(rng.uniform(2, w - 2, n) / 5) * 5 + rng.normal(0, 0.2, n)
+    n_dots = max(24, (h * w) // 24)
+    dots_x = rng.uniform(2, h - 2, n_dots)
+    dots_y = rng.uniform(2, w - 2, n_dots)
+    idx = rng.integers(0, n_dots, n)
+    t = np.sort(rng.uniform(0, 0.4, n))
+    xs = dots_x[idx] + rng.normal(0, 0.2, n)
+    ys = dots_y[idx] + rng.normal(0, 0.2, n)
     x = xs - t * gt[0]
     y = ys - t * gt[1]
     ok = (x >= 0) & (x < h - 1) & (y >= 0) & (y < w - 1)
@@ -108,36 +115,36 @@ def _mixed_cfg(**over):
         "n_iter": 8,
         "method": "Newton-CG",
         "max_iter": 20,
-        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
     }
     opt.update(over.pop("optimizer", {}))
     return slv, opt
 
 
 def test_mixed_solver_recovers_translation():
-    gt = np.array([6.0, -4.0])
+    gt = np.array([12.0, -8.0])
     ev = _synthetic_events(gt)
     slv_cfg, opt_cfg = _mixed_cfg()
     solv = solver.collections["mixed_patch_contrast_maximization"]((H, W), {}, slv_cfg, opt_cfg, {}, None)
     best = solv.optimize(ev)
     assert best.shape == (2, 2, 2)
     mean = best.reshape(2, -1).mean(1)
-    np.testing.assert_allclose(mean, gt, atol=1.5)
+    np.testing.assert_allclose(mean, gt, atol=2.5)
 
 
 def test_mixed_solver_warm_start_and_first_order():
-    gt = np.array([5.0, -3.0])
+    gt = np.array([10.0, -6.0])
     ev = _synthetic_events(gt)
     slv_cfg, opt_cfg = _mixed_cfg(optimizer={"method": "Adam", "n_iter": 60, "lr": 0.5})
     solv = solver.collections["mixed_patch_contrast_maximization"]((H, W), {}, slv_cfg, opt_cfg, {}, None)
     warm = np.tile(gt[:, None], (1, 4)) + 0.5
     solv.set_previous_frame_best_estimation(warm.reshape(2, 2, 2))
     best = solv.optimize(ev)
-    np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=1.5)
+    np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=2.5)
 
 
 def test_sampling_optimizer_path():
-    gt = np.array([4.0, -6.0])
+    gt = np.array([8.0, -12.0])
     ev = _synthetic_events(gt)
     slv_cfg, opt_cfg = _mixed_cfg(optimizer={"method": "optuna", "n_iter": 64})
     solv = solver.collections["mixed_patch_contrast_maximization"]((H, W), {}, slv_cfg, opt_cfg, {}, None)
@@ -147,7 +154,7 @@ def test_sampling_optimizer_path():
 
 
 def test_time_aware_mixed_solver():
-    gt = np.array([4.0, -3.0])
+    gt = np.array([8.0, -6.0])
     ev = _synthetic_events(gt)
     slv_over = {
         "method": "time_aware_mixed_patch_contrast_maximization",
@@ -163,11 +170,11 @@ def test_time_aware_mixed_solver():
     best = solv.optimize(ev)
     voxel = solv.motion_to_dense_flow(best)
     assert voxel.shape == (4, 2, H, W)
-    np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=2.0)
+    np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=3.0)
 
 
 def test_pyramid_solver_end_to_end_with_metrics():
-    gt = np.array([5.0, -4.0])
+    gt = np.array([10.0, -8.0])
     ev = _synthetic_events(gt, n=4000, h=36, w=44)
     slv_cfg = {
         "method": "pyramidal_patch_contrast_maximization",
@@ -186,7 +193,7 @@ def test_pyramid_solver_end_to_end_with_metrics():
         "n_iter": 8,
         "method": "Newton-CG",
         "max_iter": 10,
-        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
     }
     solv = solver.collections["pyramidal_patch_contrast_maximization"]((36, 44), {}, slv_cfg, opt_cfg, {}, None)
     best = solv.optimize(ev)
@@ -199,5 +206,5 @@ def test_pyramid_solver_end_to_end_with_metrics():
     gt_disp[..., 0] = -gt[0] * dur
     gt_disp[..., 1] = -gt[1] * dur
     err = solv.calculate_flow_error(best, gt_disp, timescale=dur, events=ev)
-    assert err["EPE"] < 1.5
+    assert err["EPE"] < 2.0
     assert err["PRED_FWL"] < 1.0
