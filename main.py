@@ -20,6 +20,7 @@ import numpy as np
 import yaml
 
 from event_based_optical_flow_tpu import data, solver, utils, visualizer
+from event_based_optical_flow_tpu.utils import checkpoint as ckpt
 
 logger = logging.getLogger(__name__)
 
@@ -65,9 +66,13 @@ def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, so
     eval_dt = data_config["eval_dt"]
     n_events = data_config["n_events_per_batch"]
     warm_start = data_config.get("warm_start", True)
-    logger.info(f"Evaluation pipeline, dt={eval_dt}, warm_start={warm_start}")
+    out_dir = solv.visualizer.save_dir if solv.visualizer else "."
+    start_frame, warm_motion = ckpt.load_eval_state(out_dir)
+    if warm_motion is not None and warm_start:
+        solv.set_previous_frame_best_estimation(warm_motion)
+    logger.info(f"Evaluation pipeline, dt={eval_dt}, warm_start={warm_start}, from frame {start_frame}")
 
-    for i1 in range(len(eval_frame_time_stamp_list) - eval_dt):
+    for i1 in range(start_frame, len(eval_frame_time_stamp_list) - eval_dt):
         logger.info(f"Frame {i1} of {len(eval_frame_time_stamp_list)}")
         if "ind1" in data_config and "ind2" in data_config:
             if i1 < data_config["ind1"] or i1 > data_config["ind2"]:
@@ -102,6 +107,8 @@ def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, so
             best_motion, gt_flow, timescale=flow_time, events=batch_for_gt_slice
         )
         solv.save_flow_error_as_text(i1, flow_error, "flow_error_per_frame_with_mask.txt")
+        ckpt.append_frame_metrics(out_dir, i1, flow_error)
+        ckpt.save_eval_state(out_dir, i1 + 1, best_motion if warm_start else None)
 
         solv.visualize_original_sequential(batch_for_gt_slice)
         solv.visualize_pred_sequential(batch_for_gt_slice, best_motion)
@@ -157,6 +164,9 @@ def main():
         assert loader.gt_flow_available, "evaluation requires GT flow"
         eval_ts = loader.eval_frame_time_list()
         evaluate_dataset_with_gt(eval_ts, data_config, loader, solv)
+        summary = ckpt.summarize_metrics(out_config["output_dir"])
+        if summary:
+            logger.info(f"Evaluation summary (mean over frames): {summary}")
         logger.info(f"Evaluation done! {data_config['sequence']}")
         return
 
