@@ -13,16 +13,23 @@ path with switchable numerics:
 
 import os
 
-# "matmul" | "scatter"
-_IWE_BACKEND = os.environ.get("EVFLOW_IWE_BACKEND", "matmul")
+# "auto" | "matmul" | "scatter" | "pallas" | "pallas_bf16"
+_IWE_BACKEND = os.environ.get("EVFLOW_IWE_BACKEND", "auto")
+_VALID_BACKENDS = ("auto", "matmul", "scatter", "pallas", "pallas_bf16")
 
 
 def iwe_backend() -> str:
+    """Resolve the IWE rasterization backend.  'auto' = the fused Pallas
+    kernel on TPU, the XLA matmul formulation elsewhere."""
+    if _IWE_BACKEND == "auto":
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "matmul"
     return _IWE_BACKEND
 
 
 def set_iwe_backend(backend: str) -> None:
     global _IWE_BACKEND
-    if backend not in ("matmul", "scatter"):
-        raise ValueError(f"Unknown IWE backend {backend!r}")
+    if backend not in _VALID_BACKENDS:
+        raise ValueError(f"Unknown IWE backend {backend!r}; valid: {_VALID_BACKENDS}")
     _IWE_BACKEND = backend

@@ -20,6 +20,8 @@ Warped events carry ``dt`` in the time column, as in the reference.
 
 from typing import Optional, Tuple, Union
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -204,6 +206,41 @@ def _warp_voxel_single(events, flow_voxel, dt, image_size, weights):
     return _replace_xy_t(events, x, y, dt)
 
 
+def _gather_uv_fwd_impl(flow_flat: Array, lin: Array):
+    return flow_flat[0, lin], flow_flat[1, lin]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_uv(flow_flat: Array, lin: Array, image_size: Tuple[int, int]):
+    """(u, v) = flow at per-event linear pixel indices, with a TPU-friendly
+    backward: the cotangent scatter d flow[p] += du[n] (an XLA scatter-add,
+    slow on TPU) is expressed as a bilinear vote at the integer event
+    pixels — exactly the rasterizer's single-corner case — so it runs on
+    the MXU (pallas on TPU, matmul elsewhere)."""
+    return _gather_uv_fwd_impl(flow_flat, lin)
+
+
+def _gather_uv_fwd(flow_flat, lin, image_size):
+    return _gather_uv_fwd_impl(flow_flat, lin), lin
+
+
+def _gather_uv_bwd(image_size, lin, cotangents):
+    from ..ops.iwe import bilinear_vote
+
+    du, dv = cotangents
+    h, w = image_size
+    ix = (lin // w).astype(du.dtype)
+    iy = (lin % w).astype(du.dtype)
+    pseudo_events = jnp.stack([ix, iy, jnp.zeros_like(ix), jnp.zeros_like(ix)], axis=-1)
+    dflow0 = bilinear_vote(pseudo_events, image_size, weight=du, eps=0.0)
+    dflow1 = bilinear_vote(pseudo_events, image_size, weight=dv, eps=0.0)
+    dflow_flat = jnp.stack([dflow0.reshape(-1), dflow1.reshape(-1)])
+    return (dflow_flat, None)
+
+
+_gather_uv.defvjp(_gather_uv_fwd, _gather_uv_bwd)
+
+
 def multi_direction_dense_warp(
     events: Array,
     flow: Array,
@@ -250,9 +287,7 @@ def multi_direction_dense_warp(
         u = flat[bin_id, 0, lin]
         v = flat[bin_id, 1, lin]
     else:
-        flat = flow.reshape(2, -1)
-        u = flat[0, lin]
-        v = flat[1, lin]
+        u, v = _gather_uv(flow.reshape(2, -1), lin, (h, w))
 
     out = []
     for d in directions:

@@ -176,8 +176,14 @@ def build_value_grad_hvp(spec: ObjectiveSpec, jit: bool = True):
         return loss, grad, components
 
     def hvp(x, p, events, weights):
-        grad_fn = lambda m: jax.grad(lambda mm: obj(mm, events, weights)[0])(m)
-        return jax.jvp(grad_fn, (x,), (p,))[1]
+        # reverse-over-reverse: grad of <grad, p>.  (Forward-over-reverse
+        # is marginally cheaper but forward-mode cannot cross the
+        # custom_vjp of the fused Pallas rasterizer.)
+        def gdotp(m):
+            g = jax.grad(lambda mm: obj(mm, events, weights)[0])(m)
+            return jnp.vdot(g, p)
+
+        return jax.grad(gdotp)(x)
 
     def hess(x, events, weights):
         return jax.hessian(lambda m: obj(m, events, weights)[0])(x)
