@@ -19,12 +19,16 @@ _VALID_BACKENDS = ("auto", "matmul", "scatter", "pallas", "pallas_bf16")
 
 
 def iwe_backend() -> str:
-    """Resolve the IWE rasterization backend.  'auto' = the fused Pallas
-    kernel on TPU, the XLA matmul formulation elsewhere."""
+    """Resolve the backend for standalone bilinear_vote calls.  'auto'
+    resolves to the XLA matmul form (safe under arbitrary vmap nesting);
+    the *fused* Pallas objective kernel is selected separately by the
+    solver (see raw_iwe_backend / solver.objective.build_objective)."""
     if _IWE_BACKEND == "auto":
-        import jax
+        return "matmul"
+    return _IWE_BACKEND
 
-        return "pallas" if jax.default_backend() == "tpu" else "matmul"
+
+def raw_iwe_backend() -> str:
     return _IWE_BACKEND
 
 

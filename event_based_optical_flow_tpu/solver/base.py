@@ -8,7 +8,6 @@ jax; the class holds configuration and host-side orchestration only.
 """
 
 import logging
-import math
 import os
 from typing import Dict, Optional
 

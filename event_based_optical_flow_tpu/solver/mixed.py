@@ -87,7 +87,12 @@ class MixedPatchContrastMaximization(PatchContrastMaximization):
         ev, w = self.prepare_events(events)
         motion0 = self._initial_motion(events)
 
-        if self.opt_method in SCIPY_OPTIMIZERS:
+        if self.opt_method == "Newton-CG" and self.opt_config.get("device", True):
+            best = self._run_newton_device(
+                spec, ev, w, motion0,
+                maxiter=self.opt_config.get("max_iter", 25), gtol=1e-7,
+            )
+        elif self.opt_method in SCIPY_OPTIMIZERS:
             result = self._run_scipy_on_spec(
                 spec,
                 ev,

@@ -1,0 +1,149 @@
+"""On-device truncated Newton (Newton-CG) under ``lax.while_loop``.
+
+The reference drives Newton-CG from host scipy, which costs one
+host<->device round trip per objective/gradient/HVP evaluation — O(100)
+per pyramid scale.  This implementation runs the entire solve (outer
+Newton loop, inner CG solve of H p = -g with negative-curvature exit,
+Armijo backtracking line search) as ONE jit-compiled device program:
+zero host traffic until the result.
+
+Algorithmic shape follows scipy's ``_minimize_newtoncg``: inner CG
+terminates at eta = min(0.5, sqrt(|g|)) * |g| (superlinear forcing
+sequence) or on negative curvature (falling back to the steepest-descent
+direction on the first CG step); the line search is Armijo backtracking
+rather than scipy's Wolfe search — same fixed points, slightly different
+step acceptance; accuracy parity is asserted by the solver tests.
+"""
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def build_newton_cg(
+    value_fn: Callable,
+    maxiter: int = 25,
+    cg_maxiter: int = 20,
+    xtol: float = 1e-5,
+    gtol: float = 1e-5,
+    ls_maxiter: int = 16,
+    armijo_c1: float = 1e-4,
+):
+    """Return solve(x0, *args) -> (x_best, f_best, n_iters).
+
+    value_fn(x, *args) -> scalar loss (pure, jit-able).
+    """
+
+    def value_grad(x, args):
+        return jax.value_and_grad(lambda xx: value_fn(xx, *args))(x)
+
+    def hvp(x, p, args):
+        def gdotp(xx):
+            g = jax.grad(lambda m: value_fn(m, *args))(xx)
+            return jnp.vdot(g, p)
+
+        return jax.grad(gdotp)(x)
+
+    def cg_solve(x, g, args):
+        """Truncated CG on H p = -g (scipy forcing sequence + negative
+        curvature handling)."""
+        g_norm = jnp.linalg.norm(g)
+        eta = jnp.minimum(0.5, jnp.sqrt(g_norm)) * g_norm
+
+        def cond(state):
+            i, r, d, p, done = state
+            return (~done) & (i < cg_maxiter) & (jnp.linalg.norm(r) > eta)
+
+        def body(state):
+            i, r, d, p, done = state
+            hd = hvp(x, d, args)
+            curv = jnp.vdot(d, hd)
+            rs = jnp.vdot(r, r)
+            neg_curv = curv <= 1e-16 * jnp.vdot(d, d)
+            # scipy semantics (scipy _minimize_newtoncg): on non-positive
+            # curvature, at i==0 take the 1-D Newton step (rs/curv)*d —
+            # which points along +g in concave regions — else keep the
+            # accumulated p.
+            p_fallback = jnp.where(i == 0, (rs / jnp.where(curv == 0, 1.0, curv)) * d, p)
+            alpha = rs / jnp.where(neg_curv, 1.0, curv)
+            p_new = p + alpha * d
+            r_new = r + alpha * hd
+            beta = jnp.vdot(r_new, r_new) / rs
+            d_new = -r_new + beta * d
+            p_out = jnp.where(neg_curv, p_fallback, p_new)
+            return (i + 1, r_new, d_new, p_out, done | neg_curv)
+
+        r0 = g
+        d0 = -g
+        p0 = jnp.zeros_like(g)
+        _, _, _, p, _ = jax.lax.while_loop(cond, body, (0, r0, d0, p0, False))
+        # if CG produced nothing (eta met immediately), use steepest descent
+        p = jnp.where(jnp.vdot(p, p) > 0, p, -g)
+        return p
+
+    def line_search(x, f0, g, p, args):
+        """Two-sided backtracking: at each level try x +- alpha*p and
+        accept the first strict improvement (largest such alpha).
+
+        CMax landscapes are non-convex washboards, and in negative-
+        curvature regions the truncated-Newton direction's *sign* is
+        unreliable (scipy's Wolfe search escapes the same situation only
+        through its negative initial-step heuristic); probing both signs
+        with a sufficient-decrease margin is the robust equivalent and
+        costs two objective evaluations per level."""
+        gtp_abs = jnp.abs(jnp.vdot(g, p))
+
+        def cond(state):
+            alpha, f_best, i = state
+            return (f_best >= f0 - armijo_c1 * jnp.abs(alpha) * gtp_abs) & (i < ls_maxiter)
+
+        def body(state):
+            alpha, _, i = state
+            alpha = jnp.where(i == 0, alpha, alpha * 0.5)
+            f_plus = value_fn(x + alpha * p, *args)
+            f_minus = value_fn(x - alpha * p, *args)
+            take_minus = f_minus < f_plus
+            f_best = jnp.where(take_minus, f_minus, f_plus)
+            alpha_signed = jnp.where(take_minus, -alpha, alpha)
+            return (alpha_signed, f_best, i + 1)
+
+        def body_abs(state):
+            alpha, f_best, i = state
+            return body((jnp.abs(alpha), f_best, i))
+
+        init = (jnp.asarray(1.0, x.dtype), jnp.asarray(jnp.inf, x.dtype), 0)
+        alpha, f_new, i = jax.lax.while_loop(cond, body_abs, init)
+        ok = f_new < f0 - armijo_c1 * jnp.abs(alpha) * gtp_abs
+        return jnp.where(ok, alpha, 0.0), jnp.where(ok, f_new, f0)
+
+    def solve(x0, *args):
+        f0, g0 = value_grad(x0, args)
+
+        def cond(state):
+            x, f, g, k, done, best_x, best_f = state
+            return (~done) & (k < maxiter)
+
+        def body(state):
+            x, f, g, k, done, best_x, best_f = state
+            p = cg_solve(x, g, args)
+            alpha, f_new = line_search(x, f, g, p, args)
+            step = alpha * p
+            x_new = x + step
+            f_new2, g_new = value_grad(x_new, args)
+            improved = f_new2 < best_f
+            best_x = jnp.where(improved, x_new, best_x)
+            best_f = jnp.where(improved, f_new2, best_f)
+            small_step = jnp.sum(jnp.abs(step)) <= xtol
+            small_grad = jnp.linalg.norm(g_new, ord=jnp.inf) <= gtol
+            return (x_new, f_new2, g_new, k + 1, small_step | small_grad | (alpha == 0.0), best_x, best_f)
+
+        x, f, g, k, done, best_x, best_f = jax.lax.while_loop(
+            cond, body, (x0, f0, g0, 0, False, x0, f0)
+        )
+        return best_x, best_f, k
+
+    return solve

@@ -92,6 +92,8 @@ def build_objective(spec: ObjectiveSpec):
       loss    = cost (hybrid: multi-focal + TV on raw tile motions)
       nan -> 0 guard (ref patch_contrast_base.py:283-287)
     """
+    from .. import config as evconfig
+
     cost = make_cost(spec)
     required = set(cost.required_keys)
     pad = spec.outer_padding
@@ -99,6 +101,23 @@ def build_objective(spec: ObjectiveSpec):
     warper = Warp(spec.image_shape, normalize_t=True)
     motion_model = "dense-flow-voxel" if spec.time_aware else "dense-flow"
     n_motion = 2
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    if backend_raw == "auto":
+        import jax as _jax
+
+        fused_choice = "pallas" if _jax.default_backend() == "tpu" else None
+    else:
+        fused_choice = backend_raw if backend_raw in ("pallas", "pallas_bf16") else None
+    backend = "matmul" if backend_raw in ("auto", "pallas", "pallas_bf16") else backend_raw
+    # fully fused gather+warp+vote kernel: dense flow, bilinear votes,
+    # no outer padding (shipped-config fast path)
+    use_fused = (
+        fused_choice is not None
+        and not spec.time_aware
+        and spec.iwe_method == "bilinear_vote"
+        and pad == 0
+        and not (required & {"backward_warp", "forward_warp"})
+    )
 
     def iwe_of(events, weights):
         return imager.create_iwe(
@@ -129,26 +148,53 @@ def build_objective(spec: ObjectiveSpec):
             directions.append(("forward", 1.0))
         if "middle_iwe" in required:
             directions.append(("middle", 0.5))
-        warped = multi_direction_dense_warp(
-            events,
-            flow,
-            [d for _, d in directions],
-            spec.image_shape,
-            weights=weights,
-            time_aware=spec.time_aware,
-        )
-        warped = dict(zip([n for n, _ in directions], warped))
+        need_orig = "orig_iwe" in required
 
         arg = {"omit_boundary": True, "clip": True}
-        if "orig_iwe" in required:
-            arg["orig_iwe"] = iwe_of(events, weights)
-        if "backward" in warped:
-            biwe = iwe_of(warped["backward"], weights)
-            arg.update({"iwe": biwe, "backward_iwe": biwe, "backward_warp": warped["backward"]})
-        if "forward" in warped:
-            arg.update({"forward_iwe": iwe_of(warped["forward"], weights), "forward_warp": warped["forward"]})
-        if "middle" in warped:
-            arg["middle_iwe"] = iwe_of(warped["middle"], weights)
+        if use_fused:
+            from ..ops.blur import gaussian_blur3
+            from ..ops.pallas_objective import fused_multi_iwe
+
+            imgs = fused_multi_iwe(
+                events,
+                flow,
+                spec.image_shape,
+                offsets=tuple(d for _, d in directions),
+                weights=weights,
+                include_orig=need_orig,
+                use_bf16=fused_choice == "pallas_bf16",
+            )
+            if spec.blur_sigma > 0:
+                imgs = gaussian_blur3(imgs, spec.blur_sigma)
+            k = 0
+            if need_orig:
+                arg["orig_iwe"] = imgs[0]
+                k = 1
+            for name, _ in directions:
+                if name == "backward":
+                    arg.update({"iwe": imgs[k], "backward_iwe": imgs[k]})
+                else:
+                    arg[f"{name}_iwe"] = imgs[k]
+                k += 1
+        else:
+            warped = multi_direction_dense_warp(
+                events,
+                flow,
+                [d for _, d in directions],
+                spec.image_shape,
+                weights=weights,
+                time_aware=spec.time_aware,
+            )
+            warped = dict(zip([n for n, _ in directions], warped))
+            if need_orig:
+                arg["orig_iwe"] = iwe_of(events, weights)
+            if "backward" in warped:
+                biwe = iwe_of(warped["backward"], weights)
+                arg.update({"iwe": biwe, "backward_iwe": biwe, "backward_warp": warped["backward"]})
+            if "forward" in warped:
+                arg.update({"forward_iwe": iwe_of(warped["forward"], weights), "forward_warp": warped["forward"]})
+            if "middle" in warped:
+                arg["middle_iwe"] = iwe_of(warped["middle"], weights)
         if "flow" in required:
             arg["flow"] = motion_flat.reshape((n_motion,) + tuple(spec.patch_image_size))
 

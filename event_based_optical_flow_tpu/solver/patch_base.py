@@ -157,6 +157,35 @@ class PatchContrastMaximization(SolverBase):
                 if name in self.cost_func.cost_func:
                     self.cost_func.cost_func[name]["func"].history["loss"].append(float(val))
 
+    # --- on-device Newton-CG ------------------------------------------------
+    def _get_newton_solver(self, spec, maxiter: int, gtol: float):
+        key = (spec, "newton", maxiter, gtol)
+        if key not in self._fun_cache:
+            from .newton_cg import build_newton_cg
+
+            obj = build_objective(spec)
+            value_fn = lambda x, e, w: obj(x, e, w)[0]
+            solve = build_newton_cg(
+                value_fn,
+                maxiter=maxiter,
+                cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
+                xtol=1e-5,
+                gtol=gtol,
+            )
+            self._fun_cache[key] = jax.jit(solve)
+        return self._fun_cache[key]
+
+    def _run_newton_device(self, spec, events_dev, weights_dev, motion0, maxiter, gtol):
+        """Whole Newton-CG solve as one device program (solver/newton_cg.py):
+        replaces ~100 host round trips per scale with one."""
+        solve = self._get_newton_solver(spec, maxiter, gtol)
+        x0 = jnp.asarray(np.asarray(motion0, dtype=np.float64).reshape(-1), self.dtype)
+        best_x, best_f, n_iter = solve(x0, events_dev, weights_dev)
+        best_f = float(best_f)
+        self._history_cb(best_f, None)
+        logger.info(f"device Newton-CG: {int(n_iter)} iters, loss {best_f:.6f}")
+        return np.asarray(best_x, dtype=np.float64)
+
     # --- scipy path ---------------------------------------------------------
     def _run_scipy_on_spec(self, spec, events_dev, weights_dev, motion0, options):
         vg, hvp, hess = self._get_funs(spec)

@@ -102,7 +102,13 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             spec = self._current_spec()
             motion0 = self._init_scale(s, events, best_motion_per_scale)
 
-            if self.opt_method in SCIPY_OPTIMIZERS:
+            if self.opt_method == "Newton-CG" and self.opt_config.get("device", True):
+                self.cost_func.enable_history_register()
+                best = self._run_newton_device(
+                    spec, ev, w, motion0,
+                    maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
+                )
+            elif self.opt_method in SCIPY_OPTIMIZERS:
                 self.cost_func.enable_history_register()
                 result = self._run_scipy_on_spec(
                     spec,
