@@ -5,13 +5,20 @@ Prints ONE JSON line:
   {"metric": "warp_bilinear_iwe", "value": <Mevents/s>, "unit": "Mevents/s",
    "vs_baseline": <value / 500>}
 
-Methodology: the measured region is a single jitted ``lax.fori_loop``
-whose iterations are data-dependent (each perturbs the inputs with the
-previous result), so neither XLA nor the runtime can dedupe repeated
-work, and per-call dispatch latency is amortized away.  The north-star
-target (BASELINE.json) is >= 500 Mevents/s for warp + bilinear vote per
-chip; the reference repo publishes no numbers (its only perf artifact is
-a cProfile dump).  Detail lines go to stderr.
+Measured op: the framework's fused Pallas kernel (flow gather + dense-flow
+warp + bilinear vote, ops/pallas_objective.py) on the MVSEC protocol shape
+(260x346, 30720 events/frame) — the hot op of the CMax objective.
+
+Methodology (tunneled-PJRT-safe):
+* the timed region is a jitted ``lax.fori_loop`` whose iterations are
+  data-dependent (coordinates shift each step), so no dedup/hoisting;
+* synchronization via host transfer (float()), because block_until_ready
+  can return early through tunneled runtimes;
+* two iteration counts, throughput from the SLOPE (marginal time per
+  iteration), which cancels the per-call tunnel latency.
+
+North star (BASELINE.json): >= 500 Mevents/s per chip.  The reference
+publishes no numbers (its only perf artifact is a cProfile dump).
 """
 
 import json
@@ -21,17 +28,37 @@ import time
 import numpy as np
 
 
+def _run_loop(iters, body_fn, ev, fl):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(ev, fl):
+        def body(i, acc):
+            e = ev.at[..., 0].add((i % 7) * 0.013 + acc * 1e-20)
+            return acc + body_fn(e, fl)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    t0 = time.perf_counter()
+    float(run(ev, fl))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for k in range(3):
+        ev = ev.at[..., 0].add(0.07 * (k + 1))
+        t0 = time.perf_counter()
+        float(run(ev, fl))
+        best = min(best, time.perf_counter() - t0)
+    return best, compile_s
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from event_based_optical_flow_tpu.ops.pallas_iwe import bilinear_vote_pallas
-    from event_based_optical_flow_tpu.ops.warp import warp_dense_flow
-
     H, W = 260, 346
-    n_events = 30720          # MVSEC protocol batch size (padded)
-    batch = 8                 # frames per step
-    iters = 24
+    n_events = 30720
+    batch = 8
 
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 0.2, (batch, n_events)), axis=1)
@@ -48,45 +75,38 @@ def main():
     ev = jnp.asarray(events, jnp.float32)
     fl = jnp.asarray(flow, jnp.float32)
 
-    use_pallas = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from event_based_optical_flow_tpu.ops.pallas_objective import fused_multi_iwe
 
-    @jax.jit
-    def run(ev, fl):
-        def body(i, acc):
-            e = ev.at[..., 0].add(i * 0.013 + acc * 1e-20)
-            warped = warp_dense_flow(e, fl, e[..., 2].min(axis=-1), (H, W), normalize_t=True)
-            if use_pallas:
-                iwe = bilinear_vote_pallas(warped, (H, W))
-            else:
-                from event_based_optical_flow_tpu.ops.iwe import bilinear_vote
+        def body_fn(e, f):
+            out = jax.vmap(
+                lambda ee, ff: fused_multi_iwe(
+                    ee, ff, (H, W), offsets=(0.5,), include_orig=False, use_bf16=True
+                )
+            )(e, f)
+            return out.sum()
+    else:
+        from event_based_optical_flow_tpu.ops.iwe import bilinear_vote
+        from event_based_optical_flow_tpu.ops.warp import warp_dense_flow
 
-                iwe = bilinear_vote(warped, (H, W))
-            return acc + iwe.sum()
+        def body_fn(e, f):
+            warped = warp_dense_flow(e, f, e[..., 2].min(axis=-1), (H, W), normalize_t=True)
+            return bilinear_vote(warped, (H, W)).sum()
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    it1, it2 = (8, 40) if on_tpu else (2, 6)
+    t_lo, compile_s = _run_loop(it1, body_fn, ev, fl)
+    t_hi, _ = _run_loop(it2, body_fn, ev, fl)
+    marginal = max((t_hi - t_lo) / (it2 - it1), 1e-9)
+    meps = batch * n_events / marginal / 1e6
 
-    # NOTE: synchronize via host transfer (float()); block_until_ready does
-    # not reliably wait through tunneled PJRT runtimes.
-    t0 = time.perf_counter()
-    float(run(ev, fl))
-    compile_s = time.perf_counter() - t0
-
-    best = float("inf")
-    for _ in range(3):
-        ev = ev.at[..., 0].add(0.07)  # genuinely new inputs each timed call
-        t0 = time.perf_counter()
-        float(run(ev, fl))
-        best = min(best, time.perf_counter() - t0)
-
-    total_events = batch * n_events * iters
-    meps = total_events / best / 1e6
     print(
-        f"warp+bilinear IWE: {meps:.1f} Mevents/s "
-        f"({iters} iters x {batch} frames x {n_events} events in {best:.3f}s, "
-        f"compile {compile_s:.0f}s, backend={jax.default_backend()}, pallas={use_pallas})",
+        f"fused warp+bilinear IWE: {meps:.1f} Mevents/s marginal "
+        f"({marginal*1e3:.2f} ms per {batch}x{n_events}-event iteration; "
+        f"fixed per-call overhead {(t_lo - it1*marginal)*1e3:.0f} ms; compile {compile_s:.0f}s; "
+        f"backend={jax.default_backend()})",
         file=sys.stderr,
     )
-
     print(json.dumps({
         "metric": "warp_bilinear_iwe",
         "value": round(meps, 1),

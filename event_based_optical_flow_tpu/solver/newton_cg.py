@@ -32,16 +32,28 @@ def build_newton_cg(
     gtol: float = 1e-5,
     ls_maxiter: int = 16,
     armijo_c1: float = 1e-4,
+    hvp_mode: str = "autodiff",
 ):
     """Return solve(x0, *args) -> (x_best, f_best, n_iters).
 
     value_fn(x, *args) -> scalar loss (pure, jit-able).
+    hvp_mode: "autodiff" (grad-of-gradient) or "fd" (central difference of
+    gradients — required when the objective contains custom_vjp Pallas
+    kernels, whose backward is not itself differentiable; truncated
+    Newton is robust to the approximation).
     """
 
     def value_grad(x, args):
         return jax.value_and_grad(lambda xx: value_fn(xx, *args))(x)
 
     def hvp(x, p, args):
+        if hvp_mode == "fd":
+            p_norm = jnp.linalg.norm(p) + 1e-12
+            eps = jnp.asarray(1e-3, x.dtype) * (1.0 + jnp.linalg.norm(x)) / p_norm
+            g_plus = jax.grad(lambda m: value_fn(m, *args))(x + eps * p)
+            g_minus = jax.grad(lambda m: value_fn(m, *args))(x - eps * p)
+            return (g_plus - g_minus) / (2.0 * eps)
+
         def gdotp(xx):
             g = jax.grad(lambda m: value_fn(m, *args))(xx)
             return jnp.vdot(g, p)

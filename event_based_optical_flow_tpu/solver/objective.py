@@ -82,6 +82,30 @@ def motion_to_dense_flow(spec: ObjectiveSpec, motion_flat: Array, t_scale) -> Ar
     return voxel * scale / t_scale
 
 
+def objective_uses_fused(spec: ObjectiveSpec) -> bool:
+    """Whether build_objective will route through the fused Pallas kernel
+    (whose custom-vjp backward is not twice-differentiable — callers pick
+    finite-difference HVPs accordingly)."""
+    from .. import config as evconfig
+
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    if backend_raw == "auto":
+        import jax as _jax
+
+        fused = _jax.default_backend() == "tpu"
+    else:
+        fused = backend_raw in ("pallas", "pallas_bf16")
+    cost = make_cost(spec)
+    required = set(cost.required_keys)
+    return (
+        fused
+        and not spec.time_aware
+        and spec.iwe_method == "bilinear_vote"
+        and spec.outer_padding == 0
+        and not (required & {"backward_warp", "forward_warp"})
+    )
+
+
 def build_objective(spec: ObjectiveSpec):
     """Return pure fn(motion_flat, events, weights) -> (loss, components).
 
@@ -221,10 +245,18 @@ def build_value_grad_hvp(spec: ObjectiveSpec, jit: bool = True):
         (loss, components), grad = jax.value_and_grad(obj, has_aux=True)(x, events, weights)
         return loss, grad, components
 
+    fused = objective_uses_fused(spec)
+
     def hvp(x, p, events, weights):
-        # reverse-over-reverse: grad of <grad, p>.  (Forward-over-reverse
-        # is marginally cheaper but forward-mode cannot cross the
-        # custom_vjp of the fused Pallas rasterizer.)
+        if fused:
+            # the fused kernel's custom-vjp backward is not itself
+            # differentiable; central-difference of gradients instead
+            p_norm = jnp.linalg.norm(p) + 1e-12
+            eps = jnp.asarray(1e-3, x.dtype) * (1.0 + jnp.linalg.norm(x)) / p_norm
+            gf = lambda m: jax.grad(lambda mm: obj(mm, events, weights)[0])(m)
+            return (gf(x + eps * p) - gf(x - eps * p)) / (2.0 * eps)
+
+        # reverse-over-reverse: grad of <grad, p>
         def gdotp(m):
             g = jax.grad(lambda mm: obj(mm, events, weights)[0])(m)
             return jnp.vdot(g, p)

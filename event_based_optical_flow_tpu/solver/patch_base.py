@@ -162,6 +162,7 @@ class PatchContrastMaximization(SolverBase):
         key = (spec, "newton", maxiter, gtol)
         if key not in self._fun_cache:
             from .newton_cg import build_newton_cg
+            from .objective import objective_uses_fused
 
             obj = build_objective(spec)
             value_fn = lambda x, e, w: obj(x, e, w)[0]
@@ -171,6 +172,7 @@ class PatchContrastMaximization(SolverBase):
                 cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
                 xtol=1e-5,
                 gtol=gtol,
+                hvp_mode="fd" if objective_uses_fused(spec) else "autodiff",
             )
             self._fun_cache[key] = jax.jit(solve)
         return self._fun_cache[key]
