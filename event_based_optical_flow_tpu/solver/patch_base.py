@@ -215,7 +215,11 @@ class PatchContrastMaximization(SolverBase):
         studies (ref base.py:738-787): rounds of per-patch perturbed
         candidates, each evaluated with the full jitted objective; the
         incumbent always survives."""
-        obj = build_objective(spec)
+        import dataclasses
+
+        # candidates are vmapped through the objective: keep the XLA
+        # matmul backend (the fused pallas kernel doesn't support vmap)
+        obj = build_objective(dataclasses.replace(spec, iwe_backend="matmul"))
         p = self.opt_config["parameters"]
         lo = np.array([p["trans_x"]["min"], p["trans_y"]["min"]])
         hi = np.array([p["trans_x"]["max"], p["trans_y"]["max"]])

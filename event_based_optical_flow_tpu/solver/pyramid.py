@@ -178,7 +178,9 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         import jax
         from .objective import build_objective
 
-        spec = self._current_spec()
+        import dataclasses
+
+        spec = dataclasses.replace(self._current_spec(), iwe_backend="matmul")
         obj = build_objective(spec)
         ev, w = self.prepare_events(events_np)
         field = np.arange(-150, 150, step, dtype=np.float64)
