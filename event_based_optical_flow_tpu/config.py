@@ -13,6 +13,28 @@ path with switchable numerics:
 
 import os
 
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: pyramid solvers compile one
+    program per (scale, buffer-size) and reuse them across runs; in
+    remote-compile environments a cold compile costs minutes.  Opt out
+    with EVFLOW_NO_COMPILE_CACHE=1."""
+    if os.environ.get("EVFLOW_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "EVFLOW_COMPILE_CACHE_DIR", os.path.expanduser("~/.cache/evflow_jax")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the option: non-fatal
+        pass
+
+
+_enable_compilation_cache()
+
 # "auto" | "matmul" | "scatter" | "pallas" | "pallas_bf16"
 _IWE_BACKEND = os.environ.get("EVFLOW_IWE_BACKEND", "auto")
 _VALID_BACKENDS = ("auto", "matmul", "scatter", "pallas", "pallas_bf16")

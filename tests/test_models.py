@@ -1,0 +1,45 @@
+"""EV-FlowNet training step: one unsupervised CMax step runs and the
+loss is finite and (over a few steps) decreasing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from event_based_optical_flow_tpu.models import dnn_train_step, make_dnn_train_state
+from event_based_optical_flow_tpu.types import pad_events
+
+
+def _moving_scene(n=1500, h=32, w=32, gt=(6.0, -4.0), seed=0):
+    rng = np.random.default_rng(seed)
+    n_dots = 40
+    dx = rng.uniform(2, h - 2, n_dots)
+    dy = rng.uniform(2, w - 2, n_dots)
+    idx = rng.integers(0, n_dots, n)
+    t = np.sort(rng.uniform(0, 0.4, n))
+    x = dx[idx] + rng.normal(0, 0.2, n) - t * gt[0]
+    y = dy[idx] + rng.normal(0, 0.2, n) - t * gt[1]
+    ok = (x >= 0) & (x < h - 1) & (y >= 0) & (y < w - 1)
+    return np.stack([np.round(x), np.round(y), t, rng.integers(0, 2, n)], 1)[ok]
+
+
+def test_dnn_train_step_descends():
+    image_size = (32, 32)
+    model, params, tx, opt_state = make_dnn_train_state(image_size, n_bin=4, lr=3e-4, scale_time=8.0)
+    step, loss_fn = dnn_train_step(model, tx, image_size, n_bin=4)
+
+    evs, wgts = [], []
+    for b in range(2):
+        ev = _moving_scene(seed=b)
+        p, w = pad_events(ev, target_n=2048)
+        evs.append(p)
+        wgts.append(w)
+    events = jnp.asarray(np.stack(evs))
+    weights = jnp.asarray(np.stack(wgts))
+
+    loss0 = float(loss_fn(params, events, weights))
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state, events, weights)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert min(losses) < loss0  # optimization makes progress

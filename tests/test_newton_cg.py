@@ -1,0 +1,49 @@
+"""On-device Newton-CG: exactness on a quadratic, convergence on
+Rosenbrock, FD-HVP mode, argument passing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from event_based_optical_flow_tpu.solver.newton_cg import build_newton_cg
+
+
+def test_quadratic_exact():
+    rng = np.random.default_rng(0)
+    Q = rng.standard_normal((8, 8))
+    A = jnp.asarray(Q @ Q.T + 0.5 * np.eye(8))
+    b = jnp.asarray(rng.standard_normal(8))
+    f = lambda x: 0.5 * x @ A @ x - b @ x
+    solve = jax.jit(build_newton_cg(lambda x: f(x), maxiter=25, cg_maxiter=32))
+    x, fv, k = solve(jnp.zeros(8))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(b)), atol=1e-8)
+
+
+@pytest.mark.parametrize("hvp_mode", ["autodiff", "fd"])
+def test_rosenbrock(hvp_mode):
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    solve = jax.jit(build_newton_cg(lambda x: rosen(x), maxiter=80, cg_maxiter=50, hvp_mode=hvp_mode))
+    x, fv, k = solve(jnp.zeros(6))
+    assert float(fv) < 1e-6
+    np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-3)
+
+
+def test_extra_args_threading():
+    target = jnp.asarray([3.0, -2.0, 1.0])
+    f = lambda x, t: jnp.sum((x - t) ** 2)
+    solve = jax.jit(build_newton_cg(f, maxiter=10, cg_maxiter=10))
+    x, fv, k = solve(jnp.zeros(3), target)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(target), atol=1e-8)
+
+
+def test_negative_curvature_escape():
+    """Start on a concave ridge: the 1-D Newton fallback plus the
+    two-sided line search must still descend."""
+    f = lambda x: jnp.sum(-jnp.cos(x) + 0.01 * x ** 2)
+    solve = jax.jit(build_newton_cg(lambda x: f(x), maxiter=40, cg_maxiter=10))
+    x0 = jnp.asarray([3.0, 2.9, 3.1])  # near the top of -cos ridge
+    x, fv, k = solve(x0)
+    assert float(fv) < float(f(x0)) - 0.5
