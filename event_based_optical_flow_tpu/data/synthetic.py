@@ -10,7 +10,6 @@ self-contained.
 """
 
 import logging
-from typing import Tuple
 
 import numpy as np
 

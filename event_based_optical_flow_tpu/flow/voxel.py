@@ -23,7 +23,6 @@ Parity target: reference ``src/utils/flow_utils.py``:
   griddata) are host-only and raise under jit.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax

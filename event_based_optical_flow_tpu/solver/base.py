@@ -9,7 +9,7 @@ jax; the class holds configuration and host-side orchestration only.
 
 import logging
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from ..ops.iwe import EventImageConverter
 from ..ops.warp import Warp
 from ..types import pad_events
 from ..utils.misc import check_key_and_bool
-from .scipy_bridge import SCIPY_OPTIMIZERS
 
 logger = logging.getLogger(__name__)
 
@@ -318,6 +317,30 @@ class SolverBase:
             self.visualizer.visualize_optical_flow(
                 gt_warp[0], gt_warp[1], visualize_color_wheel=False, file_prefix="gt_flow"
             )
+
+    def visualize_flows(self, motion, gt_flow, timescale: float = 1.0) -> None:
+        """Side-by-side pred/GT flow colorization (ref base.py:459-481)."""
+        if self.visualizer is None:
+            return
+        pred_flow = self.motion_to_dense_flow(np.asarray(motion) * timescale)
+        if self.is_time_aware:
+            pred_flow = self.get_original_flow_from_time_aware_flow_voxel(pred_flow)
+        gt_flow = np.transpose(np.asarray(gt_flow), (2, 0, 1))
+        self.visualizer.visualize_optical_flow_pred_and_gt(
+            pred_flow, gt_flow,
+            pred_file_prefix="flow_comparison_pred",
+            gt_file_prefix="flow_comparison_gt",
+        )
+
+    def undistort_image(self, image: np.ndarray) -> np.ndarray:
+        """Undistort with the calibration params (ref base.py:893-908;
+        host-side, needs cv2 and K/D in calib_param)."""
+        import cv2
+
+        newcameramtx, _ = cv2.getOptimalNewCameraMatrix(
+            self.calib_param["K"], self.calib_param["D"], self.image_shape, 1, self.image_shape
+        )
+        return cv2.undistort(image, self.calib_param["K"], self.calib_param["D"], None, newcameramtx)
 
     # --- main entry --------------------------------------------------------
     def optimize(self, events: np.ndarray) -> np.ndarray:

@@ -15,7 +15,6 @@ rather than scipy's Wolfe search — same fixed points, slightly different
 step acceptance; accuracy parity is asserted by the solver tests.
 """
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -10,8 +10,7 @@ warps, four IWEs, Sobel costs — is a single jit-compiled
 compiled once per (scale, event-buffer-size) and reused across frames.
 """
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

@@ -16,10 +16,10 @@ import numpy as np
 
 from ..ops.interp import tile_to_dense_flow
 from ..types import FlowPatch
-from .base import SolverBase, TORCH_OPTIMIZERS
+from .base import SolverBase
 from .objective import ObjectiveSpec, build_objective, build_value_grad_hvp
 from .sampling import build_patch_search, gather_patch_events
-from .scipy_bridge import SCIPY_OPTIMIZERS, minimize
+from .scipy_bridge import minimize
 
 logger = logging.getLogger(__name__)
 

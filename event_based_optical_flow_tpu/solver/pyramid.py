@@ -15,15 +15,13 @@ reference's sequential per-patch Optuna CPU loop.
 """
 
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..flow.voxel import construct_dense_flow_voxel
 from ..ops.interp import pyramid_expand, pyramid_reduce, tile_to_dense_flow
-from ..ops.iwe import EventImageConverter
-from ..ops.warp import Warp
 from ..costs import functional as F
 from ..flow.metrics import calculate_flow_error_numpy
 from .base import TORCH_OPTIMIZERS

@@ -16,7 +16,6 @@ blur, NormalizedGradientMagnitude (minimize), nan -> 0.
 """
 
 import logging
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

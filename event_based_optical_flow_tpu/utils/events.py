@@ -3,7 +3,6 @@
 Parity target: reference ``src/utils/event_utils.py``.
 """
 
-from typing import Union
 
 import jax.numpy as jnp
 import numpy as np
