@@ -128,7 +128,7 @@ def build_objective(spec: ObjectiveSpec):
     if backend_raw == "auto":
         import jax as _jax
 
-        fused_choice = "pallas" if _jax.default_backend() == "tpu" else None
+        fused_choice = "pallas_bf16" if _jax.default_backend() == "tpu" else None
     else:
         fused_choice = backend_raw if backend_raw in ("pallas", "pallas_bf16") else None
     backend = "matmul" if backend_raw in ("auto", "pallas", "pallas_bf16") else backend_raw

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""End-to-end solve-time comparison: this framework (TPU) vs the
+reference implementation (CPU) on identical synthetic frames at the MVSEC
+protocol geometry.
+
+    python tools/bench_e2e.py mine            # this framework (default)
+    PYTHONPATH=tools/refshims:/root/reference python tools/bench_e2e.py ref
+
+The reference run needs the reference checkout plus tools/refshims
+(minimal stand-ins for torchvision/optuna/skimage/plotly; the optuna
+shim is a random-search Study — real TPE adds per-trial overhead, so the
+measured reference baseline is, if anything, favorable to the reference).
+"""
+import sys
+import time
+import logging
+
+import numpy as np
+
+logging.disable(logging.INFO)
+
+H, W = 260, 346
+GT = np.array([25.0, -18.0])
+
+
+def synth(gt, seed, n=30000):
+    rng = np.random.default_rng(seed)
+    n_dots = 400
+    dx = rng.uniform(2, H - 2, n_dots)
+    dy = rng.uniform(2, W - 2, n_dots)
+    idx = rng.integers(0, n_dots, n)
+    t = np.sort(rng.uniform(0, 0.25, n))
+    xs = dx[idx] + rng.normal(0, 0.2, n)
+    ys = dy[idx] + rng.normal(0, 0.2, n)
+    right = dy[idx] > W / 2
+    u = np.where(right, gt[0], -gt[0])
+    v = np.where(right, gt[1], -gt[1])
+    x = xs - t * u
+    y = ys - t * v
+    ok = (x >= 0) & (x < H - 1) & (y >= 0) & (y < W - 1)
+    return np.stack([np.round(x), np.round(y), t, rng.integers(0, 2, n)], 1)[ok]
+
+
+SLV_CFG = {
+    "method": "pyramidal_patch_contrast_maximization",
+    "time_aware": False,
+    "patch": {"initialize": "random", "scale": 5, "crop_height": 256, "crop_width": 336, "filter_type": "bilinear"},
+    "motion_model": "2d-translation",
+    "warp_direction": "first",
+    "parameters": ["trans_x", "trans_y"],
+    "cost": "hybrid",
+    "outer_padding": 0,
+    "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+    "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+}
+OPT_CFG = {
+    "n_iter": 40,
+    "method": "Newton-CG",
+    "max_iter": 25,
+    "parameters": {"trans_x": {"min": -150, "max": 150}, "trans_y": {"min": -150, "max": 150}},
+}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "mine"
+    if which == "ref":
+        from src.solver.patch_contrast_pyramid import PyramidalPatchContrastMaximization as Solver
+    else:
+        from event_based_optical_flow_tpu import solver as _s
+
+        Solver = _s.collections["pyramidal_patch_contrast_maximization"]
+
+    solv = Solver((H, W), {}, SLV_CFG, OPT_CFG, {}, None)
+    times = []
+    for f in range(3):
+        ev = synth(GT, seed=f)
+        t0 = time.time()
+        best = solv.optimize(ev)
+        times.append(time.time() - t0)
+        solv.set_previous_frame_best_estimation(best)
+        fin = best[max(best)]
+        lu, ru = fin[0][:, :8].mean(), fin[0][:, 8:].mean()
+        lv, rv = fin[1][:, :8].mean(), fin[1][:, 8:].mean()
+        print(f"{which} frame {f}: {times[-1]:.1f}s halves u=({lu:.1f},{ru:.1f}) v=({lv:.1f},{rv:.1f}) vs ±({GT[0]},{GT[1]})", flush=True)
+    print(f"{which} steady-state: {times[-1]:.1f}s/frame")
+
+
+if __name__ == "__main__":
+    main()
