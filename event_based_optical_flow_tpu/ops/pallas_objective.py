@@ -128,8 +128,8 @@ def _gather_uv(flow_ref, a_int, b_int, out_dtype, use_bf16):
 
 
 def _fwd_kernel(x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
-                hp, wp, eps, offsets, include_orig, use_bf16):
-    i = pl.program_id(0)
+                hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0):
+    i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
     def _():
@@ -161,8 +161,8 @@ def _fwd_kernel(x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
 
 
 def _bwd_kernel(x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
-                hp, wp, eps, offsets, include_orig, use_bf16):
-    i = pl.program_id(0)
+                hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0):
+    i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
     def _():

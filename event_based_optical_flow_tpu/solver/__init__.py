@@ -10,15 +10,18 @@ from .patch_base import PatchContrastMaximization, prepare_patch
 from .pyramid import PyramidalPatchContrastMaximization
 from .scipy_bridge import SCIPY_OPTIMIZERS, minimize
 from .time_aware import TimeAwarePatchContrastMaximization
+from .fleet import FleetPyramidalSolver
 
 collections = {
     "pyramidal_patch_contrast_maximization": PyramidalPatchContrastMaximization,
     "time_aware_mixed_patch_contrast_maximization": TimeAwarePatchContrastMaximization,
     "mixed_patch_contrast_maximization": MixedPatchContrastMaximization,
+    "fleet_pyramidal_patch_contrast_maximization": FleetPyramidalSolver,
 }
 
 __all__ = [
     "SolverBase",
+    "FleetPyramidalSolver",
     "PatchContrastMaximization",
     "MixedPatchContrastMaximization",
     "TimeAwarePatchContrastMaximization",

@@ -1,0 +1,355 @@
+"""Fleet solving: many frames through one device program.
+
+The reference eval loop is strictly sequential (one frame at a time,
+reference main.py:59); without warm-start chaining the frames are
+independent, so a fleet of B frames can be initialized, Newton-solved and
+measured together: per pyramid scale, ONE batched init sweep and ONE
+batched Newton-CG whose iterations run in lockstep (finished frames are
+frozen).  This amortizes per-call overhead and keeps the MXU fed.
+
+Components:
+* ``build_batched_objective`` — losses [B] of motion [B, M] over events
+  [B, N, 4] (natively batched fused kernel on TPU, vmapped XLA elsewhere)
+* ``build_newton_cg_batched`` — per-frame truncated Newton in lockstep
+* ``FleetPyramidalSolver`` — optimize_batch(list of event arrays)
+"""
+
+import logging
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.blur import gaussian_blur3
+from ..ops.interp import tile_to_dense_flow
+from ..types import pad_events
+from .objective import ObjectiveSpec, build_objective, make_cost, objective_uses_fused
+from .pyramid import PyramidalPatchContrastMaximization
+
+logger = logging.getLogger(__name__)
+
+Array = jax.Array
+
+
+def build_batched_objective(spec: ObjectiveSpec):
+    """fn(motion [B, M], events [B, N, 4], weights [B, N]) -> losses [B]."""
+    if objective_uses_fused(spec):
+        from .. import config as evconfig
+        from ..ops.pallas_objective_batched import fused_multi_iwe_batched
+
+        cost = make_cost(spec)
+        required = set(cost.required_keys)
+        directions = []
+        if required & {"iwe", "backward_iwe"}:
+            directions.append(("backward", 0.0))
+        if "forward_iwe" in required:
+            directions.append(("forward", 1.0))
+        if "middle_iwe" in required:
+            directions.append(("middle", 0.5))
+        need_orig = "orig_iwe" in required
+        backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+        use_bf16 = backend_raw in ("auto", "pallas_bf16")
+
+        def batched(motion, events, weights):
+            t = events[..., 2]
+            big = jnp.finfo(t.dtype).max
+            t_min = jnp.min(jnp.where(weights > 0, t, big), axis=1)
+            t_max = jnp.max(jnp.where(weights > 0, t, -big), axis=1)
+            t_scale = jnp.where(t_max > t_min, t_max - t_min, 1.0)
+
+            flows = jax.vmap(
+                lambda m: tile_to_dense_flow(
+                    m, spec.patch_image_size, spec.image_shape, spec.patch_size,
+                    spec.sliding_window, spec.patch_shift, spec.filter_type,
+                )
+            )(motion) * t_scale[:, None, None, None]
+
+            imgs = fused_multi_iwe_batched(
+                events, flows, spec.image_shape,
+                offsets=tuple(d for _, d in directions),
+                weights=weights, include_orig=need_orig, use_bf16=use_bf16,
+            )
+            if spec.blur_sigma > 0:
+                imgs = gaussian_blur3(imgs, spec.blur_sigma)
+
+            def per_frame(img_k, m):
+                arg = {"omit_boundary": True, "clip": True}
+                k = 0
+                if need_orig:
+                    arg["orig_iwe"] = img_k[0]
+                    k = 1
+                for name, _ in directions:
+                    if name == "backward":
+                        arg.update({"iwe": img_k[k], "backward_iwe": img_k[k]})
+                    else:
+                        arg[f"{name}_iwe"] = img_k[k]
+                    k += 1
+                if "flow" in required:
+                    arg["flow"] = m.reshape((2,) + tuple(spec.patch_image_size))
+                loss = cost.calculate(arg)
+                return jnp.where(jnp.isnan(loss), 0.0, loss)
+
+            return jax.vmap(per_frame)(imgs, motion)
+
+        return batched
+
+    # CPU / generic: vmap the single-frame objective (matmul backend)
+    import dataclasses
+
+    single = build_objective(dataclasses.replace(spec, iwe_backend="matmul"))
+
+    def batched(motion, events, weights):
+        return jax.vmap(lambda m, e, w: single(m, e, w)[0])(motion, events, weights)
+
+    return batched
+
+
+def build_newton_cg_batched(
+    batched_value_fn: Callable,
+    maxiter: int = 25,
+    cg_maxiter: int = 32,
+    xtol: float = 1e-5,
+    gtol: float = 1e-5,
+    ls_maxiter: int = 16,
+    armijo_c1: float = 1e-4,
+    fd_hvp: bool = True,
+):
+    """Lockstep per-frame truncated Newton.
+
+    batched_value_fn(x [B, M], *args) -> [B] losses.
+    Returns solve(x0 [B, M], *args) -> (x_best [B, M], f_best [B], iters).
+    """
+
+    def _sum_fn(x, args):
+        return jnp.sum(batched_value_fn(x, *args))
+
+    def value_grad(x, args):
+        # frames are independent: grad of the sum = per-frame grads
+        f, g = jax.value_and_grad(_sum_fn)(x, args)
+        return batched_value_fn(x, *args), g
+
+    def grad_only(x, args):
+        return jax.grad(_sum_fn)(x, args)
+
+    def rdot(a, b):
+        return jnp.sum(a * b, axis=-1)  # [B]
+
+    def hvp(x, d, g0, args):
+        if not fd_hvp:
+            def gsum_dot(xx):
+                return jnp.sum(jax.grad(_sum_fn)(xx, args) * d)
+
+            return jax.grad(gsum_dot)(x)
+        from .newton_cg import _FD_EPS_SCALE
+
+        d_norm = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
+        eps = _FD_EPS_SCALE * (1.0 + 1e-3 * jnp.linalg.norm(x, axis=-1, keepdims=True)) / d_norm
+        g_plus = grad_only(x + eps * d, args)
+        return (g_plus - g0) / eps
+
+    def cg_solve(x, g, args):
+        g_norm = jnp.linalg.norm(g, axis=-1)  # [B]
+        eta = jnp.minimum(0.5, jnp.sqrt(g_norm)) * g_norm
+
+        def cond(state):
+            i, r, d, p, done = state
+            active = (~done) & (jnp.linalg.norm(r, axis=-1) > eta)
+            return (i < cg_maxiter) & jnp.any(active)
+
+        def body(state):
+            i, r, d, p, done = state
+            active = (~done) & (jnp.linalg.norm(r, axis=-1) > eta)
+            hd = hvp(x, d, g, args)
+            curv = rdot(d, hd)
+            rs = rdot(r, r)
+            neg = curv <= 1e-16 * rdot(d, d)
+            p_fb = jnp.where(
+                (i == 0), (rs / jnp.where(curv == 0, 1.0, curv))[:, None] * d, p
+            )
+            alpha = rs / jnp.where(neg, 1.0, curv)
+            p_new = p + alpha[:, None] * d
+            r_new = r + alpha[:, None] * hd
+            beta = rdot(r_new, r_new) / jnp.where(rs == 0, 1.0, rs)
+            d_new = -r_new + beta[:, None] * d
+            p_out = jnp.where(neg[:, None], p_fb, p_new)
+            # frozen frames keep their state
+            upd = active[:, None]
+            return (
+                i + 1,
+                jnp.where(upd, r_new, r),
+                jnp.where(upd, d_new, d),
+                jnp.where(upd, p_out, p),
+                done | (neg & active),
+            )
+
+        bsz = g.shape[0]
+        state = (0, g, -g, jnp.zeros_like(g), jnp.zeros(bsz, bool))
+        _, _, _, p, _ = jax.lax.while_loop(cond, body, state)
+        p = jnp.where(rdot(p, p)[:, None] > 0, p, -g)
+        return p
+
+    def line_search(x, f0, g, p, args):
+        """Per-frame two-sided backtracking in lockstep — the batched
+        analog of newton_cg.line_search: each level tries x +- a*p, a
+        frame exits (freezes) once the Armijo-style sufficient decrease
+        holds for its current level."""
+        gtp_abs = jnp.abs(rdot(g, p))  # [B]
+
+        def cond(state):
+            alpha, f_cur, accepted, i = state
+            return (i < ls_maxiter) & jnp.any(~accepted)
+
+        def body(state):
+            alpha, f_cur, accepted, i = state
+            a = jnp.where(i == 0, jnp.ones_like(alpha), jnp.abs(alpha) * 0.5)
+            f_plus = batched_value_fn(x + a[:, None] * p, *args)
+            f_minus = batched_value_fn(x - a[:, None] * p, *args)
+            take_minus = f_minus < f_plus
+            f_cand = jnp.where(take_minus, f_minus, f_plus)
+            a_signed = jnp.where(take_minus, -a, a)
+            new_alpha = jnp.where(accepted, alpha, a_signed)
+            new_f = jnp.where(accepted, f_cur, f_cand)
+            new_accepted = accepted | (new_f < f0 - armijo_c1 * jnp.abs(new_alpha) * gtp_abs)
+            return (new_alpha, new_f, new_accepted, i + 1)
+
+        bsz = f0.shape[0]
+        init = (
+            jnp.ones(bsz, x.dtype),
+            jnp.full(bsz, jnp.inf, x.dtype),
+            jnp.zeros(bsz, bool),
+            0,
+        )
+        alpha, f_new, accepted, _ = jax.lax.while_loop(cond, body, init)
+        return jnp.where(accepted, alpha, 0.0), jnp.where(accepted, f_new, f0)
+
+    def escape_probe(x, f0, p, args):
+        """Per-frame outward two-sided exponential probe along p-hat for
+        frames whose backtracking failed (see newton_cg.escape_probe)."""
+        p_hat = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
+
+        def cond(state):
+            mag, best_a, best_f, i = state
+            return (i < 9) & jnp.any(best_f >= f0)
+
+        def body(state):
+            mag, best_a, best_f, i = state
+            f_plus = batched_value_fn(x + mag[:, None] * p_hat, *args)
+            f_minus = batched_value_fn(x - mag[:, None] * p_hat, *args)
+            take_minus = f_minus < f_plus
+            f_cand = jnp.where(take_minus, f_minus, f_plus)
+            a_cand = jnp.where(take_minus, -mag, mag)
+            better = f_cand < best_f
+            return (
+                mag * 2.0,
+                jnp.where(better, a_cand, best_a),
+                jnp.where(better, f_cand, best_f),
+                i + 1,
+            )
+
+        bsz = f0.shape[0]
+        init = (jnp.ones(bsz, x.dtype), jnp.zeros(bsz, x.dtype), f0, 0)
+        _, a, f_new, _ = jax.lax.while_loop(cond, body, init)
+        return jnp.where(f_new < f0, a, 0.0), p_hat
+
+    def solve(x0, *args):
+        f0, g0 = value_grad(x0, args)
+
+        def cond(state):
+            x, f, g, k, done, bx, bf = state
+            return (k < maxiter) & jnp.any(~done)
+
+        def body(state):
+            x, f, g, k, done, bx, bf = state
+            p = cg_solve(x, g, args)
+            alpha, f_ls = line_search(x, f, g, p, args)
+            a_esc, p_hat = jax.lax.cond(
+                jnp.any(alpha == 0.0),
+                lambda: escape_probe(x, f, p, args),
+                lambda: (jnp.zeros_like(alpha), p),
+            )
+            use_esc = (alpha == 0.0) & (a_esc != 0.0)
+            alpha = jnp.where(use_esc, 1.0, alpha)
+            step = jnp.where(use_esc[:, None], a_esc[:, None] * p_hat, alpha[:, None] * p)
+            x_new = jnp.where(done[:, None], x, x + step)
+            f_new, g_new = value_grad(x_new, args)
+            improved = f_new < bf
+            bx = jnp.where(improved[:, None], x_new, bx)
+            bf = jnp.where(improved, f_new, bf)
+            small_step = jnp.sum(jnp.abs(step), axis=-1) <= xtol
+            small_grad = jnp.max(jnp.abs(g_new), axis=-1) <= gtol
+            done_new = done | small_step | small_grad | (alpha == 0.0)
+            return (x_new, f_new, g_new, k + 1, done_new, bx, bf)
+
+        bsz = x0.shape[0]
+        state = (x0, f0, g0, 0, jnp.zeros(bsz, bool), x0, f0)
+        x, f, g, k, done, bx, bf = jax.lax.while_loop(cond, body, state)
+        return bx, bf, k
+
+    return solve
+
+
+class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
+    """Pyramidal CMax over a fleet of frames: per scale, one batched init
+    sweep and one batched Newton solve.  Use when warm-start chaining is
+    off (frames independent); per-frame results match the sequential
+    solver up to line-search scheduling."""
+
+    def _get_fleet_solver(self, spec, bsz: int, maxiter: int, gtol: float):
+        key = (spec, "fleet", bsz, maxiter, gtol)
+        if key not in self._fun_cache:
+            batched = build_batched_objective(spec)
+            solve = build_newton_cg_batched(
+                batched,
+                maxiter=maxiter,
+                cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
+                gtol=gtol,
+                fd_hvp=objective_uses_fused(spec),
+            )
+            self._fun_cache[key] = jax.jit(solve)
+        return self._fun_cache[key]
+
+    def optimize_batch(self, events_list: List[np.ndarray]):
+        """Solve B frames together; returns a list of per-scale motion dicts."""
+        bsz = len(events_list)
+        target_n = max(len(e) for e in events_list)
+        target_n = ((target_n + 4095) // 4096) * 4096
+        evs, wgts = [], []
+        for e in events_list:
+            p, w = pad_events(np.asarray(e, dtype=np.float64), target_n=target_n)
+            evs.append(p)
+            wgts.append(w)
+        events = jnp.asarray(np.stack(evs), self.dtype)
+        weights = jnp.asarray(np.stack(wgts), self.dtype)
+
+        best_per_scale = {}
+        for s in range(self.coarsest_scale, self.patch_scales):
+            self.overload_patch_configuration(s)
+            spec = self._current_spec()
+            motion0 = np.stack(
+                [self._init_scale_single(s, events_list[b], best_per_scale, b) for b in range(bsz)]
+            )
+            solve = self._get_fleet_solver(spec, bsz, self.opt_config.get("max_iter", 25), 1e-5)
+            bx, bf, _ = solve(jnp.asarray(motion0.reshape(bsz, -1), self.dtype), events, weights)
+            best_per_scale[s] = np.asarray(bx, np.float64).reshape(
+                (bsz, self.motion_vector_size) + tuple(self.patch_image_size)
+            )
+            logger.info(f"fleet scale {s} done ({bsz} frames).")
+
+        results = []
+        for b in range(bsz):
+            per_frame = {s: best_per_scale[s][b] for s in best_per_scale}
+            results.append(self.update_coarse_from_fine(per_frame))
+        return results
+
+    def _init_scale_single(self, s, events_np, best_per_scale, b):
+        from ..ops.interp import pyramid_expand
+
+        if s > self.coarsest_scale:
+            motion0 = pyramid_expand(best_per_scale[s - 1][b]).reshape(2, -1)
+            n_cand = max(4, int(self.opt_config["n_iter"] / max(1, s - self.coarsest_scale)))
+            return self.initialize_guess_from_patch_search(np.asarray(events_np), motion0, n_cand)
+        init = self.slv_config["patch"]["initialize"]
+        if init == "zero":
+            return self.initialize_zeros()
+        return self.initialize_random()

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# finite-difference HVP step in parameter units (see build_newton_cg)
+_FD_EPS_SCALE = 0.5
+
 
 def build_newton_cg(
     value_fn: Callable,
@@ -45,11 +48,20 @@ def build_newton_cg(
     def value_grad(x, args):
         return jax.value_and_grad(lambda xx: value_fn(xx, *args))(x)
 
-    def hvp(x, p, args):
+    def hvp(x, p, args, g0=None):
         if hvp_mode == "fd":
+            # step ~fd_step in parameter units (pixels for CMax tiles):
+            # the objective is piecewise-smooth in sub-pixel structure, so
+            # a pixel-scale difference measures the useful curvature and
+            # avoids cancellation at flat starts
             p_norm = jnp.linalg.norm(p) + 1e-12
-            eps = jnp.asarray(1e-3, x.dtype) * (1.0 + jnp.linalg.norm(x)) / p_norm
+            eps = jnp.asarray(_FD_EPS_SCALE, x.dtype) * (1.0 + 1e-3 * jnp.linalg.norm(x)) / p_norm
             g_plus = jax.grad(lambda m: value_fn(m, *args))(x + eps * p)
+            if g0 is not None:
+                # one-sided difference against the iterate's gradient:
+                # one fresh gradient per HVP instead of two (truncated
+                # Newton tolerates the O(eps) Hessian error)
+                return (g_plus - g0) / eps
             g_minus = jax.grad(lambda m: value_fn(m, *args))(x - eps * p)
             return (g_plus - g_minus) / (2.0 * eps)
 
@@ -71,7 +83,7 @@ def build_newton_cg(
 
         def body(state):
             i, r, d, p, done = state
-            hd = hvp(x, d, args)
+            hd = hvp(x, d, args, g0=g)
             curv = jnp.vdot(d, hd)
             rs = jnp.vdot(r, r)
             neg_curv = curv <= 1e-16 * jnp.vdot(d, d)
@@ -131,6 +143,38 @@ def build_newton_cg(
         ok = f_new < f0 - armijo_c1 * jnp.abs(alpha) * gtp_abs
         return jnp.where(ok, alpha, 0.0), jnp.where(ok, f_new, f0)
 
+    def escape_probe(x, f0, p, args):
+        """Outward two-sided exponential search along p-hat when the
+        backtracking search failed: CMax plateaus can hide the descent
+        basin several pixels away (scipy reaches it only via its
+        negative-initial-step quirk).  Returns a signed step length (in
+        p-hat units) or 0."""
+        p_hat = p / (jnp.linalg.norm(p) + 1e-12)
+
+        def cond(state):
+            mag, best_a, best_f, i = state
+            return (best_f >= f0) & (i < 9)
+
+        def body(state):
+            mag, best_a, best_f, i = state
+            f_plus = value_fn(x + mag * p_hat, *args)
+            f_minus = value_fn(x - mag * p_hat, *args)
+            take_minus = f_minus < f_plus
+            f_cand = jnp.where(take_minus, f_minus, f_plus)
+            a_cand = jnp.where(take_minus, -mag, mag)
+            better = f_cand < best_f
+            return (
+                mag * 2.0,
+                jnp.where(better, a_cand, best_a),
+                jnp.where(better, f_cand, best_f),
+                i + 1,
+            )
+
+        init = (jnp.asarray(1.0, x.dtype), jnp.asarray(0.0, x.dtype), f0, 0)
+        _, a, f_new, _ = jax.lax.while_loop(cond, body, init)
+        ok = f_new < f0
+        return jnp.where(ok, a, 0.0) , p_hat
+
     def solve(x0, *args):
         f0, g0 = value_grad(x0, args)
 
@@ -142,7 +186,16 @@ def build_newton_cg(
             x, f, g, k, done, best_x, best_f = state
             p = cg_solve(x, g, args)
             alpha, f_new = line_search(x, f, g, p, args)
-            step = alpha * p
+            # plateau escape: outward probe, only when backtracking failed
+            a_esc, p_hat = jax.lax.cond(
+                alpha == 0.0,
+                lambda: escape_probe(x, f, p, args),
+                lambda: (jnp.asarray(0.0, x.dtype), p),
+            )
+            use_esc = (alpha == 0.0) & (a_esc != 0.0)
+            step_esc = a_esc * p_hat
+            alpha = jnp.where(use_esc, 1.0, alpha)
+            step = jnp.where(use_esc, step_esc, alpha * p)
             x_new = x + step
             f_new2, g_new = value_grad(x_new, args)
             improved = f_new2 < best_f

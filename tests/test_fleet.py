@@ -1,0 +1,88 @@
+"""Fleet (batched-frame) solver: batched objective matches per-frame,
+batched Newton recovers per-frame motions, FleetPyramidalSolver
+end-to-end."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from event_based_optical_flow_tpu import solver
+from event_based_optical_flow_tpu.solver.fleet import (
+    build_batched_objective,
+    build_newton_cg_batched,
+)
+from event_based_optical_flow_tpu.solver.objective import build_objective
+from event_based_optical_flow_tpu.types import pad_events
+from tests.test_solver import _mixed_cfg, _spec, _synthetic_events
+
+H, W = 24, 32
+
+
+def _batch(gts, n=2000):
+    evs, wgts = [], []
+    for i, gt in enumerate(gts):
+        ev = _synthetic_events(np.asarray(gt), n=n, seed=10 + i)
+        p, w = pad_events(ev, target_n=2048)
+        evs.append(p)
+        wgts.append(w)
+    return jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(wgts))
+
+
+def test_batched_objective_matches_single():
+    spec = _spec(False)
+    events, weights = _batch([(10.0, -6.0), (-8.0, 4.0)])
+    batched = build_batched_objective(spec)
+    single = build_objective(dataclasses.replace(spec, iwe_backend="matmul"))
+    motion = jnp.asarray(np.random.default_rng(0).uniform(-5, 5, (2, 8)))
+    losses = np.asarray(batched(motion, events, weights))
+    for b in range(2):
+        want = float(single(motion[b], events[b], weights[b])[0])
+        assert losses[b] == pytest.approx(want, rel=1e-6)
+
+
+def test_batched_newton_recovers_both_frames():
+    spec = _spec(False)
+    gts = [(10.0, -6.0), (-8.0, 4.0)]
+    events, weights = _batch(gts)
+    batched = build_batched_objective(spec)
+    solve = jax.jit(build_newton_cg_batched(batched, maxiter=25, cg_maxiter=20))
+    x0 = jnp.zeros((2, 8))
+    bx, bf, k = solve(x0, events, weights)
+    bx = np.asarray(bx).reshape(2, 2, 4)
+    for b, gt in enumerate(gts):
+        np.testing.assert_allclose(bx[b].reshape(2, -1).mean(1), gt, atol=2.5)
+
+
+def test_fleet_pyramidal_solver():
+    gts = [(10.0, -8.0), (-6.0, 9.0)]
+    slv_cfg = {
+        "method": "fleet_pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 20, "crop_width": 28, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 10,
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    solv = solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, opt_cfg, {}, None
+    )
+    events_list = [_synthetic_events(np.asarray(gt), n=2500, seed=20 + i) for i, gt in enumerate(gts)]
+    results = solv.optimize_batch(events_list)
+    assert len(results) == 2
+    for res, gt in zip(results, gts):
+        finest = res[max(res)]
+        np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)

@@ -11,9 +11,12 @@ The reference run needs the reference checkout plus tools/refshims
 shim is a random-search Study — real TPE adds per-trial overhead, so the
 measured reference baseline is, if anything, favorable to the reference).
 """
+import os
 import sys
 import time
 import logging
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
