@@ -58,6 +58,49 @@ def save_config(save_dir: str, file_name: str, log_level=logging.INFO):
     )
 
 
+def _gather_frame(loader, data_config, t1, t2):
+    """One eval window: (optimization batch, gt-slice batch, gt flow, dt)."""
+    n_events = data_config["n_events_per_batch"]
+    ind1 = loader.time_to_index(t1)
+    ind2 = loader.time_to_index(t2)
+    batch_for_gt_slice = loader.load_event(ind1, ind2)
+    gt_flow = loader.load_optical_flow(t1, t2)
+    batch_for_gt_slice[..., 2] -= np.min(batch_for_gt_slice[..., 2])
+    if ind2 - ind1 < n_events:
+        insufficient = n_events - (ind2 - ind1)
+        ind1 -= insufficient // 2
+        ind2 += insufficient // 2
+    elif ind2 - ind1 > n_events:
+        ind1 = ind2 - n_events
+    batch_for_optimization = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
+    batch_for_optimization[..., 2] -= np.min(batch_for_optimization[..., 2])
+    if utils.check_key_and_bool(data_config, "remove_car"):
+        batch_for_optimization = utils.crop_event(batch_for_optimization, 0, 193, 0, 346)
+    return batch_for_optimization, batch_for_gt_slice, gt_flow, t2 - t1
+
+
+def evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch: int):
+    """Batched evaluation: fleet_batch frames per device solve (requires
+    warm_start: false — frames are independent).  New capability; the
+    reference loop is strictly sequential."""
+    eval_dt = data_config["eval_dt"]
+    out_dir = solv.visualizer.save_dir if solv.visualizer else "."
+    start_frame, _ = ckpt.load_eval_state(out_dir)
+    frames = list(range(start_frame, len(eval_ts) - eval_dt))
+    logger.info(f"Fleet evaluation: {len(frames)} frames, batch {fleet_batch}")
+    for chunk_start in range(0, len(frames), fleet_batch):
+        chunk = frames[chunk_start : chunk_start + fleet_batch]
+        gathered = [
+            _gather_frame(loader, data_config, eval_ts[i], eval_ts[i + eval_dt]) for i in chunk
+        ]
+        motions = solv.optimize_batch([g[0] for g in gathered])
+        for i1, (opt_b, gt_b, gt_flow, flow_time), best in zip(chunk, gathered, motions):
+            flow_error = solv.calculate_flow_error(best, gt_flow, timescale=flow_time, events=gt_b)
+            solv.save_flow_error_as_text(i1, flow_error, "flow_error_per_frame_with_mask.txt")
+            ckpt.append_frame_metrics(out_dir, i1, flow_error)
+        ckpt.save_eval_state(out_dir, chunk[-1] + 1, None)
+
+
 def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, solv):
     """Sequential evaluation pipeline (reference main.py:52-107): per
     gray-frame window, fixed-count event batch for optimization, exact GT
@@ -163,7 +206,14 @@ def main():
     if args.eval:
         assert loader.gt_flow_available, "evaluation requires GT flow"
         eval_ts = loader.eval_frame_time_list()
-        evaluate_dataset_with_gt(eval_ts, data_config, loader, solv)
+        fleet_batch = int(data_config.get("fleet_batch", 1))
+        if fleet_batch > 1 and hasattr(solv, "optimize_batch"):
+            assert not data_config.get("warm_start", True), (
+                "fleet_batch requires warm_start: false (frames must be independent)"
+            )
+            evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch)
+        else:
+            evaluate_dataset_with_gt(eval_ts, data_config, loader, solv)
         summary = ckpt.summarize_metrics(out_config["output_dir"])
         if summary:
             logger.info(f"Evaluation summary (mean over frames): {summary}")
