@@ -23,7 +23,7 @@ import jax.numpy as jnp
 Array = jax.Array
 
 # finite-difference HVP step in parameter units (see build_newton_cg)
-_FD_EPS_SCALE = 0.5
+_FD_EPS_SCALE = 0.1
 
 
 def build_newton_cg(
