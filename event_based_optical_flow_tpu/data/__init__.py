@@ -12,12 +12,16 @@ DATASET_ROOT_DIR = os.path.join(
 )
 
 from .base import DataLoaderBase
+from .dsec import DsecDataLoader
+from .ecd import EcdDataLoader
 from .mvsec import MvsecDataLoader
 from .synthetic import SyntheticDataLoader
 
 collections = {
     MvsecDataLoader.NAME: MvsecDataLoader,
     SyntheticDataLoader.NAME: SyntheticDataLoader,
+    DsecDataLoader.NAME: DsecDataLoader,
+    EcdDataLoader.NAME: EcdDataLoader,
 }
 
-__all__ = ["DataLoaderBase", "MvsecDataLoader", "SyntheticDataLoader", "collections", "DATASET_ROOT_DIR"]
+__all__ = ["DataLoaderBase", "MvsecDataLoader", "SyntheticDataLoader", "DsecDataLoader", "EcdDataLoader", "collections", "DATASET_ROOT_DIR"]
