@@ -1,0 +1,287 @@
+"""Banded (v2) fused CMax rasterizer: row-band-local flow gathers.
+
+The v1 fused kernel's gather matmuls contract over the full padded image
+height (Hp ~ 264 rows) even though each event reads exactly one pixel.
+Events sorted into aligned 64-row bands make every chunk's gather a
+64-row contraction — ~4x fewer gather FLOPs — while the vote stays
+full-image (warped positions can leave the band).
+
+Host-side ``pack_events_by_band`` groups events by band and pads each
+band to whole 512-event chunks (sentinel events are inert); the kernel
+reads each chunk's flow band with a dynamic slice of the VMEM-resident
+flow.  IWE accumulation is order-independent and the time statistics are
+computed before packing, so results match the unsorted kernel exactly.
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_objective import (
+    _CHUNK,
+    _corner,
+    _corner_deriv,
+    _dot,
+    _gather_uv,
+    _onehot_int,
+    _round_up,
+)
+
+Array = jax.Array
+
+BAND = 64
+
+
+def max_chunks(n_events: int, height: int) -> int:
+    """Static chunk-count bound for packing: each band adds at most one
+    partially-filled chunk."""
+    n_bands = _round_up(height, BAND) // BAND
+    return (n_events + _CHUNK - 1) // _CHUNK + n_bands
+
+
+def pack_events_by_band(
+    events: np.ndarray,
+    weights: np.ndarray,
+    dtf: np.ndarray,
+    height: int,
+):
+    """Host-side packing: sort events into aligned 64-row bands, pad each
+    band to whole chunks.  Returns (x [G,1,C], y, dtf, wt, band_ids [G])
+    with G = max_chunks (trailing chunks empty)."""
+    n = len(events)
+    g_max = max_chunks(n, height)
+    x_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
+    y_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
+    d_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
+    w_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
+    band_ids = np.zeros(g_max, dtype=np.int32)
+
+    x = events[:, 0]
+    band_of = np.clip(x.astype(np.int64) // BAND, 0, _round_up(height, BAND) // BAND - 1)
+    valid = weights > 0
+    g = 0
+    for b in range(_round_up(height, BAND) // BAND):
+        sel = np.nonzero(valid & (band_of == b))[0]
+        for start in range(0, len(sel), _CHUNK):
+            idx = sel[start : start + _CHUNK]
+            k = len(idx)
+            x_out[g, :k] = events[idx, 0]
+            y_out[g, :k] = events[idx, 1]
+            d_out[g, :k] = dtf[idx]
+            w_out[g, :k] = weights[idx]
+            band_ids[g] = b
+            g += 1
+    shape = (g_max, 1, _CHUNK)
+    return (
+        x_out.reshape(shape),
+        y_out.reshape(shape),
+        d_out.reshape(shape),
+        w_out.reshape(shape),
+        band_ids,
+    )
+
+
+def _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16):
+    """(u, v) via a band-local gather matmul: A_band [BAND, C] against the
+    64-row flow slice."""
+    dtype = x.dtype
+    x_local = x - band_row0.astype(dtype)
+    a_band = _onehot_int(x_local, BAND)
+    flow_u = flow_ref[0, pl.ds(band_row0, BAND), :]
+    flow_v = flow_ref[1, pl.ds(band_row0, BAND), :]
+
+    def gather_ch(f):
+        if use_bf16:
+            b16 = b_int.astype(jnp.bfloat16)
+            hi = f.astype(jnp.bfloat16)
+            lo = (f - hi.astype(dtype)).astype(jnp.bfloat16)
+            p = jax.lax.dot_general(
+                hi, b16, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            ) + jax.lax.dot_general(
+                lo, b16, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )
+        else:
+            p = jax.lax.dot_general(
+                f, b_int, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST,
+            )
+        return jnp.sum(a_band * p, axis=0, keepdims=True)
+
+    return gather_ch(flow_u), gather_ch(flow_v), a_band
+
+
+def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
+                hp, wp, eps, offsets, include_orig, use_bf16):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = x_ref[:]
+    y = y_ref[:]
+    dtf = dtf_ref[:]
+    wt = w_ref[:]
+    dtype = x.dtype
+    band_row0 = band_ref[0, 0] * BAND
+
+    b_int = _onehot_int(y, wp)
+    u, v, _ = _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16)
+
+    k0 = 0
+    if include_orig:
+        r0 = _corner(x, wt, hp, eps)
+        c0 = _corner(y, None, wp, eps)
+        out_ref[0] += _dot(r0, c0, ((1,), (1,)), use_bf16, dtype)
+        k0 = 1
+    for k, off in enumerate(offsets):
+        dt = dtf - off
+        xw = x - dt * u
+        yw = y - dt * v
+        r = _corner(xw, wt, hp, eps)
+        c = _corner(yw, None, wp, eps)
+        out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
+
+
+def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
+                hp, wp, eps, offsets, include_orig, use_bf16):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dflow_ref[:] = jnp.zeros_like(dflow_ref)
+
+    x = x_ref[:]
+    y = y_ref[:]
+    dtf = dtf_ref[:]
+    wt = w_ref[:]
+    dtype = x.dtype
+    band_row0 = band_ref[0, 0] * BAND
+
+    b_int = _onehot_int(y, wp)
+    u, v, a_band = _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16)
+
+    du = jnp.zeros_like(x)
+    dv = jnp.zeros_like(x)
+    k0 = 1 if include_orig else 0
+    for k, off in enumerate(offsets):
+        dt = dtf - off
+        xw = x - dt * u
+        yw = y - dt * v
+        r = _corner(xw, wt, hp, eps)
+        c = _corner(yw, None, wp, eps)
+        rd = _corner_deriv(xw, wt, hp, eps)
+        cd = _corner_deriv(yw, None, wp, eps)
+        gk = g_ref[k0 + k]
+        p = _dot(gk, c, ((1,), (0,)), use_bf16, dtype)
+        pd = _dot(gk, cd, ((1,), (0,)), use_bf16, dtype)
+        dxw = jnp.sum(rd * p, axis=0, keepdims=True)
+        dyw = jnp.sum(r * pd, axis=0, keepdims=True)
+        du += -dt * dxw
+        dv += -dt * dyw
+
+    dflow_ref[0, pl.ds(band_row0, BAND), :] += _dot(
+        a_band * du, b_int, ((1,), (1,)), use_bf16, dtype
+    )
+    dflow_ref[1, pl.ds(band_row0, BAND), :] += _dot(
+        a_band * dv, b_int, ((1,), (1,)), use_bf16, dtype
+    )
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _band_rows(band_ids: Array) -> Array:
+    """[G] int32 -> [G, 1, 128] replicated rows (a VMEM-legal layout for a
+    per-chunk scalar)."""
+    return jnp.broadcast_to(band_ids.astype(jnp.int32)[:, None, None], (band_ids.shape[0], 1, 128))
+
+
+def _row_spec():
+    return pl.BlockSpec((None, 1, _CHUNK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND * ((h + BAND - 1) // BAND)), 8)
+    hp = max(hp, _round_up(h + 1, 8))
+    wp = _round_up(w + 1, 128)
+    g_chunks = x.shape[0]
+    flow_p = jnp.zeros((2, hp, wp), flow.dtype).at[:, :h, :w].set(flow)
+    k_total = len(offsets) + (1 if include_orig else 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16,
+        ),
+        grid=(g_chunks,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            _row_spec(), _row_spec(), _row_spec(), _row_spec(),
+            pl.BlockSpec((2, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_total, hp, wp), flow.dtype),
+        interpret=_interpret(),
+    )(_band_rows(band_ids), x, y, dtf, wt, flow_p)
+    return out[:, :h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
+                           include_orig=True, eps=1e-6, use_bf16=True):
+    """Banded fused rasterizer over pre-packed chunks (pack_events_by_band).
+
+    flow [2, H, W]; x/y/dtf/wt [G, 1, CHUNK]; band_ids [G] int32.
+    Returns [(orig?) + len(offsets), H, W]; differentiable w.r.t. flow.
+    """
+    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+
+
+def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
+    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+    return out, (flow, x, y, dtf, wt, band_ids)
+
+
+def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
+    flow, x, y, dtf, wt, band_ids = res
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND * ((h + BAND - 1) // BAND)), 8)
+    hp = max(hp, _round_up(h + 1, 8))
+    wp = _round_up(w + 1, 128)
+    g_chunks = x.shape[0]
+    flow_p = jnp.zeros((2, hp, wp), flow.dtype).at[:, :h, :w].set(flow)
+    k_total = g.shape[0]
+    g_p = jnp.zeros((k_total, hp, wp), g.dtype).at[:, :h, :w].set(g)
+
+    dflow_p = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16,
+        ),
+        grid=(g_chunks,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            _row_spec(), _row_spec(), _row_spec(), _row_spec(),
+            pl.BlockSpec((2, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, hp, wp), flow.dtype),
+        interpret=_interpret(),
+    )(_band_rows(band_ids), x, y, dtf, wt, flow_p, g_p)
+    dflow = dflow_p[:, :h, :w]
+    z = jnp.zeros_like
+    return dflow, z(x), z(y), z(dtf), z(wt), None
+
+
+fused_multi_iwe_banded.defvjp(_vjp_fwd, _vjp_bwd)
