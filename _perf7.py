@@ -34,9 +34,13 @@ def slope(name, fn, it=(8, 40)):
     print(f"{name}: {marg*1e3:.3f} ms/iter -> {n/marg/1e6:.0f} Mev/s", flush=True)
 
 # bench shape: 1 warped image, no orig
-slope("banded 1-dir bf16", lambda f: PB.fused_multi_iwe_banded(f, *args, (H, W), (0.5,), False, 1e-6, True).sum())
-slope("v1     1-dir bf16", lambda f: fused_multi_iwe(events, f, (H, W), offsets=(0.5,), weights=weights, include_orig=False, use_bf16=True).sum())
+slope("banded fwd4", lambda f: PB.fused_multi_iwe_banded(f, *args, (H, W), (0.0,1.0,0.5), True, 1e-6, True).sum())
+#slope("banded 1-dir bf16", lambda f: PB.fused_multi_iwe_banded(f, *args, (H, W), (0.5,), False, 1e-6, True).sum())
+slope("v1     fwd4", lambda f: fused_multi_iwe(events, f, (H, W), weights=weights, use_bf16=True).sum())
+#slope("v1     1-dir bf16", lambda f: fused_multi_iwe(events, f, (H, W), offsets=(0.5,), weights=weights, include_orig=False, use_bf16=True).sum())
 # objective shape: orig + 3 warps, fwd+bwd
 tgt = jnp.asarray(rng.standard_normal((4, H, W)), jnp.float32)
-slope("banded obj fwd+bwd", jax.grad(lambda f: jnp.vdot(PB.fused_multi_iwe_banded(f, *args, (H, W), (0.0,1.0,0.5), True, 1e-6, True), tgt)), it=(4, 16))
-slope("v1     obj fwd+bwd", jax.grad(lambda f: jnp.vdot(fused_multi_iwe(events, f, (H, W), weights=weights, use_bf16=True), tgt)), it=(4, 16))
+gb = jax.grad(lambda f: jnp.vdot(PB.fused_multi_iwe_banded(f, *args, (H, W), (0.0,1.0,0.5), True, 1e-6, True), tgt))
+slope("banded obj fwd+bwd", lambda f: gb(f).sum(), it=(4, 16))
+gv = jax.grad(lambda f: jnp.vdot(fused_multi_iwe(events, f, (H, W), weights=weights, use_bf16=True), tgt))
+slope("v1     obj fwd+bwd", lambda f: gv(f).sum(), it=(4, 16))

@@ -130,7 +130,7 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
     dtf = dtf_ref[:]
     wt = w_ref[:]
     dtype = x.dtype
-    band_row0 = band_ref[0, 0] * BAND
+    band_row0 = jnp.minimum(band_ref[0, 0] * BAND, hp - BAND)
 
     b_int = _onehot_int(y, wp)
     u, v, _ = _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16)
@@ -163,7 +163,7 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
     dtf = dtf_ref[:]
     wt = w_ref[:]
     dtype = x.dtype
-    band_row0 = band_ref[0, 0] * BAND
+    band_row0 = jnp.minimum(band_ref[0, 0] * BAND, hp - BAND)
 
     b_int = _onehot_int(y, wp)
     u, v, a_band = _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16)
@@ -211,8 +211,9 @@ def _row_spec():
 
 def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
     h, w = image_size
-    hp = _round_up(max(h + 1, BAND * ((h + BAND - 1) // BAND)), 8)
-    hp = max(hp, _round_up(h + 1, 8))
+    # the last band's slice is clamped to [hp-BAND, hp), so hp only needs
+    # the vote padding (one extra row for the h-1 top corner)
+    hp = _round_up(max(h + 1, BAND), 8)
     wp = _round_up(w + 1, 128)
     g_chunks = x.shape[0]
     flow_p = jnp.zeros((2, hp, wp), flow.dtype).at[:, :h, :w].set(flow)
@@ -255,8 +256,7 @@ def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, e
 def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
-    hp = _round_up(max(h + 1, BAND * ((h + BAND - 1) // BAND)), 8)
-    hp = max(hp, _round_up(h + 1, 8))
+    hp = _round_up(max(h + 1, BAND), 8)
     wp = _round_up(w + 1, 128)
     g_chunks = x.shape[0]
     flow_p = jnp.zeros((2, hp, wp), flow.dtype).at[:, :h, :w].set(flow)

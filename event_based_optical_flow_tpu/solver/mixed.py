@@ -93,6 +93,7 @@ class MixedPatchContrastMaximization(PatchContrastMaximization):
             best = self._run_newton_device(
                 spec, ev, w, motion0,
                 maxiter=self.opt_config.get("max_iter", 25), gtol=1e-7,
+                events_np=events,
             )
         elif self.opt_method in SCIPY_OPTIMIZERS:
             result = self._run_scipy_on_spec(

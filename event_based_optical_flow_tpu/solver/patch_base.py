@@ -17,7 +17,13 @@ import numpy as np
 from ..ops.interp import tile_to_dense_flow
 from ..types import FlowPatch
 from .base import SolverBase
-from .objective import ObjectiveSpec, build_objective, build_value_grad_hvp
+from .objective import (
+    ObjectiveSpec,
+    build_objective,
+    build_objective_banded,
+    build_value_grad_hvp,
+    objective_uses_fused,
+)
 from .sampling import build_patch_search, gather_patch_events
 from .scipy_bridge import minimize
 
@@ -158,14 +164,19 @@ class PatchContrastMaximization(SolverBase):
                     self.cost_func.cost_func[name]["func"].history["loss"].append(float(val))
 
     # --- on-device Newton-CG ------------------------------------------------
+    def _uses_banded(self, spec) -> bool:
+        return objective_uses_fused(spec)
+
     def _get_newton_solver(self, spec, maxiter: int, gtol: float):
-        key = (spec, "newton", maxiter, gtol)
+        key = (spec, "newton", maxiter, gtol, self._uses_banded(spec))
         if key not in self._fun_cache:
             from .newton_cg import build_newton_cg
-            from .objective import objective_uses_fused
 
-            obj = build_objective(spec)
-            value_fn = lambda x, e, w: obj(x, e, w)[0]
+            if self._uses_banded(spec):
+                obj = build_objective_banded(spec)
+            else:
+                obj = build_objective(spec)
+            value_fn = lambda x, *a: obj(x, *a)[0]
             solve = build_newton_cg(
                 value_fn,
                 maxiter=maxiter,
@@ -177,12 +188,43 @@ class PatchContrastMaximization(SolverBase):
             self._fun_cache[key] = jax.jit(solve)
         return self._fun_cache[key]
 
-    def _run_newton_device(self, spec, events_dev, weights_dev, motion0, maxiter, gtol):
+    def _pack_banded(self, events_np: np.ndarray):
+        """Per-frame host packing for the banded kernel (cached per frame
+        via the caller); returns device args + scalar t_scale."""
+        from ..ops.pallas_objective_banded import pack_events_by_band
+        from ..types import pad_events
+
+        padded, wgt = pad_events(np.asarray(events_np, dtype=np.float64))
+        t = padded[:, 2]
+        t_min = t[wgt > 0].min()
+        t_max = t[wgt > 0].max()
+        span = (t_max - t_min) or 1.0
+        dtf = (t - t_min) / span
+        x2, y2, d2, w2, bands = pack_events_by_band(padded, wgt, dtf, self.image_shape[0])
+        return (
+            jnp.asarray(x2, self.dtype),
+            jnp.asarray(y2, self.dtype),
+            jnp.asarray(d2, self.dtype),
+            jnp.asarray(w2, self.dtype),
+            jnp.asarray(bands),
+            jnp.asarray(t_max - t_min, self.dtype),
+        )
+
+    def _run_newton_device(self, spec, events_dev, weights_dev, motion0, maxiter, gtol,
+                           events_np=None):
         """Whole Newton-CG solve as one device program (solver/newton_cg.py):
         replaces ~100 host round trips per scale with one."""
         solve = self._get_newton_solver(spec, maxiter, gtol)
         x0 = jnp.asarray(np.asarray(motion0, dtype=np.float64).reshape(-1), self.dtype)
-        best_x, best_f, n_iter = solve(x0, events_dev, weights_dev)
+        if self._uses_banded(spec):
+            # pack once per frame: keep the array reference so identity
+            # comparison can't alias across frames
+            if getattr(self, "_banded_events_ref", None) is not events_np:
+                self._banded_args = self._pack_banded(events_np)
+                self._banded_events_ref = events_np
+            best_x, best_f, n_iter = solve(x0, *self._banded_args)
+        else:
+            best_x, best_f, n_iter = solve(x0, events_dev, weights_dev)
         best_f = float(best_f)
         self._history_cb(best_f, None)
         logger.info(f"device Newton-CG: {int(n_iter)} iters, loss {best_f:.6f}")

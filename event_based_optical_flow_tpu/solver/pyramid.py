@@ -105,6 +105,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                 best = self._run_newton_device(
                     spec, ev, w, motion0,
                     maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
+                    events_np=events,
                 )
             elif self.opt_method in SCIPY_OPTIMIZERS:
                 self.cost_func.enable_history_register()

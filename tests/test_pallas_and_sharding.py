@@ -56,6 +56,36 @@ def test_pallas_gradient_matches_scatter():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), atol=1e-8)
 
 
+def test_banded_kernel_matches_scatter():
+    """Banded fused kernel (pack + band-local gathers) vs the composed
+    scatter-backend reference on CPU interpret mode."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.ops.iwe import bilinear_vote
+    from event_based_optical_flow_tpu.ops.warp import multi_direction_dense_warp
+
+    ev = _events(600, seed=5)
+    ev[:, 0] = np.clip(np.round(ev[:, 0]), 0, H - 1)
+    ev[:, 1] = np.clip(np.round(ev[:, 1]), 0, W - 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    flow = np.random.default_rng(6).uniform(-4, 4, (2, H, W))
+
+    t = padded[:, 2]
+    dtf = (t - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    x2, y2, d2, w2, bands = PB.pack_events_by_band(padded, wgt, dtf, H)
+    out = np.asarray(
+        PB.fused_multi_iwe_banded(
+            jnp.asarray(flow), jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2),
+            jnp.asarray(w2), jnp.asarray(bands), (H, W), (0.0, 1.0, 0.5), True, 1e-6, False,
+        )
+    )
+    events_j = jnp.asarray(padded)
+    weights_j = jnp.asarray(wgt)
+    warped = multi_direction_dense_warp(events_j, jnp.asarray(flow), [0.0, 1.0, 0.5], (H, W), weights=weights_j)
+    ref = [bilinear_vote(events_j, (H, W), weight=weights_j, backend="scatter")]
+    ref += [bilinear_vote(wv, (H, W), weight=weights_j, backend="scatter") for wv in warped]
+    np.testing.assert_allclose(out, np.stack([np.asarray(r) for r in ref]), atol=1e-8)
+
+
 def test_multi_direction_warp_matches_single():
     from event_based_optical_flow_tpu.ops.warp import Warp, multi_direction_dense_warp
 
