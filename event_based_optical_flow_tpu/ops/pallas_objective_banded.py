@@ -130,7 +130,7 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
     dtf = dtf_ref[:]
     wt = w_ref[:]
     dtype = x.dtype
-    band_row0 = jnp.minimum(band_ref[0, 0] * BAND, hp - BAND)
+    band_row0 = band_ref[0, 0] * BAND  # aligned: flow is padded to 64-row multiples
 
     b_int = _onehot_int(y, wp)
     u, v, _ = _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16)
@@ -163,7 +163,7 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
     dtf = dtf_ref[:]
     wt = w_ref[:]
     dtype = x.dtype
-    band_row0 = jnp.minimum(band_ref[0, 0] * BAND, hp - BAND)
+    band_row0 = band_ref[0, 0] * BAND
 
     b_int = _onehot_int(y, wp)
     u, v, a_band = _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16)
@@ -211,12 +211,13 @@ def _row_spec():
 
 def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
     h, w = image_size
-    # the last band's slice is clamped to [hp-BAND, hp), so hp only needs
-    # the vote padding (one extra row for the h-1 top corner)
+    # votes only need one extra row; the flow (gather table) pads to whole
+    # 64-row bands so dynamic band slices stay Mosaic-vectorizable
     hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
     wp = _round_up(w + 1, 128)
     g_chunks = x.shape[0]
-    flow_p = jnp.zeros((2, hp, wp), flow.dtype).at[:, :h, :w].set(flow)
+    flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
     k_total = len(offsets) + (1 if include_orig else 0)
 
     out = pl.pallas_call(
@@ -228,7 +229,7 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
         in_specs=[
             pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             _row_spec(), _row_spec(), _row_spec(), _row_spec(),
-            pl.BlockSpec((2, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_total, hp, wp), flow.dtype),
@@ -257,9 +258,10 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
     wp = _round_up(w + 1, 128)
     g_chunks = x.shape[0]
-    flow_p = jnp.zeros((2, hp, wp), flow.dtype).at[:, :h, :w].set(flow)
+    flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
     k_total = g.shape[0]
     g_p = jnp.zeros((k_total, hp, wp), g.dtype).at[:, :h, :w].set(g)
 
@@ -272,11 +274,11 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
         in_specs=[
             pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             _row_spec(), _row_spec(), _row_spec(), _row_spec(),
-            pl.BlockSpec((2, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, hp, wp), flow.dtype),
+        out_specs=pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, hp_flow, wp), flow.dtype),
         interpret=_interpret(),
     )(_band_rows(band_ids), x, y, dtf, wt, flow_p, g_p)
     dflow = dflow_p[:, :h, :w]
