@@ -342,6 +342,19 @@ class SolverBase:
         )
         return cv2.undistort(image, self.calib_param["K"], self.calib_param["D"], None, newcameramtx)
 
+    # --- profiling -----------------------------------------------------------
+    def profiled_optimize(self, events: np.ndarray) -> np.ndarray:
+        """optimize() wrapped in a jax profiler trace when the config asks
+        for one (output.trace_dir) — the TPU-native replacement for the
+        reference's cProfile dumps (ref src/utils/misc.py:88-144,
+        base.py:700): produces xprof/tensorboard traces of the device
+        programs instead of host call stacks."""
+        trace_dir = self.out_config.get("trace_dir") if self.out_config else None
+        if not trace_dir:
+            return self.optimize(events)
+        with jax.profiler.trace(trace_dir):
+            return self.optimize(events)
+
     # --- main entry --------------------------------------------------------
     def optimize(self, events: np.ndarray) -> np.ndarray:
         raise NotImplementedError

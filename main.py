@@ -143,7 +143,7 @@ def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, so
         if utils.check_key_and_bool(data_config, "remove_car"):
             batch_for_optimization = utils.crop_event(batch_for_optimization, 0, 193, 0, 346)
 
-        best_motion = solv.optimize(batch_for_optimization)
+        best_motion = solv.profiled_optimize(batch_for_optimization)
         if warm_start:
             solv.set_previous_frame_best_estimation(best_motion)
         flow_error = solv.calculate_flow_error(
@@ -228,7 +228,7 @@ def main():
         batch = utils.crop_event(batch, 0, 193, 0, 346)
 
     solv.visualize_one_batch_warp(batch)
-    best_motion = solv.optimize(batch)
+    best_motion = solv.profiled_optimize(batch)
     solv.visualize_one_batch_warp(batch, best_motion)
 
     if loader.gt_flow_available:
