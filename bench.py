@@ -28,15 +28,17 @@ import time
 import numpy as np
 
 
-def _run_loop(iters, body_fn, ev, fl):
+def _run_loop(iters, body_fn, ev, fl):  # body_fn(ev, flow)
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(ev, fl):
         def body(i, acc):
-            e = ev.at[..., 0].add((i % 7) * 0.013 + acc * 1e-20)
-            return acc + body_fn(e, fl)
+            # vary the flow each iteration (data-dependently) so no
+            # iteration can be deduplicated or hoisted
+            f = fl + ((i % 7) * 0.013 + acc * 1e-20)
+            return acc + body_fn(ev, f)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

@@ -100,3 +100,44 @@ def test_batched_warp_matches_loop():
     for b in range(2):
         single = np.asarray(warper.warp_event(jnp.asarray(ev[b]), jnp.asarray(motion[b]), "2d-translation", "first"))
         np.testing.assert_allclose(batched[b], single, atol=1e-12)
+
+
+def test_streaming_voxel_warp_matches_materialized():
+    """warp_voxel_flow_streaming == propagate-then-warp with the one-extra-
+    propagation-step semantics of the reference 'optimized' variant."""
+    import jax.numpy as jnp
+
+    from event_based_optical_flow_tpu.flow.voxel import burgers_step
+    from event_based_optical_flow_tpu.ops.warp import (
+        calculate_reftime,
+        warp_voxel_flow,
+        warp_voxel_flow_streaming,
+    )
+
+    H, W = 12, 16
+    rng = np.random.default_rng(0)
+    n = 300
+    ev = np.stack(
+        [
+            rng.integers(0, H, n).astype(float),
+            rng.integers(0, W, n).astype(float),
+            np.sort(rng.uniform(0, 1, n)),
+            rng.integers(0, 2, n).astype(float),
+        ],
+        1,
+    )
+    flow0 = jnp.asarray(rng.uniform(-0.4, 0.4, (2, H, W)))
+    ref_time = calculate_reftime(jnp.asarray(ev), "first")
+    n_bin = 4
+    out = warp_voxel_flow_streaming(
+        jnp.asarray(ev), flow0, n_bin, ref_time, (H, W), normalize_t=True
+    )
+    # materialize the equivalent voxel: bin k = (k+1)-step propagation
+    slices = []
+    f = flow0
+    for _ in range(n_bin):
+        f = burgers_step(f, 1.0 / n_bin)
+        slices.append(f)
+    voxel = jnp.stack(slices)
+    want = warp_voxel_flow(jnp.asarray(ev), voxel, ref_time, (H, W), normalize_t=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-10)
