@@ -60,7 +60,8 @@ def main():
 
     H, W = 260, 346
     n_events = 30720
-    batch = 8
+    batch = 1  # one kernel launch per iteration: per-launch overhead is
+    # measured separately (fleet/batched paths amortize it across frames)
 
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 0.2, (batch, n_events)), axis=1)
@@ -116,7 +117,7 @@ def main():
             warped = warp_dense_flow(e, f, e[..., 2].min(axis=-1), (H, W), normalize_t=True)
             return bilinear_vote(warped, (H, W)).sum()
 
-    it1, it2 = (8, 40) if on_tpu else (2, 6)
+    it1, it2 = (16, 80) if on_tpu else (2, 6)
     t_lo, compile_s = _run_loop(it1, body_fn, ev, fl)
     t_hi, _ = _run_loop(it2, body_fn, ev, fl)
     marginal = max((t_hi - t_lo) / (it2 - it1), 1e-9)
