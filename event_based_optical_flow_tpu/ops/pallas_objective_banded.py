@@ -118,8 +118,8 @@ def _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16):
 
 
 def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
-                hp, wp, eps, offsets, include_orig, use_bf16):
-    i = pl.program_id(0)
+                hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0):
+    i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
     def _():
@@ -151,8 +151,8 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
 
 
 def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
-                hp, wp, eps, offsets, include_orig, use_bf16):
-    i = pl.program_id(0)
+                hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0):
+    i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
     def _():
@@ -287,3 +287,86 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
 
 
 fused_multi_iwe_banded.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Batched-banded: one launch rasterizes a fleet of frames (grid (B, chunks)).
+
+
+def _specs_batched(hp, hp_flow, wp, k_total):
+    band = pl.BlockSpec((None, None, 1, 128), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((None, None, 1, _CHUNK), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
+    flow = pl.BlockSpec((None, 2, hp_flow, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((None, k_total, hp, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    return band, row, flow, out
+
+
+def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16):
+    bsz = x.shape[0]
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    g_chunks = x.shape[1]
+    flow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(flow)
+    k_total = len(offsets) + (1 if include_orig else 0)
+    band, row, flow_spec, out_spec = _specs_batched(hp, hp_flow, wp, k_total)
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
+        ),
+        grid=(bsz, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, k_total, hp, wp), flow.dtype),
+        interpret=_interpret(),
+    )(band_rows, x, y, dtf, wt, flow_p)
+    return out[:, :, :h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def fused_multi_iwe_banded_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets,
+                                   include_orig=True, eps=1e-6, use_bf16=True):
+    """Fleet variant: flow [B,2,H,W]; x/y/dtf/wt [B,G,1,CHUNK];
+    band_rows [B,G,1,128] int32 (see _band_rows).  One kernel launch for
+    all B frames; differentiable w.r.t. flow."""
+    return _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16)
+
+
+def _vjp_fwd_b(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16):
+    out = _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16)
+    return out, (flow, x, y, dtf, wt, band_rows)
+
+
+def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, res, g):
+    flow, x, y, dtf, wt, band_rows = res
+    bsz = x.shape[0]
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    g_chunks = x.shape[1]
+    flow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(flow)
+    k_total = g.shape[1]
+    g_p = jnp.zeros((bsz, k_total, hp, wp), g.dtype).at[:, :, :h, :w].set(g)
+    band, row, flow_spec, _ = _specs_batched(hp, hp_flow, wp, k_total)
+    g_spec = pl.BlockSpec((None, k_total, hp, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    dflow_spec = pl.BlockSpec((None, 2, hp_flow, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    dflow_p = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
+        ),
+        grid=(bsz, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, g_spec],
+        out_specs=dflow_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, 2, hp_flow, wp), flow.dtype),
+        interpret=_interpret(),
+    )(band_rows, x, y, dtf, wt, flow_p, g_p)
+    dflow = dflow_p[:, :, :h, :w]
+    z = jnp.zeros_like
+    return dflow, z(x), z(y), z(dtf), z(wt), None
+
+
+fused_multi_iwe_banded_batched.defvjp(_vjp_fwd_b, _vjp_bwd_b)

@@ -32,6 +32,86 @@ logger = logging.getLogger(__name__)
 Array = jax.Array
 
 
+def pack_fleet_banded(events_list, image_height: int, dtype=np.float64):
+    """Host packing of a fleet for the batched-banded kernel: returns
+    (x, y, dtf, wt [B,G,1,C], band_rows [B,G,1,128], t_scales [B])."""
+    from ..ops.pallas_objective_banded import pack_events_by_band
+
+    target_n = max(len(e) for e in events_list)
+    target_n = ((target_n + 4095) // 4096) * 4096
+    xs, ys, ds, ws, bs, scales = [], [], [], [], [], []
+    for e in events_list:
+        padded, wgt = pad_events(np.asarray(e, dtype=np.float64), target_n=target_n)
+        t = padded[:, 2]
+        t_min = t[wgt > 0].min()
+        t_max = t[wgt > 0].max()
+        span = (t_max - t_min) or 1.0
+        dtf = (t - t_min) / span
+        x2, y2, d2, w2, bands = pack_events_by_band(padded, wgt, dtf, image_height)
+        xs.append(x2); ys.append(y2); ds.append(d2); ws.append(w2)
+        bs.append(np.broadcast_to(bands.astype(np.int32)[:, None, None], (len(bands), 1, 128)))
+        scales.append(t_max - t_min)
+    return (
+        np.stack(xs), np.stack(ys), np.stack(ds), np.stack(ws),
+        np.stack(bs), np.asarray(scales),
+    )
+
+
+def build_batched_objective_banded(spec: ObjectiveSpec):
+    """Fleet objective over pre-packed banded chunks:
+    fn(motion [B,M], x, y, dtf, wt, band_rows, t_scales) -> losses [B]."""
+    from .. import config as evconfig
+    from ..ops.pallas_objective_banded import fused_multi_iwe_banded_batched
+
+    cost = make_cost(spec)
+    required = set(cost.required_keys)
+    directions = []
+    if required & {"iwe", "backward_iwe"}:
+        directions.append(("backward", 0.0))
+    if "forward_iwe" in required:
+        directions.append(("forward", 1.0))
+    if "middle_iwe" in required:
+        directions.append(("middle", 0.5))
+    need_orig = "orig_iwe" in required
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    use_bf16 = backend_raw in ("auto", "pallas_bf16")
+
+    def batched(motion, x, y, dtf, wt, band_rows, t_scales):
+        flows = jax.vmap(
+            lambda m: tile_to_dense_flow(
+                m, spec.patch_image_size, spec.image_shape, spec.patch_size,
+                spec.sliding_window, spec.patch_shift, spec.filter_type,
+            )
+        )(motion) * t_scales[:, None, None, None]
+        imgs = fused_multi_iwe_banded_batched(
+            flows, x, y, dtf, wt, band_rows, spec.image_shape,
+            tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+        )
+        if spec.blur_sigma > 0:
+            imgs = gaussian_blur3(imgs, spec.blur_sigma)
+
+        def per_frame(img_k, m):
+            arg = {"omit_boundary": True, "clip": True}
+            k = 0
+            if need_orig:
+                arg["orig_iwe"] = img_k[0]
+                k = 1
+            for name, _ in directions:
+                if name == "backward":
+                    arg.update({"iwe": img_k[k], "backward_iwe": img_k[k]})
+                else:
+                    arg[f"{name}_iwe"] = img_k[k]
+                k += 1
+            if "flow" in required:
+                arg["flow"] = m.reshape((2,) + tuple(spec.patch_image_size))
+            loss = cost.calculate(arg)
+            return jnp.where(jnp.isnan(loss), 0.0, loss)
+
+        return jax.vmap(per_frame)(imgs, motion)
+
+    return batched
+
+
 def build_batched_objective(spec: ObjectiveSpec):
     """fn(motion [B, M], events [B, N, 4], weights [B, N]) -> losses [B]."""
     if objective_uses_fused(spec):
@@ -298,7 +378,10 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
     def _get_fleet_solver(self, spec, bsz: int, maxiter: int, gtol: float):
         key = (spec, "fleet", bsz, maxiter, gtol)
         if key not in self._fun_cache:
-            batched = build_batched_objective(spec)
+            if objective_uses_fused(spec):
+                batched = build_batched_objective_banded(spec)
+            else:
+                batched = build_batched_objective(spec)
             solve = build_newton_cg_batched(
                 batched,
                 maxiter=maxiter,
@@ -312,15 +395,26 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
     def optimize_batch(self, events_list: List[np.ndarray]):
         """Solve B frames together; returns a list of per-scale motion dicts."""
         bsz = len(events_list)
-        target_n = max(len(e) for e in events_list)
-        target_n = ((target_n + 4095) // 4096) * 4096
-        evs, wgts = [], []
-        for e in events_list:
-            p, w = pad_events(np.asarray(e, dtype=np.float64), target_n=target_n)
-            evs.append(p)
-            wgts.append(w)
-        events = jnp.asarray(np.stack(evs), self.dtype)
-        weights = jnp.asarray(np.stack(wgts), self.dtype)
+        use_banded = objective_uses_fused(self._current_spec())
+        if use_banded:
+            x2, y2, d2, w2, brows, scales = pack_fleet_banded(events_list, self.image_shape[0])
+            solver_args = (
+                jnp.asarray(x2, self.dtype), jnp.asarray(y2, self.dtype),
+                jnp.asarray(d2, self.dtype), jnp.asarray(w2, self.dtype),
+                jnp.asarray(brows), jnp.asarray(scales, self.dtype),
+            )
+        else:
+            target_n = max(len(e) for e in events_list)
+            target_n = ((target_n + 4095) // 4096) * 4096
+            evs, wgts = [], []
+            for e in events_list:
+                p, w = pad_events(np.asarray(e, dtype=np.float64), target_n=target_n)
+                evs.append(p)
+                wgts.append(w)
+            solver_args = (
+                jnp.asarray(np.stack(evs), self.dtype),
+                jnp.asarray(np.stack(wgts), self.dtype),
+            )
 
         best_per_scale = {}
         for s in range(self.coarsest_scale, self.patch_scales):
@@ -330,7 +424,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 [self._init_scale_single(s, events_list[b], best_per_scale, b) for b in range(bsz)]
             )
             solve = self._get_fleet_solver(spec, bsz, self.opt_config.get("max_iter", 25), 1e-5)
-            bx, bf, _ = solve(jnp.asarray(motion0.reshape(bsz, -1), self.dtype), events, weights)
+            bx, bf, _ = solve(jnp.asarray(motion0.reshape(bsz, -1), self.dtype), *solver_args)
             best_per_scale[s] = np.asarray(bx, np.float64).reshape(
                 (bsz, self.motion_vector_size) + tuple(self.patch_image_size)
             )
