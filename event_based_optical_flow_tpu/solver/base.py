@@ -210,7 +210,7 @@ class SolverBase:
         pred_flow = pred_flow[None]
 
         if events is not None:
-            event_mask = np.asarray(self.imager.create_eventmask(jnp.asarray(events)))
+            event_mask = self._eventmask_np(events)
             fwl = self.calculate_fwl(motion, gt_flow, timescale, events)
             if self.padding > 0:
                 event_mask = event_mask[..., self.padding : -self.padding, self.padding : -self.padding]
@@ -223,16 +223,53 @@ class SolverBase:
         logger.info(f"{flow_error = } for time period {timescale} sec.")
         return flow_error
 
+    def _fwl_fn(self, n_pad: int, use_voxel: bool):
+        """Jitted FWL evaluator, cached per (padded size, motion model):
+        one device call instead of ~30 eager dispatches per frame."""
+        key = (n_pad, use_voxel)
+        if key not in self._fwl_cache:
+            imager = self.imager
+            warper = Warp(self.image_shape, normalize_t=True)
+            model = "dense-flow-voxel" if use_voxel else "dense-flow"
+            backend = self.iwe_backend
+
+            @jax.jit
+            def f(events, weights, flow):
+                orig_iwe = imager.create_iwe(
+                    events, sigma=1, weight=weights, blur_mode="scipy", backend=backend
+                )
+                warped = warper.warp_event(events, flow, model, weights=weights)
+                warped_iwe = imager.create_iwe(
+                    warped, sigma=1, weight=weights, blur_mode="scipy", backend=backend
+                )
+                ratio = F.normalized_image_variance(warped_iwe, orig_iwe, omit_boundary=False, ddof=0)
+                return 1.0 / ratio
+
+            self._fwl_cache[key] = f
+        return self._fwl_cache[key]
+
     def _fwl_of_flow(self, events, flow, use_voxel: bool, normalize_t: bool = True) -> float:
         """Var(IWE_orig)/Var(IWE_warped); < 1 is better (ref base.py:581-649)."""
-        ev = jnp.asarray(np.asarray(events))
-        orig_iwe = self.imager.create_iwe(ev, sigma=1, blur_mode="scipy", backend=self.iwe_backend)
-        warper = Warp(self.image_shape, normalize_t=normalize_t)
-        model = "dense-flow-voxel" if use_voxel else "dense-flow"
-        warped = warper.warp_event(ev, jnp.asarray(flow), model)
-        warped_iwe = self.imager.create_iwe(warped, sigma=1, blur_mode="scipy", backend=self.iwe_backend)
-        ratio = F.normalized_image_variance(warped_iwe, orig_iwe, omit_boundary=False, ddof=0)
-        return float(1.0 / ratio)
+        padded, wgt = pad_events(np.asarray(events, dtype=np.float64))
+        f = self._fwl_fn(len(padded), use_voxel)
+        return float(
+            f(jnp.asarray(padded, self.dtype), jnp.asarray(wgt, self.dtype),
+              jnp.asarray(np.asarray(flow), self.dtype))
+        )
+
+    def _eventmask_np(self, events) -> np.ndarray:
+        """Jitted, padded event mask (cached per size)."""
+        padded, wgt = pad_events(np.asarray(events, dtype=np.float64))
+        key = ("mask", len(padded))
+        if key not in self._fwl_cache:
+            imager = self.imager
+            backend = self.iwe_backend
+            self._fwl_cache[key] = jax.jit(
+                lambda e, w: imager.create_eventmask(e, weight=w)
+            )
+        return np.asarray(
+            self._fwl_cache[key](jnp.asarray(padded, self.dtype), jnp.asarray(wgt, self.dtype))
+        )
 
     def calculate_fwl(self, motion, gt_flow, timescale: float, events) -> dict:
         fwl = {"GT_FWL": self._fwl_of_flow(events, np.asarray(gt_flow), use_voxel=False)}

@@ -235,7 +235,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             pred_flow = self.get_original_flow_from_time_aware_flow_voxel(pred_flow)
         pred_flow = pred_flow[None]
         if events is not None:
-            event_mask = np.asarray(self.imager.create_eventmask(jnp.asarray(np.asarray(events))))
+            event_mask = self._eventmask_np(events)
             if self.padding:
                 event_mask = event_mask[..., self.padding : -self.padding, self.padding : -self.padding]
             event_mask = event_mask[None] if event_mask.ndim == 3 else event_mask
