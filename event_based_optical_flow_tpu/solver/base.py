@@ -291,9 +291,17 @@ class SolverBase:
 
     # --- visualization delegation (host-side) ------------------------------
     def create_clipped_iwe_for_visualization(self, events, max_scale=50):
-        ev = jnp.asarray(np.asarray(events))
+        padded, wgt = pad_events(np.asarray(events, dtype=np.float64))
+        key = ("vizIWE", len(padded))
+        if key not in self._fwl_cache:
+            imager = self.imager
+            method = self.iwe_config["method"]
+            backend = self.iwe_backend
+            self._fwl_cache[key] = jax.jit(
+                lambda e, w: imager.create_iwe(e, method, sigma=0, weight=w, backend=backend)
+            )
         im = np.asarray(
-            self.imager.create_iwe(ev, self.iwe_config["method"], sigma=0, backend=self.iwe_backend)
+            self._fwl_cache[key](jnp.asarray(padded, self.dtype), jnp.asarray(wgt, self.dtype))
         )
         clipped = 255 - np.clip(max_scale * im, 0, 255).astype(np.uint8)
         if self.padding > 0:
