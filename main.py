@@ -153,8 +153,7 @@ def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, so
         ckpt.append_frame_metrics(out_dir, i1, flow_error)
         ckpt.save_eval_state(out_dir, i1 + 1, best_motion if warm_start else None)
 
-        viz_every = int(out_config.get("visualize_every", 1)) if "out_config" in dir() else 1
-        viz_every = int(data_config.get("visualize_every", viz_every))
+        viz_every = int(data_config.get("visualize_every", 1))
         if viz_every and i1 % viz_every == 0:
             solv.visualize_original_sequential(batch_for_gt_slice)
             solv.visualize_pred_sequential(batch_for_gt_slice, best_motion)
