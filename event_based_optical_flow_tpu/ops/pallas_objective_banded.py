@@ -86,11 +86,14 @@ def pack_events_by_band(
     )
 
 
-def _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16):
+def _banded_gather_uv(flow_ref, band_row0, x_base, x, b_int, wp, use_bf16):
     """(u, v) via a band-local gather matmul: A_band [BAND, C] against the
-    64-row flow slice."""
+    64-row flow slice at table row ``band_row0``; ``x_base`` is the row
+    the slice's first entry represents spatially (== band_row0 for a plain
+    [2, H, W] flow; == band_row0 mod hp_flow for a flattened voxel table,
+    where the time-bin offset is part of band_row0 but not of x)."""
     dtype = x.dtype
-    x_local = x - band_row0.astype(dtype)
+    x_local = x - x_base.astype(dtype)
     a_band = _onehot_int(x_local, BAND)
     flow_u = flow_ref[0, pl.ds(band_row0, BAND), :]
     flow_v = flow_ref[1, pl.ds(band_row0, BAND), :]
@@ -118,7 +121,8 @@ def _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16):
 
 
 def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
-                hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0):
+                hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
+                bands_mod=None):
     i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
@@ -130,10 +134,12 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
     dtf = dtf_ref[:]
     wt = w_ref[:]
     dtype = x.dtype
-    band_row0 = band_ref[0, 0] * BAND  # aligned: flow is padded to 64-row multiples
+    band_id = band_ref[0, 0]
+    band_row0 = band_id * BAND  # aligned: flow is padded to 64-row multiples
+    x_base = band_row0 if bands_mod is None else (band_id % bands_mod) * BAND
 
     b_int = _onehot_int(y, wp)
-    u, v, _ = _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16)
+    u, v, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, b_int, wp, use_bf16)
 
     k0 = 0
     if include_orig:
@@ -151,7 +157,8 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
 
 
 def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
-                hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0):
+                hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
+                bands_mod=None):
     i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
@@ -163,10 +170,12 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
     dtf = dtf_ref[:]
     wt = w_ref[:]
     dtype = x.dtype
-    band_row0 = band_ref[0, 0] * BAND
+    band_id = band_ref[0, 0]
+    band_row0 = band_id * BAND
+    x_base = band_row0 if bands_mod is None else (band_id % bands_mod) * BAND
 
     b_int = _onehot_int(y, wp)
-    u, v, a_band = _banded_gather_uv(flow_ref, band_row0, x, b_int, wp, use_bf16)
+    u, v, a_band = _banded_gather_uv(flow_ref, band_row0, x_base, x, b_int, wp, use_bf16)
 
     du = jnp.zeros_like(x)
     dv = jnp.zeros_like(x)
@@ -287,6 +296,173 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
 
 
 fused_multi_iwe_banded.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Time-aware (voxel) variant: the gather table is the flattened flow voxel.
+#
+# A [T, 2, H, W] time-binned voxel (ref warp.py:315-396 semantics: events
+# bucketed by normalized time into T bins, each warped by its own slice)
+# flattens to a [2, T*hp_flow, W] table; an event in time-bin b and spatial
+# band k reads rows [b*hp_flow + k*64, +64) — i.e. the SAME kernels as the
+# dense case with combined band id ``b * (hp_flow//BAND) + k``.  Only the
+# host packing and the table construction differ.
+
+
+def n_bands_of(height: int) -> int:
+    return _round_up(height, BAND) // BAND
+
+
+def max_chunks_voxel(n_events: int, height: int, n_bin: int) -> int:
+    """Static chunk bound for (band, bin) packing: each occupied
+    (band, bin) pair adds at most one partially-filled chunk."""
+    return (n_events + _CHUNK - 1) // _CHUNK + n_bands_of(height) * n_bin
+
+
+def pack_events_by_band_bin(
+    events: np.ndarray,
+    weights: np.ndarray,
+    dtf: np.ndarray,
+    height: int,
+    n_bin: int,
+):
+    """Host-side packing for the voxel kernel: group events by
+    (time-bin, 64-row band), pad each group to whole chunks.  Band ids are
+    the combined ``bin * bands_per_bin + band`` addressing the flattened
+    gather table.  Bin id matches ops.warp._warp_voxel_single:
+    ``clip(floor(dtf * n_bin), 0, n_bin - 1)`` with dtf normalized to
+    [0, 1] over valid events."""
+    n = len(events)
+    bands_per_bin = n_bands_of(height)
+    g_max = max_chunks_voxel(n, height, n_bin)
+    x_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
+    y_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
+    d_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
+    w_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
+    band_ids = np.zeros(g_max, dtype=np.int32)
+
+    x = events[:, 0]
+    band_of = np.clip(x.astype(np.int64) // BAND, 0, bands_per_bin - 1)
+    bin_of = np.clip(np.floor(dtf * n_bin).astype(np.int64), 0, n_bin - 1)
+    valid = weights > 0
+    g = 0
+    for t in range(n_bin):
+        for b in range(bands_per_bin):
+            sel = np.nonzero(valid & (band_of == b) & (bin_of == t))[0]
+            for start in range(0, len(sel), _CHUNK):
+                idx = sel[start : start + _CHUNK]
+                k = len(idx)
+                x_out[g, :k] = events[idx, 0]
+                y_out[g, :k] = events[idx, 1]
+                d_out[g, :k] = dtf[idx]
+                w_out[g, :k] = weights[idx]
+                band_ids[g] = t * bands_per_bin + b
+                g += 1
+    shape = (g_max, 1, _CHUNK)
+    return (
+        x_out.reshape(shape),
+        y_out.reshape(shape),
+        d_out.reshape(shape),
+        w_out.reshape(shape),
+        band_ids,
+    )
+
+
+def _table_fwd_impl(table, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
+    """Forward over a pre-padded [2, R, wp] gather table (R % 64 == 0)."""
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    wp = table.shape[2]
+    rows = table.shape[1]
+    g_chunks = x.shape[0]
+    k_total = len(offsets) + (1 if include_orig else 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16,
+            bands_mod=n_bands_of(h),
+        ),
+        grid=(g_chunks,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            _row_spec(), _row_spec(), _row_spec(), _row_spec(),
+            pl.BlockSpec((2, rows, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_total, hp, wp), table.dtype),
+        interpret=_interpret(),
+    )(_band_rows(band_ids), x, y, dtf, wt, table)
+    return out[:, :h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _fused_banded_table(table, x, y, dtf, wt, band_ids, image_size, offsets,
+                        include_orig, eps, use_bf16):
+    return _table_fwd_impl(table, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+
+
+def _table_vjp_fwd(table, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
+    out = _table_fwd_impl(table, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+    return out, (table, x, y, dtf, wt, band_ids)
+
+
+def _table_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
+    table, x, y, dtf, wt, band_ids = res
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    wp = table.shape[2]
+    rows = table.shape[1]
+    g_chunks = x.shape[0]
+    k_total = g.shape[0]
+    g_p = jnp.zeros((k_total, hp, wp), g.dtype).at[:, :h, :w].set(g)
+
+    dtable = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16,
+            bands_mod=n_bands_of(h),
+        ),
+        grid=(g_chunks,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            _row_spec(), _row_spec(), _row_spec(), _row_spec(),
+            pl.BlockSpec((2, rows, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, rows, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, rows, wp), table.dtype),
+        interpret=_interpret(),
+    )(_band_rows(band_ids), x, y, dtf, wt, table, g_p)
+    z = jnp.zeros_like
+    return dtable, z(x), z(y), z(dtf), z(wt), None
+
+
+_fused_banded_table.defvjp(_table_vjp_fwd, _table_vjp_bwd)
+
+
+def fused_multi_iwe_banded_voxel(voxel, x, y, dtf, wt, band_ids, image_size, offsets,
+                                 include_orig=True, eps=1e-6, use_bf16=True):
+    """Time-aware banded fused rasterizer over (band, bin)-packed chunks
+    (pack_events_by_band_bin).
+
+    voxel [T, 2, H, W]; x/y/dtf/wt [G, 1, CHUNK]; band_ids [G] combined.
+    Returns [(orig?) + len(offsets), H, W]; differentiable w.r.t. voxel
+    (the table flatten is plain jnp, so grads reach every voxel slice —
+    and through it the whole Burgers/upwind lax.scan chain)."""
+    h, w = image_size
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    t_bins = voxel.shape[0]
+    table = (
+        jnp.zeros((t_bins, 2, hp_flow, wp), voxel.dtype)
+        .at[:, :, :h, :w]
+        .set(voxel)
+        .transpose(1, 0, 2, 3)
+        .reshape(2, t_bins * hp_flow, wp)
+    )
+    return _fused_banded_table(table, x, y, dtf, wt, band_ids, image_size, offsets,
+                               include_orig, eps, use_bf16)
 
 
 # --------------------------------------------------------------------------

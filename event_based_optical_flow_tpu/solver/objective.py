@@ -105,6 +105,48 @@ def objective_uses_fused(spec: ObjectiveSpec) -> bool:
     )
 
 
+# voxel schemes that compile under jit (host griddata schemes can't)
+_JIT_VOXEL_SCHEMES = ("upwind", "burgers", "same", "bilinear", "max")
+_VOXEL_TABLE_VMEM_LIMIT = 8 * 1024 * 1024  # bytes; leave room for IWEs/chunks
+
+
+def _voxel_table_bytes(spec: ObjectiveSpec) -> int:
+    h, w = spec.image_shape
+    hp_flow = -(-h // 64) * 64
+    wp = -(-(w + 1) // 128) * 128
+    return 2 * spec.time_bin * hp_flow * wp * 4
+
+
+def objective_uses_banded(spec: ObjectiveSpec) -> bool:
+    """Whether the banded fused kernel applies: like objective_uses_fused
+    but time-aware objectives also qualify when the flattened flow-voxel
+    gather table fits VMEM and the voxelization scheme is jittable."""
+    from .. import config as evconfig
+
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    if backend_raw == "auto":
+        import jax as _jax
+
+        fused = _jax.default_backend() == "tpu"
+    else:
+        fused = backend_raw in ("pallas", "pallas_bf16")
+    cost = make_cost(spec)
+    required = set(cost.required_keys)
+    base = (
+        fused
+        and spec.iwe_method == "bilinear_vote"
+        and spec.outer_padding == 0
+        and not (required & {"backward_warp", "forward_warp"})
+    )
+    if not spec.time_aware:
+        return base
+    return (
+        base
+        and spec.flow_interpolation in _JIT_VOXEL_SCHEMES
+        and _voxel_table_bytes(spec) <= _VOXEL_TABLE_VMEM_LIMIT
+    )
+
+
 def build_objective(spec: ObjectiveSpec):
     """Return pure fn(motion_flat, events, weights) -> (loss, components).
 
@@ -237,14 +279,22 @@ def build_objective_banded(spec: ObjectiveSpec):
     -> (loss, components), over chunks pre-packed host-side with
     ops.pallas_objective_banded.pack_events_by_band.  Semantically equal
     to build_objective at fp32 summation tolerance; the row-band-local
-    gathers are ~4x cheaper.  Dense (non-time-aware) flow only."""
+    gathers are ~4x cheaper.  Time-aware specs route to the voxel kernel
+    (events pre-packed by (band, time-bin) with pack_events_by_band_bin;
+    the Burgers/upwind voxelization runs in plain jnp inside the jit, so
+    gradients traverse the whole PDE chain)."""
     from .. import config as evconfig
     from ..ops.blur import gaussian_blur3
-    from ..ops.pallas_objective_banded import fused_multi_iwe_banded
+    from ..ops.pallas_objective_banded import (
+        fused_multi_iwe_banded,
+        fused_multi_iwe_banded_voxel,
+    )
 
     cost = make_cost(spec)
     required = set(cost.required_keys)
-    assert not spec.time_aware and spec.outer_padding == 0
+    assert spec.outer_padding == 0
+    if spec.time_aware:
+        assert spec.flow_interpolation in _JIT_VOXEL_SCHEMES
     directions = []
     if required & {"iwe", "backward_iwe"}:
         directions.append(("backward", 0.0))
@@ -257,14 +307,17 @@ def build_objective_banded(spec: ObjectiveSpec):
     use_bf16 = backend_raw in ("auto", "pallas_bf16")
 
     def objective(motion_flat, x, y, dtf, wt, bands, t_scale):
-        flow = tile_to_dense_flow(
-            motion_flat, spec.patch_image_size, spec.image_shape, spec.patch_size,
-            spec.sliding_window, spec.patch_shift, spec.filter_type,
-        ) * t_scale
-        imgs = fused_multi_iwe_banded(
-            flow, x, y, dtf, wt, bands, spec.image_shape,
-            tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
-        )
+        flow = motion_to_dense_flow(spec, motion_flat, t_scale) * t_scale
+        if spec.time_aware:
+            imgs = fused_multi_iwe_banded_voxel(
+                flow, x, y, dtf, wt, bands, spec.image_shape,
+                tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+            )
+        else:
+            imgs = fused_multi_iwe_banded(
+                flow, x, y, dtf, wt, bands, spec.image_shape,
+                tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+            )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
         arg = {"omit_boundary": True, "clip": True}

@@ -22,6 +22,7 @@ from .objective import (
     build_objective,
     build_objective_banded,
     build_value_grad_hvp,
+    objective_uses_banded,
     objective_uses_fused,
 )
 from .sampling import build_patch_search, gather_patch_events
@@ -165,7 +166,7 @@ class PatchContrastMaximization(SolverBase):
 
     # --- on-device Newton-CG ------------------------------------------------
     def _uses_banded(self, spec) -> bool:
-        return objective_uses_fused(spec)
+        return objective_uses_banded(spec)
 
     def _get_newton_solver(self, spec, maxiter: int, gtol: float):
         key = (spec, "newton", maxiter, gtol, self._uses_banded(spec))
@@ -183,7 +184,7 @@ class PatchContrastMaximization(SolverBase):
                 cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
                 xtol=1e-5,
                 gtol=gtol,
-                hvp_mode="fd" if objective_uses_fused(spec) else "autodiff",
+                hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
             )
             self._fun_cache[key] = jax.jit(solve)
         return self._fun_cache[key]
@@ -191,7 +192,10 @@ class PatchContrastMaximization(SolverBase):
     def _pack_banded(self, events_np: np.ndarray):
         """Per-frame host packing for the banded kernel (cached per frame
         via the caller); returns device args + scalar t_scale."""
-        from ..ops.pallas_objective_banded import pack_events_by_band
+        from ..ops.pallas_objective_banded import (
+            pack_events_by_band,
+            pack_events_by_band_bin,
+        )
         from ..types import pad_events
 
         padded, wgt = pad_events(np.asarray(events_np, dtype=np.float64))
@@ -200,7 +204,12 @@ class PatchContrastMaximization(SolverBase):
         t_max = t[wgt > 0].max()
         span = (t_max - t_min) or 1.0
         dtf = (t - t_min) / span
-        x2, y2, d2, w2, bands = pack_events_by_band(padded, wgt, dtf, self.image_shape[0])
+        if self.is_time_aware:
+            x2, y2, d2, w2, bands = pack_events_by_band_bin(
+                padded, wgt, dtf, self.image_shape[0], getattr(self, "time_bin", 10)
+            )
+        else:
+            x2, y2, d2, w2, bands = pack_events_by_band(padded, wgt, dtf, self.image_shape[0])
         return (
             jnp.asarray(x2, self.dtype),
             jnp.asarray(y2, self.dtype),

@@ -86,6 +86,105 @@ def test_banded_kernel_matches_scatter():
     np.testing.assert_allclose(out, np.stack([np.asarray(r) for r in ref]), atol=1e-8)
 
 
+def test_banded_voxel_kernel_matches_composed():
+    """Time-aware banded fused kernel ((band, bin)-packed chunks, flattened
+    voxel gather table) vs composed voxel-warp + scatter vote, values and
+    voxel-gradients, on CPU interpret mode."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.ops.iwe import bilinear_vote
+    from event_based_optical_flow_tpu.ops.warp import multi_direction_dense_warp
+
+    n_bin = 4
+    ev = _events(600, seed=7)
+    ev[:, 0] = np.clip(np.round(ev[:, 0]), 0, H - 1)
+    ev[:, 1] = np.clip(np.round(ev[:, 1]), 0, W - 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    voxel = np.random.default_rng(8).uniform(-4, 4, (n_bin, 2, H, W))
+
+    t = padded[:, 2]
+    dtf = (t - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    x2, y2, d2, w2, bands = PB.pack_events_by_band_bin(padded, wgt, dtf, H, n_bin)
+    offsets = (0.0, 1.0, 0.5)
+
+    def fused(vox):
+        return PB.fused_multi_iwe_banded_voxel(
+            vox, jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2),
+            jnp.asarray(w2), jnp.asarray(bands), (H, W), offsets, True, 1e-6, False,
+        )
+
+    def composed(vox):
+        events_j = jnp.asarray(padded)
+        weights_j = jnp.asarray(wgt)
+        warped = multi_direction_dense_warp(
+            events_j, vox, list(offsets), (H, W), weights=weights_j, time_aware=True
+        )
+        ref = [bilinear_vote(events_j, (H, W), weight=weights_j, backend="matmul")]
+        ref += [bilinear_vote(wv, (H, W), weight=weights_j, backend="matmul") for wv in warped]
+        return jnp.stack(ref)
+
+    vox_j = jnp.asarray(voxel)
+    np.testing.assert_allclose(np.asarray(fused(vox_j)), np.asarray(composed(vox_j)), atol=1e-8)
+
+    g = jnp.asarray(np.random.default_rng(9).standard_normal((4, H, W)))
+    grad_fused = jax.grad(lambda v: jnp.sum(fused(v) * g))(vox_j)
+    grad_comp = jax.grad(lambda v: jnp.sum(composed(v) * g))(vox_j)
+    np.testing.assert_allclose(np.asarray(grad_fused), np.asarray(grad_comp), atol=1e-7)
+
+
+def test_banded_time_aware_objective_matches_unfused():
+    """Full time-aware objective through the banded voxel kernel (tile
+    interp -> Burgers voxel -> fused warp+vote -> hybrid cost) vs the
+    unfused build_objective, loss and motion-gradient."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.solver.objective import (
+        ObjectiveSpec,
+        build_objective,
+        build_objective_banded,
+    )
+
+    spec = ObjectiveSpec(
+        image_shape=(H, W),
+        outer_padding=0,
+        patch_image_size=(2, 2),
+        patch_size=(H // 2, W // 2),
+        sliding_window=(H // 2, W // 2),
+        patch_shift=(0, 0),
+        filter_type="bilinear",
+        iwe_method="bilinear_vote",
+        blur_sigma=1.0,
+        cost_name="hybrid",
+        cost_with_weight=(
+            ("multi_focal_normalized_gradient_magnitude", 1.0),
+            ("total_variation", 0.01),
+        ),
+        time_aware=True,
+        time_bin=4,
+        flow_interpolation="burgers",
+        iwe_backend="pallas",
+    )
+    ev = _events(800, seed=11)
+    ev[:, 0] = np.clip(np.round(ev[:, 0]), 0, H - 1)
+    ev[:, 1] = np.clip(np.round(ev[:, 1]), 0, W - 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    t = padded[:, 2]
+    span = ev[:, 2].max() - ev[:, 2].min()
+    dtf = (t - ev[:, 2].min()) / span
+    x2, y2, d2, w2, bands = PB.pack_events_by_band_bin(padded, wgt, dtf, H, spec.time_bin)
+
+    motion = jnp.asarray(np.random.default_rng(12).uniform(-6, 6, 8))
+    banded = build_objective_banded(spec)
+    unfused = build_objective(spec)
+    args_b = (jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2), jnp.asarray(w2),
+              jnp.asarray(bands), jnp.asarray(span))
+    loss_b = banded(motion, *args_b)[0]
+    loss_u = unfused(motion, jnp.asarray(padded), jnp.asarray(wgt))[0]
+    np.testing.assert_allclose(float(loss_b), float(loss_u), atol=1e-9)
+
+    g_b = jax.grad(lambda m: banded(m, *args_b)[0])(motion)
+    g_u = jax.grad(lambda m: unfused(m, jnp.asarray(padded), jnp.asarray(wgt))[0])(motion)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_u), atol=1e-8)
+
+
 def test_multi_direction_warp_matches_single():
     from event_based_optical_flow_tpu.ops.warp import Warp, multi_direction_dense_warp
 
