@@ -18,6 +18,18 @@ from ..ops.sobel import sobel_flow, sobel_xy
 Array = jax.Array
 
 
+def nan_to_penalty(loss: Array, penalty: float = 1e10) -> Array:
+    """Guard a cost against NaN.
+
+    The reference returns 0 on NaN (patch_contrast_base.py:283-287), which
+    makes NaN basins — e.g. a Burgers voxel blown up by an absurd candidate
+    motion — look OPTIMAL (0 < any real loss) to every descent method and
+    to argmin candidate sweeps.  We return a large finite penalty instead,
+    so line searches and samplers reject those regions; at every finite
+    point the value is identical to the reference."""
+    return jnp.where(jnp.isnan(loss), jnp.asarray(penalty, loss.dtype), loss)
+
+
 def variance(x: Array, ddof: int = 1) -> Array:
     n = x.size
     mean = jnp.mean(x)

@@ -22,6 +22,8 @@ from ..ops.warp import Warp
 from ..types import pad_events
 from .ev_flownet import EVFlowNet, events_to_voxel_grid
 
+from ..costs.functional import nan_to_penalty
+
 logger = logging.getLogger(__name__)
 
 
@@ -56,7 +58,7 @@ def unsupervised_cmax_loss(
     mid = iwe(warper.warp_event(events, scaled_flow, "dense-flow", "middle", weights))
     loss = F.multi_focal_normalized_gradient_magnitude(orig, fwd, bwd, mid, omit_boundary=True)
     loss = loss + tv_weight * F.total_variation(flow, omit_boundary=True)
-    return jnp.where(jnp.isnan(loss), 0.0, loss)
+    return nan_to_penalty(loss)
 
 
 def make_dnn_train_state(

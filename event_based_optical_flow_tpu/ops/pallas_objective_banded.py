@@ -122,10 +122,14 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, b_int, wp, use_bf16):
 
 def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
-                bands_mod=None):
+                bands_mod=None, init_axes=None):
     i = pl.program_id(chunk_axis)
+    init = i == 0
+    for ax in init_axes or ():
+        if ax != chunk_axis:
+            init = init & (pl.program_id(ax) == 0)
 
-    @pl.when(i == 0)
+    @pl.when(init)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -299,24 +303,20 @@ fused_multi_iwe_banded.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 # --------------------------------------------------------------------------
-# Time-aware (voxel) variant: the gather table is the flattened flow voxel.
+# Time-aware (voxel) variant: the time bin is a grid dimension.
 #
 # A [T, 2, H, W] time-binned voxel (ref warp.py:315-396 semantics: events
 # bucketed by normalized time into T bins, each warped by its own slice)
-# flattens to a [2, T*hp_flow, W] table; an event in time-bin b and spatial
-# band k reads rows [b*hp_flow + k*64, +64) — i.e. the SAME kernels as the
-# dense case with combined band id ``b * (hp_flow//BAND) + k``.  Only the
-# host packing and the table construction differ.
+# is rasterized on a (T, chunks_per_bin) grid: grid step (t, i) keeps only
+# bin t's [2, hp_flow, wp] slice in VMEM (not the whole voxel — the
+# backward pass needs the slice AND its cotangent resident, which for
+# MVSEC-sized frames at T=10 would not fit), and events are packed per
+# (bin, 64-row band) so gathers stay band-local.  Consecutive inner steps
+# share the bin slice, so the voxel streams through VMEM exactly once.
 
 
 def n_bands_of(height: int) -> int:
     return _round_up(height, BAND) // BAND
-
-
-def max_chunks_voxel(n_events: int, height: int, n_bin: int) -> int:
-    """Static chunk bound for (band, bin) packing: each occupied
-    (band, bin) pair adds at most one partially-filled chunk."""
-    return (n_events + _CHUNK - 1) // _CHUNK + n_bands_of(height) * n_bin
 
 
 def pack_events_by_band_bin(
@@ -325,40 +325,52 @@ def pack_events_by_band_bin(
     dtf: np.ndarray,
     height: int,
     n_bin: int,
+    g_bucket: int = 4,
 ):
     """Host-side packing for the voxel kernel: group events by
-    (time-bin, 64-row band), pad each group to whole chunks.  Band ids are
-    the combined ``bin * bands_per_bin + band`` addressing the flattened
-    gather table.  Bin id matches ops.warp._warp_voxel_single:
-    ``clip(floor(dtf * n_bin), 0, n_bin - 1)`` with dtf normalized to
-    [0, 1] over valid events."""
-    n = len(events)
+    (time-bin, 64-row band), pad each group to whole chunks, and pad every
+    bin to the same chunk count G (rounded up to ``g_bucket`` to bound jit
+    retraces).  Returns (x/y/dtf/wt [T, G, 1, C], band_ids [T, G]) with
+    band_ids the SPATIAL band (the bin is the leading axis).  Bin id
+    matches ops.warp._warp_voxel_single: ``clip(floor(dtf * n_bin), 0,
+    n_bin - 1)`` with dtf normalized to [0, 1] over valid events."""
     bands_per_bin = n_bands_of(height)
-    g_max = max_chunks_voxel(n, height, n_bin)
-    x_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
-    y_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
-    d_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
-    w_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
-    band_ids = np.zeros(g_max, dtype=np.int32)
-
     x = events[:, 0]
     band_of = np.clip(x.astype(np.int64) // BAND, 0, bands_per_bin - 1)
     bin_of = np.clip(np.floor(dtf * n_bin).astype(np.int64), 0, n_bin - 1)
     valid = weights > 0
-    g = 0
+
+    groups = {}
+    g_needed = 1
     for t in range(n_bin):
+        n_chunks = 0
         for b in range(bands_per_bin):
             sel = np.nonzero(valid & (band_of == b) & (bin_of == t))[0]
+            groups[(t, b)] = sel
+            n_chunks += (len(sel) + _CHUNK - 1) // _CHUNK
+        g_needed = max(g_needed, n_chunks)
+    g_max = -(-g_needed // g_bucket) * g_bucket
+
+    x_out = np.full((n_bin, g_max, _CHUNK), -10.0, dtype=np.float64)
+    y_out = np.full((n_bin, g_max, _CHUNK), -10.0, dtype=np.float64)
+    d_out = np.zeros((n_bin, g_max, _CHUNK), dtype=np.float64)
+    w_out = np.zeros((n_bin, g_max, _CHUNK), dtype=np.float64)
+    band_ids = np.zeros((n_bin, g_max), dtype=np.int32)
+
+    for t in range(n_bin):
+        g = 0
+        for b in range(bands_per_bin):
+            sel = groups[(t, b)]
             for start in range(0, len(sel), _CHUNK):
                 idx = sel[start : start + _CHUNK]
                 k = len(idx)
-                x_out[g, :k] = events[idx, 0]
-                y_out[g, :k] = events[idx, 1]
-                d_out[g, :k] = dtf[idx]
-                w_out[g, :k] = weights[idx]
-                band_ids[g] = t * bands_per_bin + b
+                x_out[t, g, :k] = events[idx, 0]
+                y_out[t, g, :k] = events[idx, 1]
+                d_out[t, g, :k] = dtf[idx]
+                w_out[t, g, :k] = weights[idx]
+                band_ids[t, g] = b
                 g += 1
-    shape = (g_max, 1, _CHUNK)
+    shape = (n_bin, g_max, 1, _CHUNK)
     return (
         x_out.reshape(shape),
         y_out.reshape(shape),
@@ -368,101 +380,93 @@ def pack_events_by_band_bin(
     )
 
 
-def _table_fwd_impl(table, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
-    """Forward over a pre-padded [2, R, wp] gather table (R % 64 == 0)."""
+def _band_rows_2d(band_ids: Array) -> Array:
+    t, g = band_ids.shape
+    return jnp.broadcast_to(band_ids.astype(jnp.int32)[:, :, None, None], (t, g, 1, 128))
+
+
+def _vox_specs(hp, hp_flow, wp, k_total):
+    band = pl.BlockSpec((None, None, 1, 128), lambda t, i: (t, i, 0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((None, None, 1, _CHUNK), lambda t, i: (t, i, 0, 0), memory_space=pltpu.VMEM)
+    flow = pl.BlockSpec((None, 2, hp_flow, wp), lambda t, i: (t, 0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((k_total, hp, wp), lambda t, i: (0, 0, 0), memory_space=pltpu.VMEM)
+    return band, row, flow, out
+
+
+def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
-    wp = table.shape[2]
-    rows = table.shape[1]
-    g_chunks = x.shape[0]
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    t_bins, g_chunks = x.shape[0], x.shape[1]
+    voxel_p = jnp.zeros((t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :h, :w].set(voxel)
     k_total = len(offsets) + (1 if include_orig else 0)
+    band, row, flow_spec, out_spec = _vox_specs(hp, hp_flow, wp, k_total)
 
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16,
-            bands_mod=n_bands_of(h),
+            chunk_axis=1, init_axes=(0, 1),
         ),
-        grid=(g_chunks,),
-        in_specs=[
-            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            _row_spec(), _row_spec(), _row_spec(), _row_spec(),
-            pl.BlockSpec((2, rows, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k_total, hp, wp), table.dtype),
+        grid=(t_bins, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((k_total, hp, wp), voxel.dtype),
         interpret=_interpret(),
-    )(_band_rows(band_ids), x, y, dtf, wt, table)
+    )(_band_rows_2d(band_ids), x, y, dtf, wt, voxel_p)
     return out[:, :h, :w]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def _fused_banded_table(table, x, y, dtf, wt, band_ids, image_size, offsets,
-                        include_orig, eps, use_bf16):
-    return _table_fwd_impl(table, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
-
-
-def _table_vjp_fwd(table, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
-    out = _table_fwd_impl(table, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
-    return out, (table, x, y, dtf, wt, band_ids)
-
-
-def _table_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
-    table, x, y, dtf, wt, band_ids = res
-    h, w = image_size
-    hp = _round_up(max(h + 1, BAND), 8)
-    wp = table.shape[2]
-    rows = table.shape[1]
-    g_chunks = x.shape[0]
-    k_total = g.shape[0]
-    g_p = jnp.zeros((k_total, hp, wp), g.dtype).at[:, :h, :w].set(g)
-
-    dtable = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
-            include_orig=include_orig, use_bf16=use_bf16,
-            bands_mod=n_bands_of(h),
-        ),
-        grid=(g_chunks,),
-        in_specs=[
-            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            _row_spec(), _row_spec(), _row_spec(), _row_spec(),
-            pl.BlockSpec((2, rows, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((2, rows, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, rows, wp), table.dtype),
-        interpret=_interpret(),
-    )(_band_rows(band_ids), x, y, dtf, wt, table, g_p)
-    z = jnp.zeros_like
-    return dtable, z(x), z(y), z(dtf), z(wt), None
-
-
-_fused_banded_table.defvjp(_table_vjp_fwd, _table_vjp_bwd)
-
-
 def fused_multi_iwe_banded_voxel(voxel, x, y, dtf, wt, band_ids, image_size, offsets,
                                  include_orig=True, eps=1e-6, use_bf16=True):
-    """Time-aware banded fused rasterizer over (band, bin)-packed chunks
+    """Time-aware banded fused rasterizer over (bin, band)-packed chunks
     (pack_events_by_band_bin).
 
-    voxel [T, 2, H, W]; x/y/dtf/wt [G, 1, CHUNK]; band_ids [G] combined.
+    voxel [T, 2, H, W]; x/y/dtf/wt [T, G, 1, CHUNK]; band_ids [T, G].
     Returns [(orig?) + len(offsets), H, W]; differentiable w.r.t. voxel
-    (the table flatten is plain jnp, so grads reach every voxel slice —
-    and through it the whole Burgers/upwind lax.scan chain)."""
+    (the custom-vjp backward emits per-bin slice gradients, and autodiff
+    carries them back through the Burgers/upwind lax.scan chain)."""
+    return _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+
+
+def _vox_vjp_fwd(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
+    out = _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+    return out, (voxel, x, y, dtf, wt, band_ids)
+
+
+def _vox_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
+    voxel, x, y, dtf, wt, band_ids = res
     h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
     hp_flow = _round_up(h, BAND)
     wp = _round_up(w + 1, 128)
-    t_bins = voxel.shape[0]
-    table = (
-        jnp.zeros((t_bins, 2, hp_flow, wp), voxel.dtype)
-        .at[:, :, :h, :w]
-        .set(voxel)
-        .transpose(1, 0, 2, 3)
-        .reshape(2, t_bins * hp_flow, wp)
-    )
-    return _fused_banded_table(table, x, y, dtf, wt, band_ids, image_size, offsets,
-                               include_orig, eps, use_bf16)
+    t_bins, g_chunks = x.shape[0], x.shape[1]
+    voxel_p = jnp.zeros((t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :h, :w].set(voxel)
+    k_total = g.shape[0]
+    g_p = jnp.zeros((k_total, hp, wp), g.dtype).at[:, :h, :w].set(g)
+    band, row, flow_spec, _ = _vox_specs(hp, hp_flow, wp, k_total)
+    g_spec = pl.BlockSpec((k_total, hp, wp), lambda t, i: (0, 0, 0), memory_space=pltpu.VMEM)
+    dvox_spec = pl.BlockSpec((None, 2, hp_flow, wp), lambda t, i: (t, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    dvox_p = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
+        ),
+        grid=(t_bins, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, g_spec],
+        out_specs=dvox_spec,
+        out_shape=jax.ShapeDtypeStruct((t_bins, 2, hp_flow, wp), voxel.dtype),
+        interpret=_interpret(),
+    )(_band_rows_2d(band_ids), x, y, dtf, wt, voxel_p, g_p)
+    dvoxel = dvox_p[:, :, :h, :w]
+    z = jnp.zeros_like
+    return dvoxel, z(x), z(y), z(dtf), z(wt), None
+
+
+fused_multi_iwe_banded_voxel.defvjp(_vox_vjp_fwd, _vox_vjp_bwd)
 
 
 # --------------------------------------------------------------------------

@@ -21,6 +21,8 @@ from ..ops.blur import gaussian_blur3
 from ..ops.interp import tile_to_dense_flow
 from ..ops.iwe import bilinear_vote
 
+from ..costs.functional import nan_to_penalty
+
 Array = jax.Array
 
 
@@ -122,7 +124,7 @@ def sharded_multifocal_loss(
     mid = warp_to((t_min + t_max) * 0.5)
     loss = F.multi_focal_normalized_gradient_magnitude(orig, fwd, bwd, mid, omit_boundary=True)
     loss = loss + tv_weight * F.total_variation(motion.reshape((2,) + tuple(patch_image_size)))
-    return jnp.where(jnp.isnan(loss), 0.0, loss)
+    return nan_to_penalty(loss)
 
 
 def build_fleet_step(

@@ -27,6 +27,8 @@ from ..types import pad_events
 from .objective import ObjectiveSpec, build_objective, make_cost, objective_uses_fused
 from .pyramid import PyramidalPatchContrastMaximization
 
+from ..costs.functional import nan_to_penalty
+
 logger = logging.getLogger(__name__)
 
 Array = jax.Array
@@ -105,7 +107,7 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
             if "flow" in required:
                 arg["flow"] = m.reshape((2,) + tuple(spec.patch_image_size))
             loss = cost.calculate(arg)
-            return jnp.where(jnp.isnan(loss), 0.0, loss)
+            return nan_to_penalty(loss)
 
         return jax.vmap(per_frame)(imgs, motion)
 
@@ -168,7 +170,7 @@ def build_batched_objective(spec: ObjectiveSpec):
                 if "flow" in required:
                     arg["flow"] = m.reshape((2,) + tuple(spec.patch_image_size))
                 loss = cost.calculate(arg)
-                return jnp.where(jnp.isnan(loss), 0.0, loss)
+                return nan_to_penalty(loss)
 
             return jax.vmap(per_frame)(imgs, motion)
 

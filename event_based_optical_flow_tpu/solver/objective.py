@@ -22,6 +22,8 @@ from ..ops.interp import tile_to_dense_flow
 from ..ops.iwe import EventImageConverter
 from ..ops.warp import Warp, multi_direction_dense_warp
 
+from ..costs.functional import nan_to_penalty
+
 Array = jax.Array
 
 
@@ -107,20 +109,26 @@ def objective_uses_fused(spec: ObjectiveSpec) -> bool:
 
 # voxel schemes that compile under jit (host griddata schemes can't)
 _JIT_VOXEL_SCHEMES = ("upwind", "burgers", "same", "bilinear", "max")
-_VOXEL_TABLE_VMEM_LIMIT = 8 * 1024 * 1024  # bytes; leave room for IWEs/chunks
+_VOXEL_VMEM_LIMIT = 12 * 1024 * 1024  # bytes; v5e VMEM is ~16 MB/core
 
 
-def _voxel_table_bytes(spec: ObjectiveSpec) -> int:
+def _voxel_vmem_bytes(spec: ObjectiveSpec) -> int:
+    """Peak VMEM of the voxel kernel's backward step: one bin slice + its
+    cotangent + the IWE-stack cotangent (the bin is a grid dimension, so
+    the whole voxel is never resident)."""
     h, w = spec.image_shape
     hp_flow = -(-h // 64) * 64
     wp = -(-(w + 1) // 128) * 128
-    return 2 * spec.time_bin * hp_flow * wp * 4
+    slice_bytes = 2 * hp_flow * wp * 4
+    iwe_stack = 4 * (h + 8) * wp * 4
+    return 2 * slice_bytes + 2 * iwe_stack
 
 
 def objective_uses_banded(spec: ObjectiveSpec) -> bool:
     """Whether the banded fused kernel applies: like objective_uses_fused
-    but time-aware objectives also qualify when the flattened flow-voxel
-    gather table fits VMEM and the voxelization scheme is jittable."""
+    but time-aware objectives also qualify when the voxelization scheme is
+    jittable and a bin slice + cotangents fit VMEM (the voxel kernel grids
+    over time bins, so even T=10 MVSEC-sized voxels qualify)."""
     from .. import config as evconfig
 
     backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
@@ -143,7 +151,7 @@ def objective_uses_banded(spec: ObjectiveSpec) -> bool:
     return (
         base
         and spec.flow_interpolation in _JIT_VOXEL_SCHEMES
-        and _voxel_table_bytes(spec) <= _VOXEL_TABLE_VMEM_LIMIT
+        and _voxel_vmem_bytes(spec) <= _VOXEL_VMEM_LIMIT
     )
 
 
@@ -155,7 +163,8 @@ def build_objective(spec: ObjectiveSpec):
       flow    = interp(tiles) * t_scale  (voxelized if time-aware)
       IWEs    = orig + {first,last,middle}-warped bilinear votes, blur
       loss    = cost (hybrid: multi-focal + TV on raw tile motions)
-      nan -> 0 guard (ref patch_contrast_base.py:283-287)
+      nan -> large-penalty guard (deviation from ref
+      patch_contrast_base.py:283-287's nan->0 — see nan_to_penalty)
     """
     from .. import config as evconfig
 
@@ -268,7 +277,7 @@ def build_objective(spec: ObjectiveSpec):
         else:
             loss = cost.calculate(arg)
             components = {cost.name: loss}
-        loss = jnp.where(jnp.isnan(loss), 0.0, loss)
+        loss = nan_to_penalty(loss)
         return loss, components
 
     return objective
@@ -338,7 +347,7 @@ def build_objective_banded(spec: ObjectiveSpec):
         else:
             loss = cost.calculate(arg)
             components = {cost.name: loss}
-        loss = jnp.where(jnp.isnan(loss), 0.0, loss)
+        loss = nan_to_penalty(loss)
         return loss, components
 
     return objective

@@ -26,6 +26,8 @@ from ..costs import functional as F
 from ..ops.iwe import EventImageConverter
 from ..ops.warp import calculate_reftime, warp_2dof
 
+from ..costs.functional import nan_to_penalty
+
 logger = logging.getLogger(__name__)
 
 Array = jax.Array
@@ -81,7 +83,7 @@ def _patch_cost_fn(patch_size: Tuple[int, int], blur_sigma: float, iwe_method: s
                                 blur_mode="torch", backend=backend)
         mag = F.gradient_magnitude(iwe, omit_boundary=False)
         loss = orig_mag / mag  # NormalizedGradientMagnitude, minimize
-        return jnp.where(jnp.isnan(loss), 0.0, loss)
+        return nan_to_penalty(loss)
 
     return orig_stats, cost
 
