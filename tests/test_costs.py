@@ -105,3 +105,18 @@ def test_hybrid_inv_weight():
     arg = {"iwe": sharp, "omit_boundary": True}
     iv = float(costs.ImageVariance(direction="minimize").calculate(arg))
     assert float(hybrid.calculate(arg)) == pytest.approx(1.0 / iv, rel=1e-9)
+
+
+def test_nan_to_penalty_rejects_nan_basins():
+    """NaN losses must map to a LARGE value, not 0: the reference's nan->0
+    (patch_contrast_base.py:283-287) makes NaN basins attractive to
+    argmin sweeps and line searches (documented deviation)."""
+    import jax.numpy as jnp
+
+    from event_based_optical_flow_tpu.costs.functional import nan_to_penalty
+
+    assert float(nan_to_penalty(jnp.asarray(jnp.nan))) == 1e10
+    assert float(nan_to_penalty(jnp.asarray(3.5))) == 3.5
+    # an argmin over candidates must never pick the NaN one
+    losses = nan_to_penalty(jnp.asarray([2.0, jnp.nan, 1.5]))
+    assert int(jnp.argmin(losses)) == 2
