@@ -469,6 +469,87 @@ def _vox_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
 fused_multi_iwe_banded_voxel.defvjp(_vox_vjp_fwd, _vox_vjp_bwd)
 
 
+# ----- fleet variant of the voxel kernel: grid (B, time_bin, chunks) -------
+
+
+def _vox_specs_batched(hp, hp_flow, wp, k_total):
+    band = pl.BlockSpec((None, None, None, 1, 128), lambda b, t, i: (b, t, i, 0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((None, None, None, 1, _CHUNK), lambda b, t, i: (b, t, i, 0, 0), memory_space=pltpu.VMEM)
+    flow = pl.BlockSpec((None, None, 2, hp_flow, wp), lambda b, t, i: (b, t, 0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((None, k_total, hp, wp), lambda b, t, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    return band, row, flow, out
+
+
+def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16):
+    bsz, t_bins, g_chunks = x.shape[0], x.shape[1], x.shape[2]
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    voxel_p = jnp.zeros((bsz, t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :, :h, :w].set(voxel)
+    k_total = len(offsets) + (1 if include_orig else 0)
+    band, row, flow_spec, out_spec = _vox_specs_batched(hp, hp_flow, wp, k_total)
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16,
+            chunk_axis=2, init_axes=(1, 2),
+        ),
+        grid=(bsz, t_bins, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, k_total, hp, wp), voxel.dtype),
+        interpret=_interpret(),
+    )(band_rows, x, y, dtf, wt, voxel_p)
+    return out[:, :, :h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def fused_multi_iwe_banded_voxel_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets,
+                                         include_orig=True, eps=1e-6, use_bf16=True):
+    """Fleet time-aware variant: voxel [B,T,2,H,W]; x/y/dtf/wt
+    [B,T,G,1,CHUNK]; band_rows [B,T,G,1,128] int32.  One launch for all B
+    frames x T bins; differentiable w.r.t. voxel."""
+    return _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16)
+
+
+def _vox_vjp_fwd_b(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16):
+    out = _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16)
+    return out, (voxel, x, y, dtf, wt, band_rows)
+
+
+def _vox_vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, res, g):
+    voxel, x, y, dtf, wt, band_rows = res
+    bsz, t_bins, g_chunks = x.shape[0], x.shape[1], x.shape[2]
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    voxel_p = jnp.zeros((bsz, t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :, :h, :w].set(voxel)
+    k_total = g.shape[1]
+    g_p = jnp.zeros((bsz, k_total, hp, wp), g.dtype).at[:, :, :h, :w].set(g)
+    band, row, flow_spec, _ = _vox_specs_batched(hp, hp_flow, wp, k_total)
+    g_spec = pl.BlockSpec((None, k_total, hp, wp), lambda b, t, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    dvox_spec = pl.BlockSpec((None, None, 2, hp_flow, wp), lambda b, t, i: (b, t, 0, 0, 0), memory_space=pltpu.VMEM)
+    dvox_p = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            include_orig=include_orig, use_bf16=use_bf16, chunk_axis=2,
+        ),
+        grid=(bsz, t_bins, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, g_spec],
+        out_specs=dvox_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, t_bins, 2, hp_flow, wp), voxel.dtype),
+        interpret=_interpret(),
+    )(band_rows, x, y, dtf, wt, voxel_p, g_p)
+    dvoxel = dvox_p[:, :, :, :h, :w]
+    z = jnp.zeros_like
+    return dvoxel, z(x), z(y), z(dtf), z(wt), None
+
+
+fused_multi_iwe_banded_voxel_batched.defvjp(_vox_vjp_fwd_b, _vox_vjp_bwd_b)
+
+
 # --------------------------------------------------------------------------
 # Batched-banded: one launch rasterizes a fleet of frames (grid (B, chunks)).
 

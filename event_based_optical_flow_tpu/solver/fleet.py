@@ -24,7 +24,13 @@ import numpy as np
 from ..ops.blur import gaussian_blur3
 from ..ops.interp import tile_to_dense_flow
 from ..types import pad_events
-from .objective import ObjectiveSpec, build_objective, make_cost, objective_uses_fused
+from .objective import (
+    ObjectiveSpec,
+    build_objective,
+    make_cost,
+    objective_uses_banded,
+    objective_uses_fused,
+)
 from .pyramid import PyramidalPatchContrastMaximization
 
 from ..costs.functional import nan_to_penalty
@@ -34,10 +40,17 @@ logger = logging.getLogger(__name__)
 Array = jax.Array
 
 
-def pack_fleet_banded(events_list, image_height: int, dtype=np.float64):
+def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
+                      time_bin: int = 0):
     """Host packing of a fleet for the batched-banded kernel: returns
-    (x, y, dtf, wt [B,G,1,C], band_rows [B,G,1,128], t_scales [B])."""
-    from ..ops.pallas_objective_banded import pack_events_by_band
+    (x, y, dtf, wt [B,G,1,C], band_rows [B,G,1,128], t_scales [B]).
+    With ``time_bin`` > 0 (time-aware), packs per (bin, band) instead and
+    returns [B,T,G,1,C] chunks with [B,T,G,1,128] band rows, all frames
+    padded to the fleet-wide max chunk count."""
+    from ..ops.pallas_objective_banded import (
+        pack_events_by_band,
+        pack_events_by_band_bin,
+    )
 
     target_n = max(len(e) for e in events_list)
     target_n = ((target_n + 4095) // 4096) * 4096
@@ -49,10 +62,37 @@ def pack_fleet_banded(events_list, image_height: int, dtype=np.float64):
         t_max = t[wgt > 0].max()
         span = (t_max - t_min) or 1.0
         dtf = (t - t_min) / span
-        x2, y2, d2, w2, bands = pack_events_by_band(padded, wgt, dtf, image_height)
+        if time_bin > 0:
+            x2, y2, d2, w2, bands = pack_events_by_band_bin(
+                padded, wgt, dtf, image_height, time_bin
+            )
+        else:
+            x2, y2, d2, w2, bands = pack_events_by_band(padded, wgt, dtf, image_height)
         xs.append(x2); ys.append(y2); ds.append(d2); ws.append(w2)
-        bs.append(np.broadcast_to(bands.astype(np.int32)[:, None, None], (len(bands), 1, 128)))
+        bs.append(bands)
         scales.append(t_max - t_min)
+    if time_bin > 0:
+        # frames may need different per-bin chunk counts: pad to the max
+        g_max = max(a.shape[1] for a in xs)
+
+        def _pad(a, fill):
+            out = np.full(a.shape[:1] + (g_max,) + a.shape[2:], fill, a.dtype)
+            out[:, : a.shape[1]] = a
+            return out
+
+        xs = [_pad(a, -10.0) for a in xs]
+        ys = [_pad(a, -10.0) for a in ys]
+        ds = [_pad(a, 0.0) for a in ds]
+        ws = [_pad(a, 0.0) for a in ws]
+        bs = [
+            np.broadcast_to(_pad(b, 0).astype(np.int32)[:, :, None, None], (time_bin, g_max, 1, 128))
+            for b in bs
+        ]
+    else:
+        bs = [
+            np.broadcast_to(b.astype(np.int32)[:, None, None], (len(b), 1, 128))
+            for b in bs
+        ]
     return (
         np.stack(xs), np.stack(ys), np.stack(ds), np.stack(ws),
         np.stack(bs), np.asarray(scales),
@@ -63,7 +103,10 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
     """Fleet objective over pre-packed banded chunks:
     fn(motion [B,M], x, y, dtf, wt, band_rows, t_scales) -> losses [B]."""
     from .. import config as evconfig
-    from ..ops.pallas_objective_banded import fused_multi_iwe_banded_batched
+    from ..ops.pallas_objective_banded import (
+        fused_multi_iwe_banded_batched,
+        fused_multi_iwe_banded_voxel_batched,
+    )
 
     cost = make_cost(spec)
     required = set(cost.required_keys)
@@ -79,16 +122,21 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
     use_bf16 = backend_raw in ("auto", "pallas_bf16")
 
     def batched(motion, x, y, dtf, wt, band_rows, t_scales):
+        from .objective import motion_to_dense_flow
+
         flows = jax.vmap(
-            lambda m: tile_to_dense_flow(
-                m, spec.patch_image_size, spec.image_shape, spec.patch_size,
-                spec.sliding_window, spec.patch_shift, spec.filter_type,
+            lambda m, ts: motion_to_dense_flow(spec, m, ts) * ts
+        )(motion, t_scales)
+        if spec.time_aware:
+            imgs = fused_multi_iwe_banded_voxel_batched(
+                flows, x, y, dtf, wt, band_rows, spec.image_shape,
+                tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
             )
-        )(motion) * t_scales[:, None, None, None]
-        imgs = fused_multi_iwe_banded_batched(
-            flows, x, y, dtf, wt, band_rows, spec.image_shape,
-            tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
-        )
+        else:
+            imgs = fused_multi_iwe_banded_batched(
+                flows, x, y, dtf, wt, band_rows, spec.image_shape,
+                tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+            )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
 
@@ -380,7 +428,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
     def _get_fleet_solver(self, spec, bsz: int, maxiter: int, gtol: float):
         key = (spec, "fleet", bsz, maxiter, gtol)
         if key not in self._fun_cache:
-            if objective_uses_fused(spec):
+            if objective_uses_banded(spec):
                 batched = build_batched_objective_banded(spec)
             else:
                 batched = build_batched_objective(spec)
@@ -389,7 +437,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 maxiter=maxiter,
                 cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
                 gtol=gtol,
-                fd_hvp=objective_uses_fused(spec),
+                fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
             )
             self._fun_cache[key] = jax.jit(solve)
         return self._fun_cache[key]
@@ -397,9 +445,12 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
     def optimize_batch(self, events_list: List[np.ndarray]):
         """Solve B frames together; returns a list of per-scale motion dicts."""
         bsz = len(events_list)
-        use_banded = objective_uses_fused(self._current_spec())
+        use_banded = objective_uses_banded(self._current_spec())
         if use_banded:
-            x2, y2, d2, w2, brows, scales = pack_fleet_banded(events_list, self.image_shape[0])
+            x2, y2, d2, w2, brows, scales = pack_fleet_banded(
+                events_list, self.image_shape[0],
+                time_bin=getattr(self, "time_bin", 10) if self.is_time_aware else 0,
+            )
             solver_args = (
                 jnp.asarray(x2, self.dtype), jnp.asarray(y2, self.dtype),
                 jnp.asarray(d2, self.dtype), jnp.asarray(w2, self.dtype),

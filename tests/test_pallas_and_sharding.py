@@ -185,6 +185,67 @@ def test_banded_time_aware_objective_matches_unfused():
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_u), atol=1e-8)
 
 
+def test_banded_voxel_batched_matches_single():
+    """Fleet voxel kernel (grid (B, T, G)) == per-frame voxel kernel,
+    values and voxel-gradients."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    n_bin, bsz = 3, 2
+    rng = np.random.default_rng(21)
+    xs, ys, ds, ws, bs, voxes = [], [], [], [], [], []
+    for b in range(bsz):
+        ev = _events(500 + 100 * b, seed=30 + b)
+        ev[:, 0] = np.clip(np.round(ev[:, 0]), 0, H - 1)
+        ev[:, 1] = np.clip(np.round(ev[:, 1]), 0, W - 1)
+        padded, wgt = pad_events(ev, target_n=1024)
+        t = padded[:, 2]
+        dtf = (t - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+        x2, y2, d2, w2, bands = PB.pack_events_by_band_bin(padded, wgt, dtf, H, n_bin)
+        xs.append(x2); ys.append(y2); ds.append(d2); ws.append(w2); bs.append(bands)
+        voxes.append(rng.uniform(-4, 4, (n_bin, 2, H, W)))
+    g_max = max(a.shape[1] for a in xs)
+
+    def _pad(a, fill):
+        out = np.full(a.shape[:1] + (g_max,) + a.shape[2:], fill, a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    x_b = np.stack([_pad(a, -10.0) for a in xs])
+    y_b = np.stack([_pad(a, -10.0) for a in ys])
+    d_b = np.stack([_pad(a, 0.0) for a in ds])
+    w_b = np.stack([_pad(a, 0.0) for a in ws])
+    brows = np.stack([
+        np.broadcast_to(_pad(b_, 0).astype(np.int32)[:, :, None, None], (n_bin, g_max, 1, 128))
+        for b_ in bs
+    ])
+    vox_b = jnp.asarray(np.stack(voxes))
+    offsets = (0.0, 0.5)
+
+    def fused_b(v):
+        return PB.fused_multi_iwe_banded_voxel_batched(
+            v, jnp.asarray(x_b), jnp.asarray(y_b), jnp.asarray(d_b),
+            jnp.asarray(w_b), jnp.asarray(brows), (H, W), offsets, True, 1e-6, False,
+        )
+
+    out_b = np.asarray(fused_b(vox_b))
+    gcot = jnp.asarray(np.random.default_rng(22).standard_normal(out_b.shape))
+    grad_b = np.asarray(jax.grad(lambda v: jnp.sum(fused_b(v) * gcot))(vox_b))
+    for b in range(bsz):
+        def fused_one(v, b=b):
+            return PB.fused_multi_iwe_banded_voxel(
+                v, jnp.asarray(_pad(xs[b], -10.0)), jnp.asarray(_pad(ys[b], -10.0)),
+                jnp.asarray(_pad(ds[b], 0.0)), jnp.asarray(_pad(ws[b], 0.0)),
+                jnp.asarray(_pad(bs[b], 0)), (H, W), offsets, True, 1e-6, False,
+            )
+
+        one = np.asarray(fused_one(jnp.asarray(voxes[b])))
+        np.testing.assert_allclose(out_b[b], one, atol=1e-10)
+        g_one = np.asarray(
+            jax.grad(lambda v: jnp.sum(fused_one(v) * gcot[b]))(jnp.asarray(voxes[b]))
+        )
+        np.testing.assert_allclose(grad_b[b], g_one, atol=1e-10)
+
+
 def test_multi_direction_warp_matches_single():
     from event_based_optical_flow_tpu.ops.warp import Warp, multi_direction_dense_warp
 
