@@ -1,0 +1,155 @@
+"""Config validation for the YAML surface.
+
+The reference passes the raw YAML dict around untyped (main.py:15-34);
+typos surface late as KeyErrors deep inside a solve.  This validates the
+schema SURVEY.md §5 documents — same keys, same semantics — and fails
+fast with the YAML path of the offending entry.  Unknown keys produce
+warnings, not errors, to stay forward-compatible with user extensions.
+"""
+
+import logging
+from typing import Any, Dict, List
+
+logger = logging.getLogger(__name__)
+
+
+class ConfigError(ValueError):
+    """A config entry is missing or has the wrong type/value."""
+
+
+def _require(cfg: dict, key: str, types, path: str):
+    if key not in cfg:
+        raise ConfigError(f"missing required config key '{path}.{key}'")
+    val = cfg[key]
+    if types is not None and not isinstance(val, types):
+        names = types.__name__ if isinstance(types, type) else "/".join(t.__name__ for t in types)
+        raise ConfigError(
+            f"config key '{path}.{key}' must be {names}, got {type(val).__name__}: {val!r}"
+        )
+    return val
+
+
+def _choice(cfg: dict, key: str, allowed, path: str, default=None):
+    val = cfg.get(key, default)
+    if val is not None and val not in allowed:
+        raise ConfigError(
+            f"config key '{path}.{key}' must be one of {sorted(map(str, allowed))}, got {val!r}"
+        )
+    return val
+
+
+_NUM = (int, float)
+
+_KNOWN_DATA_KEYS = {
+    "eval_dt", "root", "dataset", "sequence", "height", "width", "load_gt_flow",
+    "gt", "n_events_per_batch", "ind1", "ind2", "remove_car", "undistort",
+    "preprocess", "warm_start", "fleet_batch", "visualize_every",
+    # synthetic loader extras
+    "duration", "event_rate", "n_frames",
+}
+_KNOWN_SOLVER_KEYS = {
+    "method", "time_aware", "time_bin", "flow_interpolation", "t0_flow_location",
+    "scale_later", "patch", "motion_model", "warp_direction", "parameters",
+    "cost", "cost_with_weight", "outer_padding", "iwe", "max_scale",
+    "precision", "iwe_backend", "seed",
+}
+_KNOWN_OPT_KEYS = {
+    "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
+}
+
+
+def validate_config(config: Dict[str, Any]) -> List[str]:
+    """Validate the full YAML dict; raises ConfigError on hard errors and
+    returns a list of warning strings (also logged) for soft issues."""
+    from ..costs import functions as cost_functions
+    from ..data import collections as data_collections
+    from ..solver import collections as solver_collections
+    from ..solver.base import TORCH_OPTIMIZERS
+    from ..solver.scipy_bridge import SCIPY_OPTIMIZERS
+
+    warnings: List[str] = []
+
+    for section in ("data", "output", "solver", "optimizer"):
+        _require(config, section, dict, "<root>")
+
+    data = config["data"]
+    _choice(data, "dataset", set(data_collections), "data")
+    _require(data, "dataset", str, "data")
+    _require(data, "sequence", (str, int), "data")
+    _require(data, "height", int, "data")
+    _require(data, "width", int, "data")
+    if not config.get("is_dnn"):
+        _require(data, "n_events_per_batch", int, "data")
+    for key in data:
+        if key not in _KNOWN_DATA_KEYS:
+            warnings.append(f"unknown config key 'data.{key}' (ignored?)")
+
+    out = config["output"]
+    _require(out, "output_dir", str, "output")
+    _require(out, "show_interactive_result", bool, "output")
+
+    slv = config["solver"]
+    _choice(slv, "method", set(solver_collections), "solver")
+    _require(slv, "method", str, "solver")
+    _require(slv, "cost", str, "solver")
+    _choice(slv, "cost", set(cost_functions) | {"hybrid"}, "solver")
+    if slv["cost"] == "hybrid":
+        cww = _require(slv, "cost_with_weight", dict, "solver")
+        for name in cww:
+            _choice({"c": name}, "c", set(cost_functions) - {"hybrid"}, "solver.cost_with_weight")
+    _choice(slv, "motion_model", {"2d-translation", "rigid-optical-flow", "dense-flow"}, "solver")
+    _choice(
+        slv, "warp_direction",
+        {"first", "middle", "last", "random", "before", "after"}, "solver",
+    )
+    patch = _require(slv, "patch", dict, "solver")
+    _choice(patch, "initialize", {"random", "zero", "grid-best", "global-best", "optuna-sampling"}, "solver.patch")
+    _choice(patch, "filter_type", {"bilinear", "nearest"}, "solver.patch")
+    if slv.get("time_aware"):
+        _choice(
+            slv, "flow_interpolation",
+            {"upwind", "burgers", "same", "bilinear", "max", "nearest", "linear", "cubic"},
+            "solver",
+        )
+        _choice(slv, "t0_flow_location", {"first", "middle"}, "solver")
+        tb = slv.get("time_bin", 10)
+        if not isinstance(tb, int) or tb < 1:
+            raise ConfigError(f"config key 'solver.time_bin' must be a positive int, got {tb!r}")
+    iwe = _require(slv, "iwe", dict, "solver")
+    _choice(iwe, "method", {"bilinear_vote", "count", "polarity"}, "solver.iwe")
+    _require(iwe, "blur_sigma", _NUM, "solver.iwe")
+    _choice(slv, "precision", {"32", "64", 32, 64}, "solver")
+    _choice(slv, "iwe_backend", {"auto", "scatter", "matmul", "pallas", "pallas_bf16"}, "solver")
+    for key in slv:
+        if key not in _KNOWN_SOLVER_KEYS:
+            warnings.append(f"unknown config key 'solver.{key}' (ignored?)")
+
+    opt = config["optimizer"]
+    known_methods = set(SCIPY_OPTIMIZERS) | set(TORCH_OPTIMIZERS) | {"optuna"}
+    _choice(opt, "method", known_methods, "optimizer")
+    _require(opt, "method", str, "optimizer")
+    params = opt.get("parameters")
+    if isinstance(params, dict):
+        for pname, box in params.items():
+            if not isinstance(box, dict) or "min" not in box or "max" not in box:
+                raise ConfigError(
+                    f"'optimizer.parameters.{pname}' must be a dict with 'min' and 'max'"
+                )
+            if box["min"] > box["max"]:
+                raise ConfigError(
+                    f"'optimizer.parameters.{pname}': min ({box['min']}) > max ({box['max']})"
+                )
+    for key in opt:
+        if key not in _KNOWN_OPT_KEYS:
+            warnings.append(f"unknown config key 'optimizer.{key}' (ignored?)")
+
+    if data.get("fleet_batch", 1) and int(data.get("fleet_batch", 1)) > 1:
+        if data.get("warm_start", True):
+            raise ConfigError(
+                "'data.fleet_batch' > 1 requires 'data.warm_start: false' "
+                "(fleet frames are solved independently)"
+            )
+
+    for w in warnings:
+        logger.warning(w)
+    return warnings

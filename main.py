@@ -40,6 +40,7 @@ def parse_args():
     args = parser.parse_args()
     with open(args.config_file, "r") as f:
         config = yaml.safe_load(f)
+    utils.validate_config(config)
     return config, args
 
 
