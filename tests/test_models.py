@@ -43,3 +43,38 @@ def test_dnn_train_step_descends():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert min(losses) < loss0  # optimization makes progress
+
+
+def test_dnn_parallel_step_matches_single():
+    """Data-parallel shard_map train step == single-device step (equal
+    shard sizes: pmean of shard means is the global mean)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+
+    from event_based_optical_flow_tpu.models.train import dnn_train_step_parallel
+
+    image_size = (32, 32)
+    model, params, tx, opt_state = make_dnn_train_state(image_size, n_bin=4, lr=3e-4, scale_time=8.0)
+    step_s, _ = dnn_train_step(model, tx, image_size, n_bin=4)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    step_p, _ = dnn_train_step_parallel(model, tx, image_size, mesh, n_bin=4)
+
+    evs, wgts = [], []
+    for b in range(8):
+        ev = _moving_scene(seed=b)
+        p, w = pad_events(ev, target_n=2048)
+        evs.append(p)
+        wgts.append(w)
+    events = jnp.asarray(np.stack(evs))
+    weights = jnp.asarray(np.stack(wgts))
+
+    ps, os_, loss_s = step_s(params, opt_state, events, weights)
+    pp, op_, loss_p = step_p(params, opt_state, events, weights)
+    assert float(loss_p) == pytest.approx(float(loss_s), rel=1e-6)
+    flat_s = jax.flatten_util.ravel_pytree(ps)[0]
+    flat_p = jax.flatten_util.ravel_pytree(pp)[0]
+    np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_s), atol=1e-5)
