@@ -1,0 +1,141 @@
+"""CLI/eval-pipeline integration: the main.py evaluation loop (window
+renormalization, warm start, checkpoint resume, metric/text outputs) on a
+tiny synthetic sequence — logic the reference never tests (its suite is
+ops-only, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import main as cli
+from event_based_optical_flow_tpu import data, solver, visualizer
+from event_based_optical_flow_tpu.utils import checkpoint as ckpt
+
+
+def _tiny_config(tmp_path):
+    return {
+        "is_dnn": False,
+        "data": {
+            "eval_dt": 1,
+            "root": "",
+            "dataset": "synthetic",
+            "sequence": "tiny",
+            "height": 36,
+            "width": 44,
+            "load_gt_flow": True,
+            "gt": ".",
+            "n_events_per_batch": 3000,
+            "ind1": 0,
+            "ind2": 3000,
+            "duration": 1.0,
+            "event_rate": 20000,
+            "n_frames": 4,
+            "visualize_every": 0,  # skip PNG composites in CI
+        },
+        "output": {"output_dir": str(tmp_path), "show_interactive_result": False},
+        "solver": {
+            "method": "pyramidal_patch_contrast_maximization",
+            "time_aware": False,
+            "patch": {
+                "initialize": "zero",
+                "scale": 2,
+                "crop_height": 32,
+                "crop_width": 40,
+                "filter_type": "bilinear",
+            },
+            "motion_model": "2d-translation",
+            "warp_direction": "first",
+            "parameters": ["trans_x", "trans_y"],
+            "cost": "hybrid",
+            "outer_padding": 0,
+            "cost_with_weight": {
+                "multi_focal_normalized_gradient_magnitude": 1.0,
+                "total_variation": 0.01,
+            },
+            "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+            "precision": "64",
+        },
+        "optimizer": {
+            "n_iter": 4,
+            "method": "Newton-CG",
+            "max_iter": 4,
+            "parameters": {
+                "trans_x": {"min": -20, "max": 20},
+                "trans_y": {"min": -20, "max": 20},
+            },
+        },
+    }
+
+
+def _build(config):
+    data_config = config["data"]
+    image_shape = (data_config["height"], data_config["width"])
+    viz = visualizer.Visualizer(
+        image_shape, show=False, save=True, save_dir=config["output"]["output_dir"]
+    )
+    loader = data.collections[data_config["dataset"]](config=data_config)
+    loader.set_sequence(data_config["sequence"])
+    solv = solver.collections[config["solver"]["method"]](
+        image_shape,
+        calibration_parameter=loader.load_calib(),
+        solver_config=config["solver"],
+        optimizer_config=config["optimizer"],
+        output_config=config["output"],
+        visualize_module=viz,
+    )
+    return loader, solv
+
+
+def test_eval_pipeline_end_to_end_and_resume(tmp_path):
+    config = _tiny_config(tmp_path)
+    loader, solv = _build(config)
+    eval_ts = loader.eval_frame_time_list()
+
+    cli.evaluate_dataset_with_gt(eval_ts, config["data"], loader, solv)
+
+    metrics_txt = os.path.join(tmp_path, "flow_error_per_frame_with_mask.txt")
+    assert os.path.exists(metrics_txt)
+    lines = open(metrics_txt).read().strip().splitlines()
+    n_expected = len(eval_ts) - config["data"]["eval_dt"]
+    assert len(lines) == n_expected
+    assert all("EPE" in l for l in lines)
+
+    summary = ckpt.summarize_metrics(str(tmp_path))
+    assert summary and np.isfinite(summary["EPE"])
+
+    # resume: the eval state should say "done"; a re-run adds no new lines
+    start_frame, _ = ckpt.load_eval_state(str(tmp_path))
+    assert start_frame == n_expected
+    cli.evaluate_dataset_with_gt(eval_ts, config["data"], loader, solv)
+    assert len(open(metrics_txt).read().strip().splitlines()) == n_expected
+
+
+def test_gather_frame_renormalizes_window():
+    config = _tiny_config("/tmp/unused")
+    loader, _ = _build(config)
+    eval_ts = loader.eval_frame_time_list()
+    opt_b, gt_b, gt_flow, flow_time = cli._gather_frame(
+        loader, config["data"], eval_ts[0], eval_ts[1]
+    )
+    # optimization batch is renormalized toward the fixed event count
+    n = config["data"]["n_events_per_batch"]
+    assert abs(len(opt_b) - n) <= n  # bounded (short sequences grow symmetrically)
+    assert gt_flow.shape == (config["data"]["height"], config["data"]["width"], 2)
+    assert flow_time == pytest.approx(eval_ts[1] - eval_ts[0])
+    assert opt_b[:, 2].min() == pytest.approx(0.0)
+
+
+def test_config_roundtrip_via_yaml(tmp_path):
+    """The shipped validate-then-run contract holds for a config written to
+    disk the way parse_args reads it."""
+    from event_based_optical_flow_tpu.utils import validate_config
+
+    config = _tiny_config(tmp_path)
+    path = os.path.join(tmp_path, "cfg.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(config, f)
+    with open(path) as f:
+        loaded = yaml.safe_load(f)
+    assert validate_config(loaded) == []
