@@ -182,4 +182,61 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
         if it % 10 == 0:
             logger.info(f"dnn step {it}: loss {float(loss):.4f}")
     logger.info("DNN training finished.")
+
+    if evaluate and getattr(loader, "gt_flow_available", False):
+        _evaluate_dnn(
+            model, params, loader, data_cfg, image_size, n_bin, n_events, viz
+        )
     return params
+
+
+def _evaluate_dnn(model, params, loader, data_cfg, image_size, n_bin, n_events, viz):
+    """Post-training evaluation: per gray-frame window, predict a dense
+    flow with the trained network and report AEE/NPE/AE against GT (same
+    metrics as the CMax eval pipeline, flow/metrics.py)."""
+    from ..flow.metrics import calculate_flow_error_numpy
+
+    eval_dt = int(data_cfg.get("eval_dt", 1))
+    eval_ts = loader.eval_frame_time_list()
+    Hc, Wc = image_size
+
+    @jax.jit
+    def predict(events, weights):
+        voxel = events_to_voxel_grid(events, image_size, n_bin, weights)
+        flows = model.apply(params, voxel[None])
+        return flows["flow3"][0]
+
+    out_dir = viz.save_dir if viz is not None else "."
+    results = []
+    for i1 in range(len(eval_ts) - eval_dt):
+        t1, t2 = eval_ts[i1], eval_ts[i1 + eval_dt]
+        ind1, ind2 = loader.time_to_index(t1), loader.time_to_index(t2)
+        ev = loader.load_event(ind1, ind2)
+        gt_flow = loader.load_optical_flow(t1, t2)
+        ev[:, 2] -= ev[:, 2].min()
+        ev = ev[(ev[:, 0] < Hc) & (ev[:, 1] < Wc)]
+        # bucketed padding: eval windows are variable-length (the jitted
+        # predictor recompiles once per 4096-event bucket)
+        padded, wgt = pad_events(ev)
+        # network flow is px/s (training scales it by t_scale to warp);
+        # GT is a displacement over [t1, t2] — same convention as
+        # SolverBase.calculate_flow_error (motion * timescale vs gt)
+        flow = np.asarray(predict(jnp.asarray(padded), jnp.asarray(wgt)))
+        gt_2hw = np.transpose(gt_flow[:Hc, :Wc], (2, 0, 1))
+        mask = np.zeros((Hc, Wc), bool)
+        mask[ev[:, 0].astype(int), ev[:, 1].astype(int)] = True
+        err = calculate_flow_error_numpy(
+            gt_2hw[None],
+            (flow * (t2 - t1))[None],
+            event_mask=mask[None, None],
+        )
+        results.append(err)
+        logger.info(f"dnn eval frame {i1}: {err}")
+    if results:
+        mean = {k: float(np.mean([r[k] for r in results])) for k in results[0]}
+        logger.info(f"DNN eval mean over {len(results)} frames: {mean}")
+        with open(f"{out_dir}/dnn_flow_error.txt", "w") as f:
+            for i, r in enumerate(results):
+                f.write(f"frame {i}::{r}\n")
+            f.write(f"mean::{mean}\n")
+    return results

@@ -78,3 +78,34 @@ def test_dnn_parallel_step_matches_single():
     flat_s = jax.flatten_util.ravel_pytree(ps)[0]
     flat_p = jax.flatten_util.ravel_pytree(pp)[0]
     np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_s), atol=1e-5)
+
+
+def test_run_dnn_flow_trains_and_evaluates(tmp_path):
+    """CLI DNN path end-to-end on the synthetic loader: a few training
+    steps then the AEE evaluation loop (new capability — the reference's
+    DNN path raises NotImplementedError, ref main.py:151-154)."""
+    from event_based_optical_flow_tpu import data as data_mod
+    from event_based_optical_flow_tpu import visualizer as viz_mod
+    from event_based_optical_flow_tpu.models.train import run_dnn_flow
+
+    data_cfg = {
+        "eval_dt": 1, "root": "", "dataset": "synthetic", "sequence": "dnn_t",
+        "height": 32, "width": 32, "load_gt_flow": True, "gt": ".",
+        "n_events_per_batch": 2048, "duration": 1.0, "event_rate": 20000,
+        "n_frames": 3,
+    }
+    config = {
+        "is_dnn": True,
+        "data": data_cfg,
+        "dnn": {"n_bin": 4, "batch_size": 1, "n_steps": 2, "lr": 1e-4},
+        "output": {"output_dir": str(tmp_path), "show_interactive_result": False},
+    }
+    loader = data_mod.collections["synthetic"](config=data_cfg)
+    loader.set_sequence("dnn_t")
+    viz = viz_mod.Visualizer((32, 32), show=False, save=True, save_dir=str(tmp_path))
+    params = run_dnn_flow(config, loader, viz, evaluate=True)
+    assert params is not None
+    txt = tmp_path / "dnn_flow_error.txt"
+    assert txt.exists()
+    content = txt.read_text()
+    assert "mean::" in content and "EPE" in content
