@@ -86,17 +86,19 @@ def test_banded_kernel_matches_scatter():
     np.testing.assert_allclose(out, np.stack([np.asarray(r) for r in ref]), atol=1e-8)
 
 
-def test_banded_voxel_kernel_matches_composed():
-    """Time-aware banded fused kernel ((band, bin)-packed chunks, flattened
-    voxel gather table) vs composed voxel-warp + scatter vote, values and
+@pytest.mark.parametrize("height", [H, 130])  # 1 band / 3 bands (non-64-multiple)
+def test_banded_voxel_kernel_matches_composed(height):
+    """Time-aware banded fused kernel ((bin, band)-packed chunks, per-bin
+    grid slices) vs composed voxel-warp + scatter vote, values and
     voxel-gradients, on CPU interpret mode."""
     from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
     from event_based_optical_flow_tpu.ops.iwe import bilinear_vote
     from event_based_optical_flow_tpu.ops.warp import multi_direction_dense_warp
 
+    H = height  # shadow module constant: exercise multi-band packing too
     n_bin = 4
     ev = _events(600, seed=7)
-    ev[:, 0] = np.clip(np.round(ev[:, 0]), 0, H - 1)
+    ev[:, 0] = np.clip(np.round(ev[:, 0] * (H / 16.0)), 0, H - 1)
     ev[:, 1] = np.clip(np.round(ev[:, 1]), 0, W - 1)
     padded, wgt = pad_events(ev, target_n=1024)
     voxel = np.random.default_rng(8).uniform(-4, 4, (n_bin, 2, H, W))
