@@ -127,6 +127,125 @@ def sharded_multifocal_loss(
     return nan_to_penalty(loss)
 
 
+def pad_chunks_for_sharding(packed, n_shards: int):
+    """Pad a banded packing (x, y, dtf, wt, band_ids) to a chunk count
+    divisible by ``n_shards`` — extra chunks are empty (sentinel coords,
+    zero weights) and therefore inert in every vote and gradient.  Works
+    for both the dense layout ([G, 1, C], chunk axis 0) and the voxel
+    layout ([T, G, 1, C], chunk axis 1)."""
+    x, y, dtf, wt, bands = packed
+    axis = 0 if x.ndim == 3 else 1
+    g = x.shape[axis]
+    g_pad = -(-g // n_shards) * n_shards
+    if g_pad == g:
+        return packed
+
+    def pad_to(a, fill):
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, g_pad - g)
+        return np.pad(a, widths, constant_values=fill)
+
+    return (
+        pad_to(np.asarray(x), -10.0),
+        pad_to(np.asarray(y), -10.0),
+        pad_to(np.asarray(dtf), 0.0),
+        pad_to(np.asarray(wt), 0.0),
+        pad_to(np.asarray(bands), 0),
+    )
+
+
+def build_objective_banded_sharded(spec, mesh: Mesh):
+    """Event-sharded banded CMax objective for frames too large for one
+    chip's duty cycle (e.g. DSEC's ~1.5M events/window): the pre-packed
+    chunks shard over the mesh's "event" axis, every device rasterizes a
+    partial IWE stack with the fused banded (or banded-voxel) kernel, and
+    the stacks combine with ``psum`` — bilinear voting is an associative
+    sum, so the result equals the single-device kernel exactly.  The
+    scalar cost is computed redundantly per shard, so the loss and its
+    motion-gradient come out replicated.
+
+    fn(motion, x, y, dtf, wt, bands, t_scale) -> (loss, components); the
+    chunk arrays must have their chunk axis divisible by the event-axis
+    size (see pad_chunks_for_sharding).
+    """
+    from ..ops.pallas_objective_banded import (
+        fused_multi_iwe_banded,
+        fused_multi_iwe_banded_voxel,
+    )
+    from ..solver.objective import make_cost, motion_to_dense_flow
+
+    from .. import config as evconfig
+
+    cost = make_cost(spec)
+    required = set(cost.required_keys)
+    assert spec.outer_padding == 0
+    directions = []
+    if required & {"iwe", "backward_iwe"}:
+        directions.append(("backward", 0.0))
+    if "forward_iwe" in required:
+        directions.append(("forward", 1.0))
+    if "middle_iwe" in required:
+        directions.append(("middle", 0.5))
+    need_orig = "orig_iwe" in required
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    use_bf16 = backend_raw in ("auto", "pallas_bf16")
+    offs = tuple(d for _, d in directions)
+
+    def body(motion, t_scale, x, y, dtf, wt, bands):
+        flow = motion_to_dense_flow(spec, motion, t_scale) * t_scale
+        if spec.time_aware:
+            imgs = fused_multi_iwe_banded_voxel(
+                flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig, 1e-6, use_bf16
+            )
+        else:
+            imgs = fused_multi_iwe_banded(
+                flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig, 1e-6, use_bf16
+            )
+        imgs = jax.lax.psum(imgs, "event")
+        if spec.blur_sigma > 0:
+            imgs = gaussian_blur3(imgs, spec.blur_sigma)
+        arg = {"omit_boundary": True, "clip": True}
+        k = 0
+        if need_orig:
+            arg["orig_iwe"] = imgs[0]
+            k = 1
+        for name, _ in directions:
+            if name == "backward":
+                arg.update({"iwe": imgs[k], "backward_iwe": imgs[k]})
+            else:
+                arg[f"{name}_iwe"] = imgs[k]
+            k += 1
+        if "flow" in required:
+            arg["flow"] = motion.reshape((2,) + tuple(spec.patch_image_size))
+        from .. import costs as costs_mod
+
+        if isinstance(cost, costs_mod.HybridCost):
+            loss, components = cost.calculate_with_components(arg)
+        else:
+            loss = cost.calculate(arg)
+            components = {cost.name: loss}
+        return nan_to_penalty(loss), components
+
+    chunk_spec = (
+        P(None, "event", None, None) if spec.time_aware else P("event", None, None)
+    )
+    band_spec = P(None, "event") if spec.time_aware else P("event")
+    # pallas_call does not annotate varying-mesh-axes metadata: disable the
+    # vma (replication) check, correctness is covered by the parity tests
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), chunk_spec, chunk_spec, chunk_spec, chunk_spec, band_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def objective(motion, x, y, dtf, wt, bands, t_scale):
+        return sharded(motion, t_scale, x, y, dtf, wt, bands)
+
+    return objective
+
+
 def build_fleet_step(
     mesh: Mesh,
     image_size: Tuple[int, int],

@@ -319,3 +319,59 @@ def test_evflownet_forward_and_voxel_grid():
     flows = model.apply(params, x)
     assert flows["flow3"].shape == (1, 2, 32, 32)
     assert flows["flow0"].shape == (1, 2, 4, 4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("time_aware", [False, True])
+def test_sharded_banded_objective_matches_single(time_aware):
+    """Event-sharded banded objective (chunks over the 'event' mesh axis,
+    partial IWEs psum'ed) == single-device banded objective, loss + grad."""
+    import dataclasses
+
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.parallel.sharded import (
+        build_objective_banded_sharded,
+        pad_chunks_for_sharding,
+    )
+    from event_based_optical_flow_tpu.solver.objective import (
+        ObjectiveSpec,
+        build_objective_banded,
+    )
+
+    spec = ObjectiveSpec(
+        image_shape=(H, W), outer_padding=0, patch_image_size=(2, 2),
+        patch_size=(H // 2, W // 2), sliding_window=(H // 2, W // 2),
+        patch_shift=(0, 0), filter_type="bilinear", iwe_method="bilinear_vote",
+        blur_sigma=1.0, cost_name="hybrid",
+        cost_with_weight=(
+            ("multi_focal_normalized_gradient_magnitude", 1.0),
+            ("total_variation", 0.01),
+        ),
+        time_aware=time_aware, time_bin=3, flow_interpolation="burgers",
+        iwe_backend="pallas",
+    )
+    ev = _events(900, seed=13)
+    ev[:, 0] = np.clip(np.round(ev[:, 0]), 0, H - 1)
+    ev[:, 1] = np.clip(np.round(ev[:, 1]), 0, W - 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    t = padded[:, 2]
+    span = ev[:, 2].max() - ev[:, 2].min()
+    dtf = (t - ev[:, 2].min()) / span
+    if time_aware:
+        packed = PB.pack_events_by_band_bin(padded, wgt, dtf, H, spec.time_bin)
+    else:
+        packed = PB.pack_events_by_band(padded, wgt, dtf, H)
+    packed = pad_chunks_for_sharding(packed, 8)
+    args = tuple(jnp.asarray(a) for a in packed) + (jnp.asarray(span),)
+
+    mesh = make_mesh(8, data=1, event=8)
+    sharded = build_objective_banded_sharded(spec, mesh)
+    single = build_objective_banded(spec)
+    motion = jnp.asarray(np.random.default_rng(14).uniform(-5, 5, 8))
+
+    loss_s, _ = sharded(motion, *args)
+    loss_1, _ = single(motion, *args)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), atol=1e-9)
+    g_s = jax.grad(lambda m: sharded(m, *args)[0])(motion)
+    g_1 = jax.grad(lambda m: single(m, *args)[0])(motion)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1), atol=1e-8)
