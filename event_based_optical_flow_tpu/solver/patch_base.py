@@ -219,6 +219,72 @@ class PatchContrastMaximization(SolverBase):
             jnp.asarray(t_max - t_min, self.dtype),
         )
 
+    def _build_newton(self, spec, maxiter: int, gtol: float):
+        from .newton_cg import build_newton_cg
+
+        if self._uses_banded(spec):
+            obj = build_objective_banded(spec)
+        else:
+            obj = build_objective(spec)
+        value_fn = lambda x, *a: obj(x, *a)[0]
+        return build_newton_cg(
+            value_fn,
+            maxiter=maxiter,
+            cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
+            xtol=1e-5,
+            gtol=gtol,
+            hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
+        )
+
+    def _get_fused_scale_solver(self, spec, search_key, maxiter: int, gtol: float):
+        """Per-patch init sweep + Newton-CG as ONE jitted device program.
+
+        Through a tunneled runtime every dispatch costs 25-120 ms; fusing
+        the two per-scale calls halves that overhead.  Signature:
+        fused(patch_events, weights, counts, motion0 [P,2], key, *newton_args)
+          -> (best_x, best_f, n_iter)."""
+        key = (spec, "fused_scale", search_key, maxiter, gtol, self._uses_banded(spec))
+        if key not in self._fun_cache:
+            search = self._get_patch_search(search_key)
+            solve = self._build_newton(spec, maxiter, gtol)
+
+            def fused(patch_events, weights, counts, motion0, key_, *newton_args):
+                m1 = search(patch_events, weights, counts, motion0, key_)
+                x0 = m1.T.reshape(-1).astype(self.dtype)
+                return solve(x0, *newton_args)
+
+            self._fun_cache[key] = jax.jit(fused)
+        return self._fun_cache[key]
+
+    def _run_fused_scale_device(self, spec, events_np, ev, w, motion0, n_candidates,
+                                maxiter, gtol, patch_size=None):
+        """Host glue for the fused scale step: gather per-patch events,
+        assemble Newton args (banded pack or padded events), one call."""
+        patch_size = tuple(patch_size or self.patch_size)
+        capacity = self._patch_capacity(len(events_np))
+        patch_events, weights, counts = gather_patch_events(events_np, self.patches, capacity)
+        search_key = (patch_size, int(n_candidates), capacity)
+        fused = self._get_fused_scale_solver(spec, search_key, maxiter, gtol)
+        if self._uses_banded(spec):
+            if getattr(self, "_banded_events_ref", None) is not events_np:
+                self._banded_args = self._pack_banded(events_np)
+                self._banded_events_ref = events_np
+            newton_args = self._banded_args
+        else:
+            newton_args = (ev, w)
+        best_x, best_f, n_iter = fused(
+            jnp.asarray(patch_events, self.dtype),
+            jnp.asarray(weights, self.dtype),
+            jnp.asarray(counts),
+            jnp.asarray(np.asarray(motion0, dtype=np.float64).reshape(2, -1).T, self.dtype),
+            self._next_key(),
+            *newton_args,
+        )
+        best_f = float(best_f)
+        self._history_cb(best_f, None)
+        logger.info(f"device fused search+Newton: {int(n_iter)} iters, loss {best_f:.6f}")
+        return np.asarray(best_x, dtype=np.float64)
+
     def _run_newton_device(self, spec, events_dev, weights_dev, motion0, maxiter, gtol,
                            events_np=None):
         """Whole Newton-CG solve as one device program (solver/newton_cg.py):

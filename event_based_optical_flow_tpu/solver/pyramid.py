@@ -98,9 +98,21 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         for s in range(self.coarsest_scale, self.patch_scales):
             self.overload_patch_configuration(s)
             spec = self._current_spec()
-            motion0 = self._init_scale(s, events, best_motion_per_scale)
+            device_newton = self.opt_method == "Newton-CG" and self.opt_config.get("device", True)
+            presearch = self._presearch_motion(s, best_motion_per_scale) if device_newton else None
 
-            if self.opt_method == "Newton-CG" and self.opt_config.get("device", True):
+            if presearch is None:
+                motion0 = self._init_scale(s, events, best_motion_per_scale)
+
+            if presearch is not None:
+                # fused path: per-patch init sweep + Newton in ONE device call
+                motion0, n_cand = presearch
+                self.cost_func.enable_history_register()
+                best = self._run_fused_scale_device(
+                    spec, events, ev, w, motion0, n_cand,
+                    maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
+                )
+            elif device_newton:
                 self.cost_func.enable_history_register()
                 best = self._run_newton_device(
                     spec, ev, w, motion0,
@@ -142,6 +154,24 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             self.visualizer.visualize_scipy_history(self.cost_func.get_history(), self.cost_weight)
         self.cost_func.clear_history()
         return refined
+
+    def _presearch_motion(self, s: int, coarser: Dict[int, np.ndarray]):
+        """For scales that refine a coarser result via the per-patch
+        sampling search, return (pre-search motion0 [2, n_patch], n_cand)
+        so the search can be fused into the same device call as the Newton
+        solve; None for scales whose init needs no search (coarsest with
+        zero/random/warm/grid init).  Mirrors _init_scale's s>coarsest
+        branch exactly."""
+        if s <= self.coarsest_scale:
+            return None
+        motion0 = pyramid_expand(coarser[s - 1]).reshape(2, -1)
+        expect = self.scaled_patch_image_size[s]
+        motion0 = motion0.reshape((2,) + tuple(expect))
+        warm = self.previous_frame_best_estimation
+        if warm is not None:
+            motion0 = (motion0 + warm[s]) / 2.0
+        n_cand = max(4, int(self.opt_config["n_iter"] / max(1, s - self.coarsest_scale)))
+        return motion0.reshape(2, -1), n_cand
 
     def _init_scale(self, s: int, events_np: np.ndarray, coarser: Dict[int, np.ndarray]) -> np.ndarray:
         """Initialization per reference run_scipy (pyramid.py:252-301)."""
