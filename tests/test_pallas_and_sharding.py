@@ -350,10 +350,10 @@ def test_sharded_banded_objective_matches_single(time_aware):
         time_aware=time_aware, time_bin=3, flow_interpolation="burgers",
         iwe_backend="pallas",
     )
-    ev = _events(900, seed=13)
+    ev = _events(400, seed=13)
     ev[:, 0] = np.clip(np.round(ev[:, 0]), 0, H - 1)
     ev[:, 1] = np.clip(np.round(ev[:, 1]), 0, W - 1)
-    padded, wgt = pad_events(ev, target_n=1024)
+    padded, wgt = pad_events(ev, target_n=512)
     t = padded[:, 2]
     span = ev[:, 2].max() - ev[:, 2].min()
     dtf = (t - ev[:, 2].min()) / span
