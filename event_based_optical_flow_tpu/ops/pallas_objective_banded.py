@@ -35,6 +35,7 @@ from .pallas_objective import (
 Array = jax.Array
 
 BAND = 64
+COLBAND = 128  # lane-dim gather window; dynamic lane slices must be 128-aligned
 
 
 def max_chunks(n_events: int, height: int) -> int:
@@ -86,17 +87,91 @@ def pack_events_by_band(
     )
 
 
-def _banded_gather_uv(flow_ref, band_row0, x_base, x, b_int, wp, use_bf16):
+def n_col_bands(width: int) -> int:
+    return _round_up(width + 1, 128) // COLBAND
+
+
+def max_chunks_tile(n_events: int, height: int, width: int) -> int:
+    """Chunk bound for (row band, column band) tile packing."""
+    n_tiles = (_round_up(height, BAND) // BAND) * n_col_bands(width)
+    return (n_events + _CHUNK - 1) // _CHUNK + n_tiles
+
+
+def pack_events_by_tile(
+    events: np.ndarray,
+    weights: np.ndarray,
+    dtf: np.ndarray,
+    height: int,
+    width: int,
+):
+    """Host-side packing by (64-row band, 128-column band): the kernel's
+    gather then contracts 128 columns instead of the padded width (~3x
+    fewer gather FLOPs, the dominant cost — see BENCHMARKS.md).  Returns
+    (x [G,1,C], y, dtf, wt, band_ids [G]) with combined band id
+    ``row_band * n_col_bands(width) + col_band``."""
+    n = len(events)
+    n_rows = _round_up(height, BAND) // BAND
+    n_cols = n_col_bands(width)
+    g_max = max_chunks_tile(n, height, width)
+    x_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
+    y_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
+    d_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
+    w_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
+    band_ids = np.zeros(g_max, dtype=np.int32)
+
+    x = events[:, 0]
+    y = events[:, 1]
+    row_of = np.clip(x.astype(np.int64) // BAND, 0, n_rows - 1)
+    col_of = np.clip(y.astype(np.int64) // COLBAND, 0, n_cols - 1)
+    tile_of = row_of * n_cols + col_of
+    valid = weights > 0
+    g = 0
+    for tile in range(n_rows * n_cols):
+        sel = np.nonzero(valid & (tile_of == tile))[0]
+        for start in range(0, len(sel), _CHUNK):
+            idx = sel[start : start + _CHUNK]
+            k = len(idx)
+            x_out[g, :k] = events[idx, 0]
+            y_out[g, :k] = events[idx, 1]
+            d_out[g, :k] = dtf[idx]
+            w_out[g, :k] = weights[idx]
+            band_ids[g] = tile
+            g += 1
+    shape = (g_max, 1, _CHUNK)
+    return (
+        x_out.reshape(shape),
+        y_out.reshape(shape),
+        d_out.reshape(shape),
+        w_out.reshape(shape),
+        band_ids,
+    )
+
+
+def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None):
     """(u, v) via a band-local gather matmul: A_band [BAND, C] against the
     64-row flow slice at table row ``band_row0``; ``x_base`` is the row
     the slice's first entry represents spatially (== band_row0 for a plain
     [2, H, W] flow; == band_row0 mod hp_flow for a flattened voxel table,
-    where the time-bin offset is part of band_row0 but not of x)."""
+    where the time-bin offset is part of band_row0 but not of x).
+
+    With ``col0`` (tile mode) the gather also restricts to a 128-column
+    window at ``col0`` (events pre-packed by (row band, column band)):
+    the contraction shrinks wp -> 128, ~3x fewer gather FLOPs.
+
+    Returns (u, v, a_band, b_loc) — b_loc is the column one-hot actually
+    used, for reuse in the backward scatter."""
     dtype = x.dtype
     x_local = x - x_base.astype(dtype)
     a_band = _onehot_int(x_local, BAND)
-    flow_u = flow_ref[0, pl.ds(band_row0, BAND), :]
-    flow_v = flow_ref[1, pl.ds(band_row0, BAND), :]
+    if col0 is None:
+        b_loc = _onehot_int(y, wp)
+        flow_u = flow_ref[0, pl.ds(band_row0, BAND), :]
+        flow_v = flow_ref[1, pl.ds(band_row0, BAND), :]
+    else:
+        b_loc = _onehot_int(y - col0.astype(dtype), COLBAND)
+        flow_u = flow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
+        flow_v = flow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
+    b_int = b_loc
 
     def gather_ch(f):
         if use_bf16:
@@ -117,12 +192,12 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, b_int, wp, use_bf16):
             )
         return jnp.sum(a_band * p, axis=0, keepdims=True)
 
-    return gather_ch(flow_u), gather_ch(flow_v), a_band
+    return gather_ch(flow_u), gather_ch(flow_v), a_band, b_loc
 
 
 def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
-                bands_mod=None, init_axes=None):
+                bands_mod=None, init_axes=None, col_bands=None):
     i = pl.program_id(chunk_axis)
     init = i == 0
     for ax in init_axes or ():
@@ -139,11 +214,15 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
     wt = w_ref[:]
     dtype = x.dtype
     band_id = band_ref[0, 0]
-    band_row0 = band_id * BAND  # aligned: flow is padded to 64-row multiples
+    if col_bands is None:
+        band_row0 = band_id * BAND  # aligned: flow padded to 64-row multiples
+        col0 = None
+    else:
+        band_row0 = (band_id // col_bands) * BAND
+        col0 = (band_id % col_bands) * COLBAND
     x_base = band_row0 if bands_mod is None else (band_id % bands_mod) * BAND
 
-    b_int = _onehot_int(y, wp)
-    u, v, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, b_int, wp, use_bf16)
+    u, v, _, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
 
     k0 = 0
     if include_orig:
@@ -162,7 +241,7 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
 
 def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
-                bands_mod=None):
+                bands_mod=None, col_bands=None):
     i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
@@ -175,11 +254,15 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
     wt = w_ref[:]
     dtype = x.dtype
     band_id = band_ref[0, 0]
-    band_row0 = band_id * BAND
+    if col_bands is None:
+        band_row0 = band_id * BAND
+        col0 = None
+    else:
+        band_row0 = (band_id // col_bands) * BAND
+        col0 = (band_id % col_bands) * COLBAND
     x_base = band_row0 if bands_mod is None else (band_id % bands_mod) * BAND
 
-    b_int = _onehot_int(y, wp)
-    u, v, a_band = _banded_gather_uv(flow_ref, band_row0, x_base, x, b_int, wp, use_bf16)
+    u, v, a_band, b_loc = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
 
     du = jnp.zeros_like(x)
     dv = jnp.zeros_like(x)
@@ -200,12 +283,20 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
         du += -dt * dxw
         dv += -dt * dyw
 
-    dflow_ref[0, pl.ds(band_row0, BAND), :] += _dot(
-        a_band * du, b_int, ((1,), (1,)), use_bf16, dtype
-    )
-    dflow_ref[1, pl.ds(band_row0, BAND), :] += _dot(
-        a_band * dv, b_int, ((1,), (1,)), use_bf16, dtype
-    )
+    if col_bands is None:
+        dflow_ref[0, pl.ds(band_row0, BAND), :] += _dot(
+            a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+        dflow_ref[1, pl.ds(band_row0, BAND), :] += _dot(
+            a_band * dv, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+    else:
+        dflow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += _dot(
+            a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+        dflow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += _dot(
+            a_band * dv, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
 
 
 def _interpret() -> bool:
@@ -222,7 +313,7 @@ def _row_spec():
     return pl.BlockSpec((None, 1, _CHUNK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
+def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None):
     h, w = image_size
     # votes only need one extra row; the flow (gather table) pads to whole
     # 64-row bands so dynamic band slices stay Mosaic-vectorizable
@@ -236,7 +327,7 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
-            include_orig=include_orig, use_bf16=use_bf16,
+            include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
         ),
         grid=(g_chunks,),
         in_specs=[
@@ -251,23 +342,25 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
-                           include_orig=True, eps=1e-6, use_bf16=True):
-    """Banded fused rasterizer over pre-packed chunks (pack_events_by_band).
+                           include_orig=True, eps=1e-6, use_bf16=True, col_bands=None):
+    """Banded fused rasterizer over pre-packed chunks (pack_events_by_band,
+    or pack_events_by_tile with ``col_bands=n_col_bands(w)`` for the
+    column-windowed gather fast path).
 
     flow [2, H, W]; x/y/dtf/wt [G, 1, CHUNK]; band_ids [G] int32.
     Returns [(orig?) + len(offsets), H, W]; differentiable w.r.t. flow.
     """
-    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands)
 
 
-def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
-    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands):
+    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands)
     return out, (flow, x, y, dtf, wt, band_ids)
 
 
-def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
+def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -281,7 +374,7 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
     dflow_p = pl.pallas_call(
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
-            include_orig=include_orig, use_bf16=use_bf16,
+            include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
         ),
         grid=(g_chunks,),
         in_specs=[

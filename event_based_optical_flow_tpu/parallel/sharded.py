@@ -171,6 +171,7 @@ def build_objective_banded_sharded(spec, mesh: Mesh):
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
+        n_col_bands,
     )
     from ..solver.objective import make_cost, motion_to_dense_flow
 
@@ -198,8 +199,10 @@ def build_objective_banded_sharded(spec, mesh: Mesh):
                 flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig, 1e-6, use_bf16
             )
         else:
+            # dense chunks come tile-packed (pack_events_by_tile)
             imgs = fused_multi_iwe_banded(
-                flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig, 1e-6, use_bf16
+                flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig,
+                1e-6, use_bf16, n_col_bands(spec.image_shape[1]),
             )
         imgs = jax.lax.psum(imgs, "event")
         if spec.blur_sigma > 0:

@@ -297,6 +297,7 @@ def build_objective_banded(spec: ObjectiveSpec):
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
+        n_col_bands,
     )
 
     cost = make_cost(spec)
@@ -323,9 +324,12 @@ def build_objective_banded(spec: ObjectiveSpec):
                 tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
             )
         else:
+            # dense path uses (row, column)-tile packing: column-windowed
+            # gathers (pack_events_by_tile must have produced the chunks)
             imgs = fused_multi_iwe_banded(
                 flow, x, y, dtf, wt, bands, spec.image_shape,
                 tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+                n_col_bands(spec.image_shape[1]),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)

@@ -193,8 +193,8 @@ class PatchContrastMaximization(SolverBase):
         """Per-frame host packing for the banded kernel (cached per frame
         via the caller); returns device args + scalar t_scale."""
         from ..ops.pallas_objective_banded import (
-            pack_events_by_band,
             pack_events_by_band_bin,
+            pack_events_by_tile,
         )
         from ..types import pad_events
 
@@ -209,7 +209,9 @@ class PatchContrastMaximization(SolverBase):
                 padded, wgt, dtf, self.image_shape[0], getattr(self, "time_bin", 10)
             )
         else:
-            x2, y2, d2, w2, bands = pack_events_by_band(padded, wgt, dtf, self.image_shape[0])
+            x2, y2, d2, w2, bands = pack_events_by_tile(
+                padded, wgt, dtf, self.image_shape[0], self.image_shape[1]
+            )
         return (
             jnp.asarray(x2, self.dtype),
             jnp.asarray(y2, self.dtype),

@@ -360,7 +360,7 @@ def test_sharded_banded_objective_matches_single(time_aware):
     if time_aware:
         packed = PB.pack_events_by_band_bin(padded, wgt, dtf, H, spec.time_bin)
     else:
-        packed = PB.pack_events_by_band(padded, wgt, dtf, H)
+        packed = PB.pack_events_by_tile(padded, wgt, dtf, H, W)
     packed = pad_chunks_for_sharding(packed, 8)
     args = tuple(jnp.asarray(a) for a in packed) + (jnp.asarray(span),)
 
