@@ -91,10 +91,10 @@ def n_col_bands(width: int) -> int:
     return _round_up(width + 1, 128) // COLBAND
 
 
-def max_chunks_tile(n_events: int, height: int, width: int) -> int:
+def max_chunks_tile(n_events: int, height: int, width: int, chunk: int = _CHUNK) -> int:
     """Chunk bound for (row band, column band) tile packing."""
     n_tiles = (_round_up(height, BAND) // BAND) * n_col_bands(width)
-    return (n_events + _CHUNK - 1) // _CHUNK + n_tiles
+    return (n_events + chunk - 1) // chunk + n_tiles
 
 
 def pack_events_by_tile(
@@ -103,6 +103,7 @@ def pack_events_by_tile(
     dtf: np.ndarray,
     height: int,
     width: int,
+    chunk: int = _CHUNK,
 ):
     """Host-side packing by (64-row band, 128-column band): the kernel's
     gather then contracts 128 columns instead of the padded width (~3x
@@ -112,11 +113,11 @@ def pack_events_by_tile(
     n = len(events)
     n_rows = _round_up(height, BAND) // BAND
     n_cols = n_col_bands(width)
-    g_max = max_chunks_tile(n, height, width)
-    x_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
-    y_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
-    d_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
-    w_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
+    g_max = max_chunks_tile(n, height, width, chunk)
+    x_out = np.full((g_max, chunk), -10.0, dtype=np.float64)
+    y_out = np.full((g_max, chunk), -10.0, dtype=np.float64)
+    d_out = np.zeros((g_max, chunk), dtype=np.float64)
+    w_out = np.zeros((g_max, chunk), dtype=np.float64)
     band_ids = np.zeros(g_max, dtype=np.int32)
 
     x = events[:, 0]
@@ -128,8 +129,8 @@ def pack_events_by_tile(
     g = 0
     for tile in range(n_rows * n_cols):
         sel = np.nonzero(valid & (tile_of == tile))[0]
-        for start in range(0, len(sel), _CHUNK):
-            idx = sel[start : start + _CHUNK]
+        for start in range(0, len(sel), chunk):
+            idx = sel[start : start + chunk]
             k = len(idx)
             x_out[g, :k] = events[idx, 0]
             y_out[g, :k] = events[idx, 1]
@@ -137,7 +138,7 @@ def pack_events_by_tile(
             w_out[g, :k] = weights[idx]
             band_ids[g] = tile
             g += 1
-    shape = (g_max, 1, _CHUNK)
+    shape = (g_max, 1, chunk)
     return (
         x_out.reshape(shape),
         y_out.reshape(shape),
@@ -309,8 +310,8 @@ def _band_rows(band_ids: Array) -> Array:
     return jnp.broadcast_to(band_ids.astype(jnp.int32)[:, None, None], (band_ids.shape[0], 1, 128))
 
 
-def _row_spec():
-    return pl.BlockSpec((None, 1, _CHUNK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _row_spec(chunk: int = _CHUNK):
+    return pl.BlockSpec((None, 1, chunk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
 def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None):
@@ -332,7 +333,7 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
         grid=(g_chunks,),
         in_specs=[
             pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            _row_spec(), _row_spec(), _row_spec(), _row_spec(),
+            *[_row_spec(x.shape[-1])] * 4,
             pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -379,7 +380,7 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, res, g
         grid=(g_chunks,),
         in_specs=[
             pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            _row_spec(), _row_spec(), _row_spec(), _row_spec(),
+            *[_row_spec(x.shape[-1])] * 4,
             pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
