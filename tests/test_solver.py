@@ -208,3 +208,55 @@ def test_pyramid_solver_end_to_end_with_metrics():
     err = solv.calculate_flow_error(best, gt_disp, timescale=dur, events=ev)
     assert err["EPE"] < 2.0
     assert err["PRED_FWL"] < 1.0
+
+
+@pytest.mark.parametrize("time_aware", [False, True])
+def test_fused_metrics_match_composed(time_aware):
+    """Pyramid's one-call fused metrics (AEE/NPE/AE + FWLs) == the composed
+    multi-dispatch path."""
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": time_aware,
+        "time_bin": 4,
+        "flow_interpolation": "burgers",
+        "t0_flow_location": "middle",
+        "patch": {"initialize": "zero", "scale": 2, "crop_height": 20, "crop_width": 28, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 4, "method": "Newton-CG", "max_iter": 3,
+        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+    }
+    from event_based_optical_flow_tpu import solver as solver_mod
+
+    solv = solver_mod.collections["pyramidal_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, opt_cfg, {}, None
+    )
+    ev = _synthetic_events(np.asarray((6.0, -4.0)), n=1500, seed=3)
+    rng = np.random.default_rng(4)
+    motion = {solv.current_scale: rng.uniform(-5, 5, (2,) + tuple(solv.patch_image_size))}
+    gt_flow = rng.uniform(-5, 5, (H, W, 2))
+    ts = 0.7
+
+    fused = solv.calculate_flow_error(motion, gt_flow, timescale=ts, events=ev)
+
+    # composed multi-dispatch reference
+    gt2 = np.transpose(np.asarray(gt_flow), (2, 0, 1))
+    pred = solv.motion_to_dense_flow(motion, ts) * ts
+    if time_aware:
+        pred = solv.get_original_flow_from_time_aware_flow_voxel(pred)
+    mask = solv._eventmask_np(ev)
+    mask = mask[None] if mask.ndim == 3 else mask
+    from event_based_optical_flow_tpu.flow.metrics import calculate_flow_error_numpy
+
+    want = calculate_flow_error_numpy(gt2[None], pred[None], event_mask=mask)
+    want.update(solv.calculate_fwl(motion, gt2, ts, ev))
+    for k, v in want.items():
+        assert fused[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
