@@ -68,5 +68,8 @@ def summarize_metrics(out_dir: str) -> Optional[Dict[str, float]]:
     rows = [json.loads(line) for line in open(path)]
     if not rows:
         return None
+    # a crash between the metric append and the state save can re-emit a
+    # frame after resume: keep the last record per frame index
+    rows = list({r["frame"]: r for r in rows}.values())
     keys = [k for k in rows[0] if k != "frame"]
     return {k: float(np.mean([r[k] for r in rows if k in r])) for k in keys}
