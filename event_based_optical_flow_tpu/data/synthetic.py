@@ -10,6 +10,7 @@ self-contained.
 """
 
 import logging
+import zlib
 
 import numpy as np
 
@@ -35,7 +36,10 @@ class SyntheticDataLoader(DataLoaderBase):
 
     def set_sequence(self, sequence_name: str, undistort: bool = False) -> None:
         self.sequence_name = sequence_name
-        rng = np.random.default_rng(self.seed + (hash(sequence_name) % 1000))
+        # deterministic name hash: Python's str hash is salted per process
+        # (PYTHONHASHSEED), which silently made every run a different scene
+        name_hash = zlib.crc32(sequence_name.encode()) % 1000
+        rng = np.random.default_rng(self.seed + name_hash)
         H, W = self._HEIGHT, self._WIDTH
         n = int(self.duration * self.event_rate)
 

@@ -114,6 +114,59 @@ def _np_resize_bilinear(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     return top * (1 - wy)[:, None] + bot * wy[:, None]
 
 
+def _resize_bilinear_jax(img: Array, out_hw: Tuple[int, int]) -> Array:
+    """jnp twin of _np_resize_bilinear: half-pixel bilinear with edge
+    clamping along the last two axes.  Index/weight tables are computed in
+    numpy at trace time (static shapes), so the compiled program is four
+    static gathers + a lerp."""
+    in_h, in_w = img.shape[-2], img.shape[-1]
+    oh, ow = out_hw
+    ys = (np.arange(oh) + 0.5) * in_h / oh - 0.5
+    xs = (np.arange(ow) + 0.5) * in_w / ow - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, in_h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, in_w - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    wy = jnp.asarray(np.clip(ys - y0, 0.0, 1.0), img.dtype)
+    wx = jnp.asarray(np.clip(xs - x0, 0.0, 1.0), img.dtype)
+    a = img[..., y0[:, None], x0[None, :]]
+    b = img[..., y0[:, None], x1[None, :]]
+    c = img[..., y1[:, None], x0[None, :]]
+    d = img[..., y1[:, None], x1[None, :]]
+    top = a * (1 - wx)[None, :] + b * wx[None, :]
+    bot = c * (1 - wx)[None, :] + d * wx[None, :]
+    return top * (1 - wy)[:, None] + bot * wy[:, None]
+
+
+def _smooth_jax(img: Array, sigma: float) -> Array:
+    """jnp twin of _np_smooth: separable gaussian, symmetric boundary,
+    last two axes; tap loop unrolled at trace time."""
+    k = _np_gaussian1d(sigma)
+    r = len(k) // 2
+    out = img
+    for axis in (-2, -1):
+        pad = [(0, 0)] * out.ndim
+        pad[axis] = (r, r)
+        padded = jnp.pad(out, pad, mode="symmetric")
+        n = out.shape[axis]
+        acc = jnp.zeros_like(out)
+        for i, c in enumerate(k):
+            sl = [slice(None)] * out.ndim
+            sl[axis] = slice(i, i + n)
+            acc = acc + jnp.asarray(c, img.dtype) * padded[tuple(sl)]
+        out = acc
+    return out
+
+
+def pyramid_expand_jax(motion: Array, upscale: int = 2) -> Array:
+    """Device-side pyramid_expand (same math as the numpy version below):
+    used by the fused whole-frame solve chain so the coarse->fine
+    initialization never leaves the device."""
+    out_hw = (motion.shape[-2] * upscale, motion.shape[-1] * upscale)
+    up = _resize_bilinear_jax(motion, out_hw)
+    return _smooth_jax(up, 2.0 * upscale / 6.0)
+
+
 def pyramid_expand(motion: np.ndarray, upscale: int = 2) -> np.ndarray:
     """[c, h, w] -> [c, h*2, w*2]: bilinear upsample then smooth
     (skimage pyramid_expand equivalent, sigma = 2*upscale/6)."""

@@ -469,6 +469,9 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 jnp.asarray(np.stack(wgts), self.dtype),
             )
 
+        if self._chain_ready():
+            return self._optimize_batch_chain(events_list, solver_args)
+
         best_per_scale = {}
         for s in range(self.coarsest_scale, self.patch_scales):
             self.overload_patch_configuration(s)
@@ -488,6 +491,127 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             per_frame = {s: best_per_scale[s][b] for s in best_per_scale}
             results.append(self.update_coarse_from_fine(per_frame))
         return results
+
+    # ---------------------------------------------- whole-fleet device chain
+    def _optimize_batch_chain(self, events_list: List[np.ndarray], solver_args):
+        """Every pyramid scale of every frame in ONE device program: the
+        init search runs batched over frames x patches (vs. B sequential
+        host calls per scale in the loop path), coarse->fine expansion is
+        a vmapped device pyramid_expand, and each scale's lockstep batched
+        Newton follows — one dispatch per fleet batch instead of
+        ~scales*(B+1)."""
+        from ..ops.interp import pyramid_expand_jax  # noqa: F401 (used in chain)
+        from .sampling import gather_patch_events
+
+        bsz = len(events_list)
+        scales = list(range(self.coarsest_scale, self.patch_scales))
+        specs, search_meta, grid_shapes = {}, {}, {}
+        patch_inputs = []
+        max_n = max(len(e) for e in events_list)
+        for s in scales:
+            self.overload_patch_configuration(s)
+            specs[s] = self._current_spec()
+            grid_shapes[s] = tuple(self.patch_image_size)
+            if s > self.coarsest_scale:
+                capacity = self._patch_capacity(max_n)
+                n_cand = max(4, int(self.opt_config["n_iter"] / max(1, s - self.coarsest_scale)))
+                search_meta[s] = (tuple(self.patch_size), int(n_cand), capacity)
+                pes, pws, pcs = [], [], []
+                for e in events_list:
+                    pe, pw, pc = gather_patch_events(
+                        np.asarray(e, dtype=np.float64), self.patches, capacity
+                    )
+                    pes.append(pe); pws.append(pw); pcs.append(pc)
+                patch_inputs.append((
+                    jnp.asarray(np.stack(pes), self.dtype),
+                    jnp.asarray(np.stack(pws), self.dtype),
+                    jnp.asarray(np.stack(pcs)),
+                ))
+
+        self.overload_patch_configuration(self.coarsest_scale)
+        init = self.slv_config["patch"]["initialize"]
+        x0 = np.stack([
+            self.initialize_zeros() if init == "zero" else self.initialize_random()
+            for _ in range(bsz)
+        ]).reshape(bsz, -1)
+
+        fused = self._get_fleet_chain_solver(
+            tuple(scales), specs, search_meta, grid_shapes, bsz,
+            maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
+        )
+        keys = jnp.stack([self._next_key() for _ in scales[1:]]) if len(scales) > 1 else jnp.zeros((0, 2), jnp.uint32)
+        outs, fs = fused(jnp.asarray(x0, self.dtype), tuple(patch_inputs), keys, *solver_args)
+        self.overload_patch_configuration(scales[-1])
+
+        best_per_scale = {}
+        for i, s in enumerate(scales):
+            best_per_scale[s] = np.asarray(outs[i], np.float64)
+        fs_np = np.asarray(fs)
+        logger.info(f"fleet chain done ({bsz} frames, {len(scales)} scales); losses {fs_np[-1]}")
+        results = []
+        for b in range(bsz):
+            per_frame = {s: best_per_scale[s][b] for s in best_per_scale}
+            results.append(self.update_coarse_from_fine(per_frame))
+        return results
+
+    def _get_fleet_chain_solver(self, scales, specs, search_meta, grid_shapes, bsz,
+                                maxiter, gtol):
+        from ..ops.interp import pyramid_expand_jax
+
+        key = (
+            "fleet_chain",
+            tuple(specs[s] for s in scales),
+            tuple(sorted(search_meta.items())),
+            bsz, maxiter, gtol,
+        )
+        if key not in self._fun_cache:
+            solvers = {}
+            for s in scales:
+                spec = specs[s]
+                if objective_uses_banded(spec):
+                    batched = build_batched_objective_banded(spec)
+                else:
+                    batched = build_batched_objective(spec)
+                solvers[s] = build_newton_cg_batched(
+                    batched,
+                    maxiter=maxiter,
+                    cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
+                    gtol=gtol,
+                    fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
+                )
+            searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
+            dtype = self.dtype
+
+            def chain(x0, patch_inputs, keys, *newton_args):
+                best_x, best_f = [], []
+                x = x0  # [B, M_coarsest]
+                prev = None  # [B, 2, hp, wp]
+                for i, s in enumerate(scales):
+                    if i > 0:
+                        m0 = jax.vmap(pyramid_expand_jax)(prev)
+                        pe, pw, pc = patch_inputs[i - 1]  # [B, P, C, 4] / [B, P, C] / [B, P]
+                        B, P = pe.shape[0], pe.shape[1]
+                        m0_flat = (
+                            m0.reshape(B, 2, -1).transpose(0, 2, 1).reshape(B * P, 2)
+                        )
+                        m1 = searches[s](
+                            pe.reshape((B * P,) + pe.shape[2:]),
+                            pw.reshape(B * P, -1),
+                            pc.reshape(B * P),
+                            m0_flat.astype(dtype),
+                            keys[i - 1],
+                        )
+                        x = (
+                            m1.reshape(B, P, 2).transpose(0, 2, 1).reshape(B, -1).astype(dtype)
+                        )
+                    bx, bf, _ = solvers[s](x, *newton_args)
+                    prev = bx.reshape((bsz, 2) + grid_shapes[s])
+                    best_x.append(prev)
+                    best_f.append(bf)
+                return tuple(best_x), jnp.stack(best_f)
+
+            self._fun_cache[key] = jax.jit(chain)
+        return self._fun_cache[key]
 
     def _init_scale_single(self, s, events_np, best_per_scale, b):
         from ..ops.interp import pyramid_expand

@@ -21,12 +21,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..flow.voxel import construct_dense_flow_voxel
-from ..ops.interp import pyramid_expand, pyramid_reduce, tile_to_dense_flow
+from ..ops.interp import (
+    pyramid_expand,
+    pyramid_expand_jax,
+    pyramid_reduce,
+    tile_to_dense_flow,
+)
 from ..costs import functional as F
 from ..flow.metrics import calculate_flow_error_numpy
 from ..types import pad_events
 from .base import TORCH_OPTIMIZERS
 from .patch_base import PatchContrastMaximization, prepare_patch
+from .sampling import gather_patch_events
 from .scipy_bridge import SCIPY_OPTIMIZERS
 
 logger = logging.getLogger(__name__)
@@ -95,6 +101,9 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         events = np.asarray(events, dtype=np.float64)
         ev, w = self.prepare_events(events)
 
+        if self._chain_ready():
+            return self._optimize_chain(events, ev, w)
+
         best_motion_per_scale: Dict[int, np.ndarray] = {}
         for s in range(self.coarsest_scale, self.patch_scales):
             self.overload_patch_configuration(s)
@@ -155,6 +164,197 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             self.visualizer.visualize_scipy_history(self.cost_func.get_history(), self.cost_weight)
         self.cost_func.clear_history()
         return refined
+
+    # ------------------------------------------------- whole-frame chain
+    def _chain_ready(self) -> bool:
+        """Whether the whole coarse-to-fine solve can run as ONE device
+        program: all scales on the device Newton path.  Gate with
+        ``optimizer.chain: false`` to fall back to the per-scale loop.
+
+        On a tunneled runtime every dispatch costs 25-120 ms; the chain
+        collapses the per-frame dispatch count from one-per-scale to one.
+        """
+        device_newton = self.opt_method == "Newton-CG" and self.opt_config.get("device", True)
+        return (
+            device_newton
+            and bool(self.opt_config.get("chain", True))
+            and (self.patch_scales - self.coarsest_scale) >= 2
+        )
+
+    def _optimize_chain(self, events_np: np.ndarray, ev, w, metric_in=()) -> Dict[int, np.ndarray]:
+        """All pyramid scales — per-scale init search + Newton-CG, with
+        device-side pyramid_expand between scales — in one jitted call.
+        Semantics match the per-scale loop (same kernels, same key order);
+        only the float64 host round trip between scales is gone.
+
+        ``metric_in = (gt, metric_events, metric_weights, ts)`` appends the
+        fused metrics computation (same body as _metrics_fused_fn) on the
+        finest result to the same device call; the error dict is stashed in
+        ``self._last_chain_metrics``."""
+        import jax
+
+        scales = list(range(self.coarsest_scale, self.patch_scales))
+        specs = {}
+        search_meta = {}
+        patch_inputs = []
+        grid_shapes = {}
+        for s in scales:
+            self.overload_patch_configuration(s)
+            specs[s] = self._current_spec()
+            grid_shapes[s] = tuple(self.patch_image_size)
+            if s > self.coarsest_scale:
+                capacity = self._patch_capacity(len(events_np))
+                n_cand = max(4, int(self.opt_config["n_iter"] / max(1, s - self.coarsest_scale)))
+                search_meta[s] = (tuple(self.patch_size), int(n_cand), capacity)
+                pe, pw, pc = gather_patch_events(events_np, self.patches, capacity)
+                patch_inputs.append(
+                    (jnp.asarray(pe, self.dtype), jnp.asarray(pw, self.dtype), jnp.asarray(pc))
+                )
+
+        # geometry loop ends at the finest scale: metrics use that grid
+        metrics_body = self._build_metrics_body() if metric_in else None
+
+        warm = self.previous_frame_best_estimation
+        use_warm = warm is not None
+        self.overload_patch_configuration(self.coarsest_scale)
+        x0 = self._init_scale(self.coarsest_scale, events_np, {})
+
+        maxiter = self.opt_config.get("max_iter", 25)
+        fused = self._get_chain_solver(
+            tuple(scales),
+            specs,
+            search_meta,
+            grid_shapes,
+            maxiter=maxiter,
+            gtol=1e-5,
+            use_warm=use_warm,
+            metrics_body=metrics_body,
+        )
+        if self._uses_banded(specs[scales[0]]):
+            if getattr(self, "_banded_events_ref", None) is not events_np:
+                self._banded_args = self._pack_banded(events_np)
+                self._banded_events_ref = events_np
+            newton_args = self._banded_args
+        else:
+            newton_args = (ev, w)
+        warm_in = (
+            tuple(
+                jnp.asarray(np.asarray(warm[s], dtype=np.float64), self.dtype)
+                for s in scales[1:]
+            )
+            if use_warm
+            else ()
+        )
+        keys = jnp.stack([self._next_key() for _ in scales[1:]])
+        self.cost_func.enable_history_register()
+        out_all = fused(
+            jnp.asarray(np.asarray(x0, dtype=np.float64).reshape(-1), self.dtype),
+            warm_in,
+            tuple(patch_inputs),
+            keys,
+            tuple(metric_in),
+            *newton_args,
+        )
+        if metric_in:
+            outs, fs, its, err = out_all
+            self._last_chain_metrics = {k: float(v) for k, v in err.items()}
+        else:
+            outs, fs, its = out_all
+            self._last_chain_metrics = None
+        fs_np = np.asarray(fs)
+        its_np = np.asarray(its)
+        best_motion_per_scale: Dict[int, np.ndarray] = {}
+        for i, s in enumerate(scales):
+            best_motion_per_scale[s] = np.asarray(outs[i], dtype=np.float64)
+            self._history_cb(float(fs_np[i]), None)
+            logger.info(
+                f"Scale {s} done (chained): {int(its_np[i])} iters, loss {fs_np[i]:.6f}"
+            )
+        self.overload_patch_configuration(scales[-1])
+
+        refined = self.update_coarse_from_fine(best_motion_per_scale)
+        if self.visualizer and self.cost_func.get_history()["loss"]:
+            self.visualizer.visualize_scipy_history(self.cost_func.get_history(), self.cost_weight)
+        self.cost_func.clear_history()
+        return refined
+
+    def _get_chain_solver(self, scales, specs, search_meta, grid_shapes, maxiter, gtol,
+                          use_warm, metrics_body=None):
+        import jax
+
+        key = (
+            "chain",
+            tuple(specs[s] for s in scales),
+            tuple(sorted(search_meta.items())),
+            maxiter,
+            gtol,
+            use_warm,
+            metrics_body is not None,
+        )
+        if key not in self._fun_cache:
+            solvers = {s: self._build_newton(specs[s], maxiter, gtol) for s in scales}
+            searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
+            dtype = self.dtype
+
+            def chain(x0, warm_fine, patch_inputs, keys, metric_in, *newton_args):
+                best_x, best_f, iters = [], [], []
+                x = x0
+                prev = None
+                for i, s in enumerate(scales):
+                    if i > 0:
+                        m0 = pyramid_expand_jax(prev)
+                        if use_warm:
+                            m0 = (m0 + warm_fine[i - 1]) / 2.0
+                        pe, pw, pc = patch_inputs[i - 1]
+                        m1 = searches[s](
+                            pe, pw, pc, m0.reshape(2, -1).T.astype(dtype), keys[i - 1]
+                        )
+                        x = m1.T.reshape(-1).astype(dtype)
+                    bx, bf, it = solvers[s](x, *newton_args)
+                    prev = bx.reshape((2,) + grid_shapes[s])
+                    best_x.append(prev)
+                    best_f.append(bf)
+                    iters.append(it)
+                    finest_flat = bx
+                if metrics_body is None:
+                    return tuple(best_x), jnp.stack(best_f), jnp.stack(iters)
+                gt, me, mw, ts = metric_in
+                err = metrics_body(finest_flat, gt, me, mw, ts)
+                return tuple(best_x), jnp.stack(best_f), jnp.stack(iters), err
+
+            self._fun_cache[key] = jax.jit(chain)
+        return self._fun_cache[key]
+
+    def optimize_with_metrics(self, events, gt_flow, timescale: float, metric_events):
+        """Solve + AEE/FWL metrics as ONE device dispatch when the fused
+        chain and fused metrics both apply (eval-loop fast path); falls
+        back to optimize() + calculate_flow_error() otherwise.  Returns
+        (per-scale motion dict, flow-error dict) — identical values to the
+        two-call path (same kernels, same order)."""
+        fusable = (
+            self._chain_ready()
+            and self.padding == 0
+            and not (self.is_time_aware and self.flow_interpolation in ("nearest", "linear", "cubic"))
+            and not (self.out_config or {}).get("trace_dir")
+        )
+        if not fusable:
+            best = self.profiled_optimize(events)
+            err = self.calculate_flow_error(best, gt_flow, timescale=timescale, events=metric_events)
+            return best, err
+        events = np.asarray(events, dtype=np.float64)
+        ev, w = self.prepare_events(events)
+        padded, wgt = pad_events(np.asarray(metric_events, dtype=np.float64))
+        metric_in = (
+            jnp.asarray(np.transpose(np.asarray(gt_flow), (2, 0, 1)), self.dtype),
+            jnp.asarray(padded, self.dtype),
+            jnp.asarray(wgt, self.dtype),
+            jnp.asarray(timescale, self.dtype),
+        )
+        logger.info(f"Start optimization. DoF {self.motion_vector_size * self.total_n_patch}")
+        refined = self._optimize_chain(events, ev, w, metric_in=metric_in)
+        err = self._last_chain_metrics
+        logger.info(f"flow_error = {err} for time period {timescale} sec.")
+        return refined, err
 
     def _presearch_motion(self, s: int, coarser: Dict[int, np.ndarray]):
         """For scales that refine a coarser result via the per-patch
@@ -258,6 +458,67 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         )
         return np.asarray(voxel * scale / t_scale)
 
+    def _build_metrics_body(self):
+        """Un-jitted metrics body over the CURRENT (finest) scale geometry:
+        f(m_flat, gt [2,H,W], events, weights, ts) -> error dict
+        (AEE/NPE/AE + GT/PRED FWL + event mask + tile->dense (+voxel)).
+        Shared by the standalone fused-metrics call and the solve+metrics
+        chain so both produce identical values."""
+        from ..flow.metrics import calculate_flow_error as cfe
+        from ..ops.warp import Warp as _Warp
+
+        imager = self.imager
+        warper = _Warp(self.image_shape, normalize_t=True)
+        backend = self.iwe_backend
+        geom = (
+            tuple(self.patch_image_size), self.image_shape, tuple(self.patch_size),
+            tuple(self.sliding_window), tuple(self.patch_shift), self.filter_type,
+        )
+        ta = self.is_time_aware
+        scale_later = getattr(self, "scale_later", False)
+        time_bin = getattr(self, "time_bin", 10)
+        scheme = getattr(self, "flow_interpolation", "burgers")
+        t0_loc = getattr(self, "t0_flow_location", "middle")
+        t0_idx = 0 if t0_loc == "first" else time_bin // 2
+
+        def f(m, gt, e, w, ts):
+            dense = tile_to_dense_flow(m, *geom)
+            orig_iwe = imager.create_iwe(
+                e, sigma=1, weight=w, blur_mode="scipy", backend=backend
+            )
+
+            def fwl_of(flow, model):
+                warped = warper.warp_event(e, flow, model, weights=w)
+                wiwe = imager.create_iwe(
+                    warped, sigma=1, weight=w, blur_mode="scipy", backend=backend
+                )
+                ratio = F.normalized_image_variance(
+                    wiwe, orig_iwe, omit_boundary=False, ddof=0
+                )
+                return 1.0 / ratio
+
+            if ta:
+                scale = jnp.max(dense) if scale_later else 1.0
+                voxel = construct_dense_flow_voxel(
+                    dense * ts / scale, time_bin, scheme, t0_location=t0_loc
+                )
+                pred_full = voxel * scale
+                pred_err = pred_full[t0_idx]
+                pred_fwl = fwl_of(pred_full, "dense-flow-voxel")
+            else:
+                pred_full = dense * ts
+                pred_err = pred_full
+                pred_fwl = fwl_of(pred_full, "dense-flow")
+            gt_fwl = fwl_of(gt, "dense-flow")
+            mask = imager.create_eventmask(e, weight=w)
+            mask = mask[None] if mask.ndim == 3 else mask
+            err = dict(cfe(gt[None], pred_err[None], mask))
+            err["GT_FWL"] = gt_fwl
+            err["PRED_FWL"] = pred_fwl
+            return err
+
+        return f
+
     def _metrics_fused_fn(self, n_pad: int):
         """AEE/NPE/AE + GT/PRED FWL + event mask + tile->dense (+voxel) as
         ONE jitted device call (the unfused path costs ~6 dispatches and
@@ -267,61 +528,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         if key not in self._fwl_cache:
             import jax
 
-            from ..flow.metrics import calculate_flow_error as cfe
-            from ..ops.warp import Warp as _Warp
-
-            imager = self.imager
-            warper = _Warp(self.image_shape, normalize_t=True)
-            backend = self.iwe_backend
-            geom = (
-                tuple(self.patch_image_size), self.image_shape, tuple(self.patch_size),
-                tuple(self.sliding_window), tuple(self.patch_shift), self.filter_type,
-            )
-            ta = self.is_time_aware
-            scale_later = getattr(self, "scale_later", False)
-            time_bin = getattr(self, "time_bin", 10)
-            scheme = getattr(self, "flow_interpolation", "burgers")
-            t0_loc = getattr(self, "t0_flow_location", "middle")
-            t0_idx = 0 if t0_loc == "first" else time_bin // 2
-
-            @jax.jit
-            def f(m, gt, e, w, ts):
-                dense = tile_to_dense_flow(m, *geom)
-                orig_iwe = imager.create_iwe(
-                    e, sigma=1, weight=w, blur_mode="scipy", backend=backend
-                )
-
-                def fwl_of(flow, model):
-                    warped = warper.warp_event(e, flow, model, weights=w)
-                    wiwe = imager.create_iwe(
-                        warped, sigma=1, weight=w, blur_mode="scipy", backend=backend
-                    )
-                    ratio = F.normalized_image_variance(
-                        wiwe, orig_iwe, omit_boundary=False, ddof=0
-                    )
-                    return 1.0 / ratio
-
-                if ta:
-                    scale = jnp.max(dense) if scale_later else 1.0
-                    voxel = construct_dense_flow_voxel(
-                        dense * ts / scale, time_bin, scheme, t0_location=t0_loc
-                    )
-                    pred_full = voxel * scale
-                    pred_err = pred_full[t0_idx]
-                    pred_fwl = fwl_of(pred_full, "dense-flow-voxel")
-                else:
-                    pred_full = dense * ts
-                    pred_err = pred_full
-                    pred_fwl = fwl_of(pred_full, "dense-flow")
-                gt_fwl = fwl_of(gt, "dense-flow")
-                mask = imager.create_eventmask(e, weight=w)
-                mask = mask[None] if mask.ndim == 3 else mask
-                err = dict(cfe(gt[None], pred_err[None], mask))
-                err["GT_FWL"] = gt_fwl
-                err["PRED_FWL"] = pred_fwl
-                return err
-
-            self._fwl_cache[key] = f
+            self._fwl_cache[key] = jax.jit(self._build_metrics_body())
         return self._fwl_cache[key]
 
     def calculate_flow_error(self, motion, gt_flow, timescale: float = 1.0, events=None) -> dict:

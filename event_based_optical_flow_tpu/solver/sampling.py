@@ -42,9 +42,17 @@ def gather_patch_events(
     acceptable for the statistical init search (the full-objective
     refinement still sees every event).
 
+    Non-overlapping lattice grids (every pyramid scale) take a fully
+    vectorized path: per-event patch ids + one stable argsort, instead of
+    P boolean scans of the whole event buffer.  Overlapping/irregular
+    patch dicts fall back to the per-patch loop with identical results.
+
     Returns (patch_events [P, C, 4], weights [P, C], counts [P]).
     """
     n_patch = len(patches)
+    fast = _gather_lattice_fast(events, patches, capacity)
+    if fast is not None:
+        return fast
     out = np.zeros((n_patch, capacity, 4), dtype=np.float64)
     wgt = np.zeros((n_patch, capacity), dtype=np.float64)
     counts = np.zeros(n_patch, dtype=np.int64)
@@ -63,6 +71,78 @@ def gather_patch_events(
             out[i, :k] = sel - np.array([p.x_min, p.y_min, 0.0, 0.0])
             out[i, k:, 2] = sel[:, 2].min()
             wgt[i, :k] = 1.0
+    return out, wgt, counts
+
+
+def _gather_lattice_fast(events: np.ndarray, patches: dict, capacity: int):
+    """Vectorized gather for a non-overlapping row-major patch lattice
+    (prepare_patch's layout — note the reference's FlowPatch rounding can
+    make edge tiles narrower, so the bins come from the actual per-patch
+    [min, max) bounds, not from the nominal patch size); returns None
+    when the patch dict isn't such a lattice."""
+    n_patch = len(patches)
+    if n_patch == 0:
+        return None
+    x_mins = np.array([patches[i].x_min for i in range(n_patch)])
+    y_mins = np.array([patches[i].y_min for i in range(n_patch)])
+    x_maxs = np.array([patches[i].x_max for i in range(n_patch)])
+    y_maxs = np.array([patches[i].y_max for i in range(n_patch)])
+    xm = np.unique(x_mins)
+    ym = np.unique(y_mins)
+    nx, ny = len(xm), len(ym)
+    if nx * ny != n_patch:
+        return None
+    # row-major layout with per-row/col consistent bounds
+    if not (
+        np.array_equal(x_mins, np.repeat(xm, ny))
+        and np.array_equal(y_mins, np.tile(ym, nx))
+    ):
+        return None
+    xx = x_maxs[::ny]  # one x_max per row
+    yx = y_maxs[:ny]  # one y_max per column
+    if not (
+        np.array_equal(x_maxs, np.repeat(xx, ny))
+        and np.array_equal(y_maxs, np.tile(yx, nx))
+    ):
+        return None
+    # non-overlapping (an event belongs to at most one tile)
+    if np.any(xx[:-1] > xm[1:]) or np.any(yx[:-1] > ym[1:]):
+        return None
+    row = np.searchsorted(xm, events[:, 0], side="right") - 1
+    col = np.searchsorted(ym, events[:, 1], side="right") - 1
+    ok = (row >= 0) & (col >= 0)
+    row_c = np.clip(row, 0, nx - 1)
+    col_c = np.clip(col, 0, ny - 1)
+    ok &= (events[:, 0] < xx[row_c]) & (events[:, 1] < yx[col_c])
+    pid = (row_c * ny + col_c)[ok]
+    sel = events[ok].astype(np.float64, copy=True)
+    sel[:, 0] -= x_mins[pid]
+    sel[:, 1] -= y_mins[pid]
+    order = np.argsort(pid, kind="stable")
+    pid_s = pid[order]
+    sel_s = sel[order]
+    counts = np.bincount(pid_s, minlength=n_patch).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out = np.zeros((n_patch, capacity, 4), dtype=np.float64)
+    wgt = np.zeros((n_patch, capacity), dtype=np.float64)
+    rank = np.arange(len(pid_s)) - starts[pid_s]
+    fits = counts[pid_s] <= capacity
+    out[pid_s[fits], rank[fits]] = sel_s[fits]
+    wgt_k = np.minimum(counts, capacity)
+    col = np.arange(capacity)
+    wgt[col[None, :] < wgt_k[:, None]] = 1.0
+    # pad rows carry the patch's min timestamp (keeps t_scale intact)
+    nz = counts > 0
+    t_min_acc = np.full(n_patch, np.inf)
+    np.minimum.at(t_min_acc, pid_s, sel_s[:, 2])
+    t_min = np.where(nz, t_min_acc, 0.0)
+    pad_mask = (col[None, :] >= wgt_k[:, None]) & nz[:, None]
+    out[..., 2] = np.where(pad_mask, t_min[:, None], out[..., 2])
+    # oversubscribed patches: evenly subsample, exactly like the loop
+    for i in np.nonzero(counts > capacity)[0]:
+        seg = sel_s[starts[i] : starts[i] + counts[i]]
+        idx = np.linspace(0, counts[i] - 1, capacity).astype(np.int64)
+        out[i] = seg[idx]
     return out, wgt, counts
 
 

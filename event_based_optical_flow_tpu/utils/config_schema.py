@@ -55,6 +55,7 @@ _KNOWN_SOLVER_KEYS = {
 }
 _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
+    "chain",
 }
 
 

@@ -46,7 +46,8 @@ class Visualizer:
         show (bool) / save (bool) / save_dir (str)
     """
 
-    def __init__(self, image_shape: tuple, show=False, save=False, save_dir=None) -> None:
+    def __init__(self, image_shape: tuple, show=False, save=False, save_dir=None,
+                 async_save: bool = True) -> None:
         self.update_image_shape(image_shape)
         self._show = show
         self._save = save
@@ -54,6 +55,28 @@ class Visualizer:
         self.default_prefix = ""
         self.default_save_count = 0
         self.prefixed_save_count: Dict[str, int] = {}
+        # PNG encode+write off the critical path: filenames are still
+        # allocated synchronously (deterministic numbering), only the
+        # encode/IO runs on the pool.  flush() joins pending writes.
+        self._async_save = async_save
+        self._save_pool = None
+        self._pending_saves: list = []
+
+    def _submit_save(self, image: Image.Image, name: str) -> None:
+        if not self._async_save:
+            image.save(name)
+            return
+        if self._save_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._save_pool = ThreadPoolExecutor(max_workers=2)
+        self._pending_saves.append(self._save_pool.submit(image.save, name))
+
+    def flush(self) -> None:
+        """Wait for queued image writes; re-raise the first failure."""
+        pending, self._pending_saves = self._pending_saves, []
+        for fut in pending:
+            fut.result()
 
     def update_image_shape(self, image_shape):
         self._image_size = tuple(image_shape)
@@ -96,9 +119,9 @@ class Visualizer:
             image.show()
         if self._save:
             if fixed_file_name is not None:
-                image.save(os.path.join(self.save_dir, f"{fixed_file_name}.png"))
+                self._submit_save(image, os.path.join(self.save_dir, f"{fixed_file_name}.png"))
             else:
-                image.save(self.get_filename_from_prefix(file_prefix))
+                self._submit_save(image, self.get_filename_from_prefix(file_prefix))
 
     # --- images -------------------------------------------------------------
     def load_image(self, image: Any) -> Image.Image:

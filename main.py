@@ -144,12 +144,18 @@ def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, so
         if utils.check_key_and_bool(data_config, "remove_car"):
             batch_for_optimization = utils.crop_event(batch_for_optimization, 0, 193, 0, 346)
 
-        best_motion = solv.profiled_optimize(batch_for_optimization)
+        if hasattr(solv, "optimize_with_metrics"):
+            # pyramid fast path: solve + metrics in one device dispatch
+            best_motion, flow_error = solv.optimize_with_metrics(
+                batch_for_optimization, gt_flow, flow_time, batch_for_gt_slice
+            )
+        else:
+            best_motion = solv.profiled_optimize(batch_for_optimization)
+            flow_error = solv.calculate_flow_error(
+                best_motion, gt_flow, timescale=flow_time, events=batch_for_gt_slice
+            )
         if warm_start:
             solv.set_previous_frame_best_estimation(best_motion)
-        flow_error = solv.calculate_flow_error(
-            best_motion, gt_flow, timescale=flow_time, events=batch_for_gt_slice
-        )
         solv.save_flow_error_as_text(i1, flow_error, "flow_error_per_frame_with_mask.txt")
         ckpt.append_frame_metrics(out_dir, i1, flow_error)
         ckpt.save_eval_state(out_dir, i1 + 1, best_motion if warm_start else None)
@@ -159,6 +165,8 @@ def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, so
             solv.visualize_original_sequential(batch_for_gt_slice)
             solv.visualize_pred_sequential(batch_for_gt_slice, best_motion)
             solv.visualize_gt_sequential(batch_for_gt_slice, gt_flow)
+    if solv.visualizer is not None:
+        solv.visualizer.flush()
 
 
 def main():
@@ -239,6 +247,7 @@ def main():
         t2 = loader.index_to_time(ind2)
         gt_flow = loader.load_optical_flow(t1, t2)
         solv.calculate_flow_error(best_motion, gt_flow, t2 - t1, batch)
+    viz.flush()
 
 
 if __name__ == "__main__":

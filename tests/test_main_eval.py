@@ -139,3 +139,23 @@ def test_config_roundtrip_via_yaml(tmp_path):
     with open(path) as f:
         loaded = yaml.safe_load(f)
     assert validate_config(loaded) == []
+
+
+def test_visualizer_async_save_flush(tmp_path):
+    """Async PNG writes land on disk after flush(), with the same
+    deterministic numbering as synchronous saves."""
+    from event_based_optical_flow_tpu.visualizer import Visualizer
+
+    viz = Visualizer((8, 12), show=False, save=True, save_dir=str(tmp_path))
+    img = (np.arange(8 * 12, dtype=np.uint8).reshape(8, 12) * 2) % 255
+    viz.visualize_image(img, file_prefix="frame")
+    viz.visualize_image(img, file_prefix="frame")
+    viz.visualize_image(img)
+    viz.flush()
+    assert os.path.exists(tmp_path / "frame0.png")
+    assert os.path.exists(tmp_path / "frame1.png")
+    assert os.path.exists(tmp_path / "0.png")
+    # sync fallback behaves identically
+    viz2 = Visualizer((8, 12), show=False, save=True, save_dir=str(tmp_path), async_save=False)
+    viz2.visualize_image(img, file_prefix="sync")
+    assert os.path.exists(tmp_path / "sync0.png")

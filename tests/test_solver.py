@@ -260,3 +260,89 @@ def test_fused_metrics_match_composed(time_aware):
     want.update(solv.calculate_fwl(motion, gt2, ts, ev))
     for k, v in want.items():
         assert fused[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+
+
+def test_pyramid_expand_jax_matches_numpy():
+    from event_based_optical_flow_tpu.ops.interp import pyramid_expand, pyramid_expand_jax
+
+    m = np.random.default_rng(0).normal(size=(2, 3, 5))
+    np.testing.assert_allclose(
+        np.asarray(pyramid_expand_jax(jnp.asarray(m))), pyramid_expand(m), atol=1e-12
+    )
+
+
+def test_pyramid_chain_matches_per_scale_loop():
+    """The whole-frame fused chain (one device program for every scale)
+    must reproduce the per-scale dispatch loop: same kernels in the same
+    order, same PRNG key sequence — cold and warm-started frames."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt, n=2200, h=20, w=28)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 16, "crop_width": 24, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 4, "method": "Newton-CG", "max_iter": 4,
+        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+    }
+    results = {}
+    for chain in (False, True):
+        solv = solver.collections["pyramidal_patch_contrast_maximization"](
+            (20, 28), {}, slv_cfg, dict(opt_cfg, chain=chain), {}, None
+        )
+        assert solv._chain_ready() == chain
+        cold = solv.optimize(ev)
+        solv.set_previous_frame_best_estimation(cold)
+        warmed = solv.optimize(ev)
+        results[chain] = (cold, warmed)
+    for (a, b) in zip(results[False], results[True]):
+        assert sorted(a) == sorted(b)
+        for s in a:
+            np.testing.assert_allclose(b[s], a[s], atol=1e-5)
+
+
+def test_optimize_with_metrics_matches_two_call_path():
+    """optimize_with_metrics (solve + AEE/FWL in one device dispatch) must
+    equal optimize() followed by calculate_flow_error()."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt, n=2200, h=20, w=28)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 16, "crop_width": 24, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 4, "method": "Newton-CG", "max_iter": 4,
+        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+    }
+    dur = float(ev[:, 2].max() - ev[:, 2].min())
+    gt_disp = np.zeros((20, 28, 2))
+    gt_disp[..., 0] = -gt[0] * dur
+    gt_disp[..., 1] = -gt[1] * dur
+    S = solver.collections["pyramidal_patch_contrast_maximization"]
+    solv1 = S((20, 28), {}, slv_cfg, opt_cfg, {}, None)
+    best1, err1 = solv1.optimize_with_metrics(ev, gt_disp, dur, ev)
+    solv2 = S((20, 28), {}, slv_cfg, opt_cfg, {}, None)
+    best2 = solv2.optimize(ev)
+    err2 = solv2.calculate_flow_error(best2, gt_disp, timescale=dur, events=ev)
+    for s in best1:
+        np.testing.assert_allclose(best1[s], best2[s], atol=1e-12)
+    for k in err2:
+        assert err1[k] == pytest.approx(err2[k], abs=1e-9), k
