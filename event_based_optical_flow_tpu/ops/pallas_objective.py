@@ -50,27 +50,47 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _corner(coords_row, weight_row, size, eps):
-    """Bilinear corner-weight block [size, C] (two nonzero rows/event)."""
+def _fl_frac(coords_row, eps):
+    """floor(+eps) decomposition shared by full and row-windowed corner
+    blocks, so both place weights from ONE rounding decision
+    (bit-identical routing between the windowed and full vote paths)."""
     fl = jnp.floor(coords_row + eps)
-    frac = coords_row - fl
-    fl_i = fl.astype(jnp.int32)
-    grid = jax.lax.broadcasted_iota(jnp.int32, (size, coords_row.shape[-1]), 0)
+    return fl.astype(jnp.int32), coords_row - fl
+
+
+def _corner_block(fl_i, frac, weight_row, size):
+    """Bilinear corner-weight block [size, C] from a precomputed
+    floor/frac pair (two nonzero rows/event); shift ``fl_i`` by a window
+    start to build a window-local block."""
+    grid = jax.lax.broadcasted_iota(jnp.int32, (size, fl_i.shape[-1]), 0)
     block = jnp.where(grid == fl_i, 1.0 - frac, 0.0) + jnp.where(grid == fl_i + 1, frac, 0.0)
     if weight_row is not None:
         block = block * weight_row
     return block
 
 
-def _corner_deriv(coords_row, weight_row, size, eps):
+def _corner_deriv_block(fl_i, weight_row, size, dtype):
     """d(corner)/d(coord): -1 at floor, +1 at floor+1 (one-sided,
-    reference autograd semantics)."""
-    fl_i = jnp.floor(coords_row + eps).astype(jnp.int32)
-    grid = jax.lax.broadcasted_iota(jnp.int32, (size, coords_row.shape[-1]), 0)
+    reference autograd semantics), from a precomputed floor."""
+    grid = jax.lax.broadcasted_iota(jnp.int32, (size, fl_i.shape[-1]), 0)
     block = jnp.where(grid == fl_i, -1.0, 0.0) + jnp.where(grid == fl_i + 1, 1.0, 0.0)
+    block = block.astype(dtype)
     if weight_row is not None:
         block = block * weight_row
     return block
+
+
+def _corner(coords_row, weight_row, size, eps):
+    """Bilinear corner-weight block [size, C] (two nonzero rows/event)."""
+    fl_i, frac = _fl_frac(coords_row, eps)
+    return _corner_block(fl_i, frac, weight_row, size)
+
+
+def _corner_deriv(coords_row, weight_row, size, eps):
+    """d(corner)/d(coord): -1 at floor, +1 at floor+1 (one-sided,
+    reference autograd semantics)."""
+    fl_i, _ = _fl_frac(coords_row, eps)
+    return _corner_deriv_block(fl_i, weight_row, size, coords_row.dtype)
 
 
 def _onehot_int(coords_row, size):

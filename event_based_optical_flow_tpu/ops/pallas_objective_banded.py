@@ -25,8 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_objective import (
     _CHUNK,
     _corner,
+    _corner_block,
     _corner_deriv,
+    _corner_deriv_block,
     _dot,
+    _fl_frac,
     _gather_uv,
     _onehot_int,
     _round_up,
@@ -45,6 +48,48 @@ def max_chunks(n_events: int, height: int) -> int:
     return (n_events + _CHUNK - 1) // _CHUNK + n_bands
 
 
+def _pack_native(events, weights, dtf, n_rows: int, n_cols: int, n_bins: int,
+                 g_max: int, chunk: int):
+    """Native C++ packing with inline group computation; None -> caller
+    falls back to the numpy group formula + _pack_grouped loop (identical
+    layout, tested byte-equal)."""
+    from .. import native
+
+    return native.pack_events(
+        np.asarray(events, np.float64), weights, dtf,
+        BAND, n_rows, COLBAND, n_cols, n_bins, chunk, g_max,
+    )
+
+
+def _pack_grouped(x, y, dtf, wt, group_of, valid, n_groups: int, g_max: int,
+                  chunk: int):
+    """Pure-Python stable grouped chunk packing (fallback for
+    native/packer.cpp): chunks are emitted in ascending group order,
+    events keep their input order, each group pads its last chunk with
+    inert sentinels.
+
+    Returns (x, y, dtf, wt [g_max, chunk] float64, chunk_group [g_max],
+    n_chunks_used)."""
+    x_out = np.full((g_max, chunk), -10.0, dtype=np.float64)
+    y_out = np.full((g_max, chunk), -10.0, dtype=np.float64)
+    d_out = np.zeros((g_max, chunk), dtype=np.float64)
+    w_out = np.zeros((g_max, chunk), dtype=np.float64)
+    chunk_group = np.zeros(g_max, dtype=np.int32)
+    g = 0
+    for b in range(n_groups):
+        sel = np.nonzero(valid & (group_of == b))[0]
+        for start in range(0, len(sel), chunk):
+            idx = sel[start : start + chunk]
+            k = len(idx)
+            x_out[g, :k] = x[idx]
+            y_out[g, :k] = y[idx]
+            d_out[g, :k] = dtf[idx]
+            w_out[g, :k] = wt[idx]
+            chunk_group[g] = b
+            g += 1
+    return x_out, y_out, d_out, w_out, chunk_group, g
+
+
 def pack_events_by_band(
     events: np.ndarray,
     weights: np.ndarray,
@@ -56,27 +101,15 @@ def pack_events_by_band(
     with G = max_chunks (trailing chunks empty)."""
     n = len(events)
     g_max = max_chunks(n, height)
-    x_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
-    y_out = np.full((g_max, _CHUNK), -10.0, dtype=np.float64)
-    d_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
-    w_out = np.zeros((g_max, _CHUNK), dtype=np.float64)
-    band_ids = np.zeros(g_max, dtype=np.int32)
-
-    x = events[:, 0]
-    band_of = np.clip(x.astype(np.int64) // BAND, 0, _round_up(height, BAND) // BAND - 1)
-    valid = weights > 0
-    g = 0
-    for b in range(_round_up(height, BAND) // BAND):
-        sel = np.nonzero(valid & (band_of == b))[0]
-        for start in range(0, len(sel), _CHUNK):
-            idx = sel[start : start + _CHUNK]
-            k = len(idx)
-            x_out[g, :k] = events[idx, 0]
-            y_out[g, :k] = events[idx, 1]
-            d_out[g, :k] = dtf[idx]
-            w_out[g, :k] = weights[idx]
-            band_ids[g] = b
-            g += 1
+    n_bands = _round_up(height, BAND) // BAND
+    res = _pack_native(events, weights, dtf, n_bands, 1, 1, g_max, _CHUNK)
+    if res is None:
+        band_of = np.clip(events[:, 0].astype(np.int64) // BAND, 0, n_bands - 1)
+        res = _pack_grouped(
+            events[:, 0], events[:, 1], dtf, weights, band_of, weights > 0,
+            n_bands, g_max, _CHUNK,
+        )
+    x_out, y_out, d_out, w_out, band_ids, _ = res
     shape = (g_max, 1, _CHUNK)
     return (
         x_out.reshape(shape),
@@ -89,6 +122,46 @@ def pack_events_by_band(
 
 def n_col_bands(width: int) -> int:
     return _round_up(width + 1, 128) // COLBAND
+
+
+# Dense packing policy for the OBJECTIVE paths (single-frame Newton,
+# event-sharded, fleet).  Long-loop interleaved A/B on the tunneled TPU
+# (see BENCHMARKS.md): the Newton solve is dominated by fwd+bwd objective
+# evaluations, where plain band packing measured ~12% faster than
+# (row, col)-tile packing — the tile win is specific to few-output shapes
+# (standalone 1-warp vote: 2.5x), where the gather is the dominant cost.
+# Packer and kernel flag MUST agree; this single switch keeps every
+# objective-path consumer consistent.  The standalone vote path
+# (ops/iwe, bench.py) stays tile-packed explicitly.
+OBJECTIVE_DENSE_PACKING = "band"  # "band" | "tile"
+
+
+def objective_dense_col_bands(width: int) -> Optional[int]:
+    """``col_bands`` kernel flag matching ``pack_events_dense``."""
+    return n_col_bands(width) if OBJECTIVE_DENSE_PACKING == "tile" else None
+
+
+# Row-windowed votes (v4): near convergence, warped rows stay close to
+# the source band, so votes can accumulate into a 128-row slice instead
+# of the full padded height — with an exact in-kernel fallback per
+# (chunk, direction) for far-flung candidates (init sweeps, line-search
+# probes).  Must be a multiple of 16 (keeps the window start 8-aligned).
+OBJECTIVE_ROW_WINDOW = 128
+
+
+def objective_row_window(height: int) -> Optional[int]:
+    """Row window for the objective kernels; None when the frame is small
+    enough that the window would not shrink the vote."""
+    hp = _round_up(max(height + 1, BAND), 8)
+    return OBJECTIVE_ROW_WINDOW if hp > OBJECTIVE_ROW_WINDOW else None
+
+
+def pack_events_dense(events, weights, dtf, height: int, width: int, chunk: int = _CHUNK):
+    """Dense-path packing for the objective consumers; the matching kernel
+    flag is ``objective_dense_col_bands(width)``."""
+    if OBJECTIVE_DENSE_PACKING == "tile":
+        return pack_events_by_tile(events, weights, dtf, height, width, chunk)
+    return pack_events_by_band(events, weights, dtf, height)
 
 
 def max_chunks_tile(n_events: int, height: int, width: int, chunk: int = _CHUNK) -> int:
@@ -114,30 +187,15 @@ def pack_events_by_tile(
     n_rows = _round_up(height, BAND) // BAND
     n_cols = n_col_bands(width)
     g_max = max_chunks_tile(n, height, width, chunk)
-    x_out = np.full((g_max, chunk), -10.0, dtype=np.float64)
-    y_out = np.full((g_max, chunk), -10.0, dtype=np.float64)
-    d_out = np.zeros((g_max, chunk), dtype=np.float64)
-    w_out = np.zeros((g_max, chunk), dtype=np.float64)
-    band_ids = np.zeros(g_max, dtype=np.int32)
-
-    x = events[:, 0]
-    y = events[:, 1]
-    row_of = np.clip(x.astype(np.int64) // BAND, 0, n_rows - 1)
-    col_of = np.clip(y.astype(np.int64) // COLBAND, 0, n_cols - 1)
-    tile_of = row_of * n_cols + col_of
-    valid = weights > 0
-    g = 0
-    for tile in range(n_rows * n_cols):
-        sel = np.nonzero(valid & (tile_of == tile))[0]
-        for start in range(0, len(sel), chunk):
-            idx = sel[start : start + chunk]
-            k = len(idx)
-            x_out[g, :k] = events[idx, 0]
-            y_out[g, :k] = events[idx, 1]
-            d_out[g, :k] = dtf[idx]
-            w_out[g, :k] = weights[idx]
-            band_ids[g] = tile
-            g += 1
+    res = _pack_native(events, weights, dtf, n_rows, n_cols, 1, g_max, chunk)
+    if res is None:
+        row_of = np.clip(events[:, 0].astype(np.int64) // BAND, 0, n_rows - 1)
+        col_of = np.clip(events[:, 1].astype(np.int64) // COLBAND, 0, n_cols - 1)
+        res = _pack_grouped(
+            events[:, 0], events[:, 1], dtf, weights, row_of * n_cols + col_of,
+            weights > 0, n_rows * n_cols, g_max, chunk,
+        )
+    x_out, y_out, d_out, w_out, band_ids, _ = res
     shape = (g_max, 1, chunk)
     return (
         x_out.reshape(shape),
@@ -196,9 +254,26 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None
     return gather_ch(flow_u), gather_ch(flow_v), a_band, b_loc
 
 
+def _window_start(x_base, hp, row_window):
+    """8-aligned start of the vote row window centered on the source band
+    (x_base is 64-aligned, row_window a multiple of 16, hp of 8 — every
+    candidate value is 8-aligned, clipping included).  The clipped window
+    always covers the band itself: unwarped (orig) votes are in-window by
+    construction."""
+    lo = x_base + (BAND // 2 - row_window // 2)
+    return jnp.clip(lo, 0, hp - row_window)
+
+
+def _ds_aligned(w0, size):
+    """Dynamic sublane slice with the 8-alignment assertion Mosaic cannot
+    derive through the clip in _window_start (every term is a multiple
+    of 8)."""
+    return pl.ds(pl.multiple_of(w0, 8), size)
+
+
 def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
-                bands_mod=None, init_axes=None, col_bands=None):
+                bands_mod=None, init_axes=None, col_bands=None, row_window=None):
     i = pl.program_id(chunk_axis)
     init = i == 0
     for ax in init_axes or ():
@@ -225,24 +300,66 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
 
     u, v, _, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
 
+    w0 = None if row_window is None else _window_start(x_base, hp, row_window)
     k0 = 0
     if include_orig:
-        r0 = _corner(x, wt, hp, eps)
         c0 = _corner(y, None, wp, eps)
-        out_ref[0] += _dot(r0, c0, ((1,), (1,)), use_bf16, dtype)
+        fl0, fr0 = _fl_frac(x, eps)
+        if row_window is None:
+            r0 = _corner_block(fl0, fr0, wt, hp)
+            out_ref[0] += _dot(r0, c0, ((1,), (1,)), use_bf16, dtype)
+        else:
+            # unwarped rows are inside the band, hence inside the window
+            r0 = _corner_block(fl0 - w0, fr0, wt, row_window)
+            out_ref[0, _ds_aligned(w0, row_window), :] += _dot(
+                r0, c0, ((1,), (1,)), use_bf16, dtype
+            )
         k0 = 1
+    warped = []
     for k, off in enumerate(offsets):
         dt = dtf - off
         xw = x - dt * u
         yw = y - dt * v
-        r = _corner(xw, wt, hp, eps)
-        c = _corner(yw, None, wp, eps)
-        out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
+        warped.append((_fl_frac(xw, eps), yw))
+    if row_window is None:
+        for k, ((fl_i, frac), yw) in enumerate(warped):
+            r = _corner_block(fl_i, frac, wt, hp)
+            c = _corner(yw, None, wp, eps)
+            out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
+    else:
+        # ONE chunk-level predicate across every direction (scalar syncs
+        # and branch transitions are the overhead, not the votes): a vote
+        # is inert iff the event is padding or lands fully off the padded
+        # image; otherwise it must sit strictly inside the window (both
+        # touched rows) for the windowed fast path
+        ok = None
+        for (fl_i, _), _yw in warped:
+            inert = (wt <= 0) | (fl_i <= -2) | (fl_i >= hp)
+            in_win = (fl_i >= w0) & (fl_i <= w0 + row_window - 2)
+            this = inert | in_win
+            ok = this if ok is None else (ok & this)
+        all_ok = jnp.all(ok)
+
+        @pl.when(all_ok)
+        def _():
+            for k, ((fl_i, frac), yw) in enumerate(warped):
+                r = _corner_block(fl_i - w0, frac, wt, row_window)
+                c = _corner(yw, None, wp, eps)
+                out_ref[k0 + k, _ds_aligned(w0, row_window), :] += _dot(
+                    r, c, ((1,), (1,)), use_bf16, dtype
+                )
+
+        @pl.when(~all_ok)
+        def _():
+            for k, ((fl_i, frac), yw) in enumerate(warped):
+                r = _corner_block(fl_i, frac, wt, hp)
+                c = _corner(yw, None, wp, eps)
+                out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
 
 
 def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
-                bands_mod=None, col_bands=None):
+                bands_mod=None, col_bands=None, row_window=None):
     i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
@@ -265,24 +382,49 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
 
     u, v, a_band, b_loc = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
 
-    du = jnp.zeros_like(x)
-    dv = jnp.zeros_like(x)
+    w0 = None if row_window is None else _window_start(x_base, hp, row_window)
     k0 = 1 if include_orig else 0
+    warped = []
     for k, off in enumerate(offsets):
         dt = dtf - off
         xw = x - dt * u
         yw = y - dt * v
-        r = _corner(xw, wt, hp, eps)
-        c = _corner(yw, None, wp, eps)
-        rd = _corner_deriv(xw, wt, hp, eps)
-        cd = _corner_deriv(yw, None, wp, eps)
-        gk = g_ref[k0 + k]
-        p = _dot(gk, c, ((1,), (0,)), use_bf16, dtype)
-        pd = _dot(gk, cd, ((1,), (0,)), use_bf16, dtype)
-        dxw = jnp.sum(rd * p, axis=0, keepdims=True)
-        dyw = jnp.sum(r * pd, axis=0, keepdims=True)
-        du += -dt * dxw
-        dv += -dt * dyw
+        warped.append((dt, _fl_frac(xw, eps), yw))
+
+    def accumulate(win: bool):
+        """Sum per-direction du/dv; ``win`` selects the row-windowed or
+        full-height cotangent slice.  Rows outside the window only ever
+        carry zero corner weights, so slicing the cotangent is exact."""
+        du = jnp.zeros_like(x)
+        dv = jnp.zeros_like(x)
+        size = row_window if win else hp
+        for k, (dt, (fl_i, frac), yw) in enumerate(warped):
+            c = _corner(yw, None, wp, eps)
+            cd = _corner_deriv(yw, None, wp, eps)
+            fl_loc = fl_i - w0 if win else fl_i
+            r = _corner_block(fl_loc, frac, wt, size)
+            rd = _corner_deriv_block(fl_loc, wt, size, dtype)
+            gk = g_ref[k0 + k, _ds_aligned(w0, row_window), :] if win else g_ref[k0 + k]
+            p = _dot(gk, c, ((1,), (0,)), use_bf16, dtype)
+            pd = _dot(gk, cd, ((1,), (0,)), use_bf16, dtype)
+            du += -dt * jnp.sum(rd * p, axis=0, keepdims=True)
+            dv += -dt * jnp.sum(r * pd, axis=0, keepdims=True)
+        return du, dv
+
+    if row_window is None:
+        du, dv = accumulate(False)
+    else:
+        # ONE chunk-level predicate across every direction (forward's
+        # routing condition; see _fwd_kernel)
+        ok = None
+        for _dt, (fl_i, _), _yw in warped:
+            inert = (wt <= 0) | (fl_i <= -2) | (fl_i >= hp)
+            in_win = (fl_i >= w0) & (fl_i <= w0 + row_window - 2)
+            this = inert | in_win
+            ok = this if ok is None else (ok & this)
+        du, dv = jax.lax.cond(
+            jnp.all(ok), lambda: accumulate(True), lambda: accumulate(False)
+        )
 
     if col_bands is None:
         dflow_ref[0, pl.ds(band_row0, BAND), :] += _dot(
@@ -314,7 +456,7 @@ def _row_spec(chunk: int = _CHUNK):
     return pl.BlockSpec((None, 1, chunk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None):
+def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None):
     h, w = image_size
     # votes only need one extra row; the flow (gather table) pads to whole
     # 64-row bands so dynamic band slices stay Mosaic-vectorizable
@@ -329,6 +471,7 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
+            row_window=row_window,
         ),
         grid=(g_chunks,),
         in_specs=[
@@ -343,25 +486,32 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
-                           include_orig=True, eps=1e-6, use_bf16=True, col_bands=None):
+                           include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
+                           row_window=None):
     """Banded fused rasterizer over pre-packed chunks (pack_events_by_band,
     or pack_events_by_tile with ``col_bands=n_col_bands(w)`` for the
     column-windowed gather fast path).
 
     flow [2, H, W]; x/y/dtf/wt [G, 1, CHUNK]; band_ids [G] int32.
     Returns [(orig?) + len(offsets), H, W]; differentiable w.r.t. flow.
+
+    ``row_window`` (v4): votes accumulate into a ``row_window``-row slice
+    centered on each chunk's source band whenever every event's warped
+    row lands inside it, with an exact full-height fallback per
+    (chunk, direction) otherwise (predicated in-kernel) — ~hp/row_window
+    fewer vote FLOPs near convergence, bit-identical results.
     """
-    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands)
+    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window)
 
 
-def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands):
-    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands)
+def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window):
+    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window)
     return out, (flow, x, y, dtf, wt, band_ids)
 
 
-def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, res, g):
+def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -376,6 +526,7 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, res, g
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
+            row_window=row_window,
         ),
         grid=(g_chunks,),
         in_specs=[
@@ -429,20 +580,22 @@ def pack_events_by_band_bin(
     matches ops.warp._warp_voxel_single: ``clip(floor(dtf * n_bin), 0,
     n_bin - 1)`` with dtf normalized to [0, 1] over valid events."""
     bands_per_bin = n_bands_of(height)
-    x = events[:, 0]
-    band_of = np.clip(x.astype(np.int64) // BAND, 0, bands_per_bin - 1)
-    bin_of = np.clip(np.floor(dtf * n_bin).astype(np.int64), 0, n_bin - 1)
-    valid = weights > 0
-
-    groups = {}
-    g_needed = 1
-    for t in range(n_bin):
-        n_chunks = 0
-        for b in range(bands_per_bin):
-            sel = np.nonzero(valid & (band_of == b) & (bin_of == t))[0]
-            groups[(t, b)] = sel
-            n_chunks += (len(sel) + _CHUNK - 1) // _CHUNK
-        g_needed = max(g_needed, n_chunks)
+    n = len(events)
+    g_max_flat = (n + _CHUNK - 1) // _CHUNK + n_bin * bands_per_bin
+    res = _pack_native(events, weights, dtf, bands_per_bin, 1, n_bin,
+                       g_max_flat, _CHUNK)
+    if res is None:
+        band_of = np.clip(events[:, 0].astype(np.int64) // BAND, 0, bands_per_bin - 1)
+        bin_of = np.clip(np.floor(dtf * n_bin).astype(np.int64), 0, n_bin - 1)
+        res = _pack_grouped(
+            events[:, 0], events[:, 1], dtf, weights,
+            bin_of * bands_per_bin + band_of,  # ascending (bin, band)
+            weights > 0, n_bin * bands_per_bin, g_max_flat, _CHUNK,
+        )
+    xf, yf, df, wf, cg, used = res
+    # redistribute the flat (bin-major) chunk list into per-bin rows
+    counts = np.bincount(cg[:used] // bands_per_bin, minlength=n_bin)
+    g_needed = max(1, int(counts.max()) if used else 1)
     g_max = -(-g_needed // g_bucket) * g_bucket
 
     x_out = np.full((n_bin, g_max, _CHUNK), -10.0, dtype=np.float64)
@@ -450,20 +603,15 @@ def pack_events_by_band_bin(
     d_out = np.zeros((n_bin, g_max, _CHUNK), dtype=np.float64)
     w_out = np.zeros((n_bin, g_max, _CHUNK), dtype=np.float64)
     band_ids = np.zeros((n_bin, g_max), dtype=np.int32)
-
+    start = 0
     for t in range(n_bin):
-        g = 0
-        for b in range(bands_per_bin):
-            sel = groups[(t, b)]
-            for start in range(0, len(sel), _CHUNK):
-                idx = sel[start : start + _CHUNK]
-                k = len(idx)
-                x_out[t, g, :k] = events[idx, 0]
-                y_out[t, g, :k] = events[idx, 1]
-                d_out[t, g, :k] = dtf[idx]
-                w_out[t, g, :k] = weights[idx]
-                band_ids[t, g] = b
-                g += 1
+        k = int(counts[t])
+        x_out[t, :k] = xf[start : start + k]
+        y_out[t, :k] = yf[start : start + k]
+        d_out[t, :k] = df[start : start + k]
+        w_out[t, :k] = wf[start : start + k]
+        band_ids[t, :k] = cg[start : start + k] % bands_per_bin
+        start += k
     shape = (n_bin, g_max, 1, _CHUNK)
     return (
         x_out.reshape(shape),
@@ -487,7 +635,7 @@ def _vox_specs(hp, hp_flow, wp, k_total):
     return band, row, flow, out
 
 
-def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
+def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window=None):
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
     hp_flow = _round_up(h, BAND)
@@ -501,7 +649,7 @@ def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_o
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16,
-            chunk_axis=1, init_axes=(0, 1),
+            chunk_axis=1, init_axes=(0, 1), row_window=row_window,
         ),
         grid=(t_bins, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec],
@@ -512,9 +660,10 @@ def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_o
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def fused_multi_iwe_banded_voxel(voxel, x, y, dtf, wt, band_ids, image_size, offsets,
-                                 include_orig=True, eps=1e-6, use_bf16=True):
+                                 include_orig=True, eps=1e-6, use_bf16=True,
+                                 row_window=None):
     """Time-aware banded fused rasterizer over (bin, band)-packed chunks
     (pack_events_by_band_bin).
 
@@ -522,15 +671,15 @@ def fused_multi_iwe_banded_voxel(voxel, x, y, dtf, wt, band_ids, image_size, off
     Returns [(orig?) + len(offsets), H, W]; differentiable w.r.t. voxel
     (the custom-vjp backward emits per-bin slice gradients, and autodiff
     carries them back through the Burgers/upwind lax.scan chain)."""
-    return _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+    return _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window)
 
 
-def _vox_vjp_fwd(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16):
-    out = _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16)
+def _vox_vjp_fwd(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window):
+    out = _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window)
     return out, (voxel, x, y, dtf, wt, band_ids)
 
 
-def _vox_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
+def _vox_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, row_window, res, g):
     voxel, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -548,6 +697,7 @@ def _vox_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, res, g):
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
+            row_window=row_window,
         ),
         grid=(t_bins, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec, g_spec],
@@ -574,7 +724,7 @@ def _vox_specs_batched(hp, hp_flow, wp, k_total):
     return band, row, flow, out
 
 
-def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16):
+def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window=None):
     bsz, t_bins, g_chunks = x.shape[0], x.shape[1], x.shape[2]
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -587,7 +737,7 @@ def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, 
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16,
-            chunk_axis=2, init_axes=(1, 2),
+            chunk_axis=2, init_axes=(1, 2), row_window=row_window,
         ),
         grid=(bsz, t_bins, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec],
@@ -598,21 +748,22 @@ def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, 
     return out[:, :, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def fused_multi_iwe_banded_voxel_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets,
-                                         include_orig=True, eps=1e-6, use_bf16=True):
+                                         include_orig=True, eps=1e-6, use_bf16=True,
+                                         row_window=None):
     """Fleet time-aware variant: voxel [B,T,2,H,W]; x/y/dtf/wt
     [B,T,G,1,CHUNK]; band_rows [B,T,G,1,128] int32.  One launch for all B
     frames x T bins; differentiable w.r.t. voxel."""
-    return _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16)
+    return _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window)
 
 
-def _vox_vjp_fwd_b(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16):
-    out = _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16)
+def _vox_vjp_fwd_b(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window):
+    out = _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window)
     return out, (voxel, x, y, dtf, wt, band_rows)
 
 
-def _vox_vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, res, g):
+def _vox_vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, row_window, res, g):
     voxel, x, y, dtf, wt, band_rows = res
     bsz, t_bins, g_chunks = x.shape[0], x.shape[1], x.shape[2]
     h, w = image_size
@@ -629,6 +780,7 @@ def _vox_vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, res, g):
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=2,
+            row_window=row_window,
         ),
         grid=(bsz, t_bins, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec, g_spec],
@@ -656,7 +808,7 @@ def _specs_batched(hp, hp_flow, wp, k_total):
     return band, row, flow, out
 
 
-def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16):
+def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None):
     bsz = x.shape[0]
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -670,6 +822,7 @@ def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, inclu
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
+            col_bands=col_bands, row_window=row_window,
         ),
         grid=(bsz, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec],
@@ -680,21 +833,24 @@ def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, inclu
     return out[:, :, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_multi_iwe_banded_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets,
-                                   include_orig=True, eps=1e-6, use_bf16=True):
+                                   include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
+                                   row_window=None):
     """Fleet variant: flow [B,2,H,W]; x/y/dtf/wt [B,G,1,CHUNK];
     band_rows [B,G,1,128] int32 (see _band_rows).  One kernel launch for
-    all B frames; differentiable w.r.t. flow."""
-    return _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16)
+    all B frames; differentiable w.r.t. flow.  With ``col_bands`` the
+    chunks must be tile-packed (pack_events_by_tile / pack_fleet_banded
+    with ``image_width``): gathers use 128-column windows."""
+    return _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window)
 
 
-def _vjp_fwd_b(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16):
-    out = _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16)
+def _vjp_fwd_b(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window):
+    out = _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window)
     return out, (flow, x, y, dtf, wt, band_rows)
 
 
-def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, res, g):
+def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, res, g):
     flow, x, y, dtf, wt, band_rows = res
     bsz = x.shape[0]
     h, w = image_size
@@ -712,6 +868,7 @@ def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, res, g):
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
+            col_bands=col_bands, row_window=row_window,
         ),
         grid=(bsz, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec, g_spec],

@@ -171,7 +171,8 @@ def build_objective_banded_sharded(spec, mesh: Mesh):
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
-        n_col_bands,
+        objective_dense_col_bands,
+        objective_row_window,
     )
     from ..solver.objective import make_cost, motion_to_dense_flow
 
@@ -196,13 +197,15 @@ def build_objective_banded_sharded(spec, mesh: Mesh):
         flow = motion_to_dense_flow(spec, motion, t_scale) * t_scale
         if spec.time_aware:
             imgs = fused_multi_iwe_banded_voxel(
-                flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig, 1e-6, use_bf16
+                flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig, 1e-6, use_bf16,
+                objective_row_window(spec.image_shape[0]),
             )
         else:
-            # dense chunks come tile-packed (pack_events_by_tile)
+            # dense chunks come from pack_events_dense (policy switch)
             imgs = fused_multi_iwe_banded(
                 flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig,
-                1e-6, use_bf16, n_col_bands(spec.image_shape[1]),
+                1e-6, use_bf16, objective_dense_col_bands(spec.image_shape[1]),
+                objective_row_window(spec.image_shape[0]),
             )
         imgs = jax.lax.psum(imgs, "event")
         if spec.blur_sigma > 0:

@@ -41,17 +41,24 @@ Array = jax.Array
 
 
 def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
-                      time_bin: int = 0):
+                      time_bin: int = 0, image_width: int = 0):
     """Host packing of a fleet for the batched-banded kernel: returns
     (x, y, dtf, wt [B,G,1,C], band_rows [B,G,1,128], t_scales [B]).
     With ``time_bin`` > 0 (time-aware), packs per (bin, band) instead and
     returns [B,T,G,1,C] chunks with [B,T,G,1,128] band rows, all frames
-    padded to the fleet-wide max chunk count."""
+    padded to the fleet-wide max chunk count.  With ``image_width`` > 0
+    (dense path only) packs via ``pack_events_dense`` — the objective
+    packing policy (OBJECTIVE_DENSE_PACKING) — matching the ``col_bands``
+    flag build_batched_objective_banded passes (see CLAUDE.md packing
+    conventions)."""
     from ..ops.pallas_objective_banded import (
         pack_events_by_band,
         pack_events_by_band_bin,
+        pack_events_dense,
     )
 
+    if time_bin > 0 and image_width > 0:
+        raise ValueError("tile packing (image_width) is dense-path only")
     target_n = max(len(e) for e in events_list)
     target_n = ((target_n + 4095) // 4096) * 4096
     xs, ys, ds, ws, bs, scales = [], [], [], [], [], []
@@ -65,6 +72,10 @@ def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
         if time_bin > 0:
             x2, y2, d2, w2, bands = pack_events_by_band_bin(
                 padded, wgt, dtf, image_height, time_bin
+            )
+        elif image_width > 0:
+            x2, y2, d2, w2, bands = pack_events_dense(
+                padded, wgt, dtf, image_height, image_width
             )
         else:
             x2, y2, d2, w2, bands = pack_events_by_band(padded, wgt, dtf, image_height)
@@ -106,6 +117,8 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded_batched,
         fused_multi_iwe_banded_voxel_batched,
+        objective_dense_col_bands,
+        objective_row_window,
     )
 
     cost = make_cost(spec)
@@ -131,11 +144,16 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
             imgs = fused_multi_iwe_banded_voxel_batched(
                 flows, x, y, dtf, wt, band_rows, spec.image_shape,
                 tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+                objective_row_window(spec.image_shape[0]),
             )
         else:
+            # dense fleet chunks come from pack_fleet_banded(image_width=w)
+            # -> pack_events_dense; the flag matches the policy by design
             imgs = fused_multi_iwe_banded_batched(
                 flows, x, y, dtf, wt, band_rows, spec.image_shape,
                 tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+                objective_dense_col_bands(spec.image_shape[1]),
+                objective_row_window(spec.image_shape[0]),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
@@ -450,6 +468,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             x2, y2, d2, w2, brows, scales = pack_fleet_banded(
                 events_list, self.image_shape[0],
                 time_bin=getattr(self, "time_bin", 10) if self.is_time_aware else 0,
+                image_width=0 if self.is_time_aware else self.image_shape[1],
             )
             solver_args = (
                 jnp.asarray(x2, self.dtype), jnp.asarray(y2, self.dtype),

@@ -297,7 +297,8 @@ def build_objective_banded(spec: ObjectiveSpec):
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
-        n_col_bands,
+        objective_dense_col_bands,
+        objective_row_window,
     )
 
     cost = make_cost(spec)
@@ -322,14 +323,16 @@ def build_objective_banded(spec: ObjectiveSpec):
             imgs = fused_multi_iwe_banded_voxel(
                 flow, x, y, dtf, wt, bands, spec.image_shape,
                 tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+                objective_row_window(spec.image_shape[0]),
             )
         else:
-            # dense path uses (row, column)-tile packing: column-windowed
-            # gathers (pack_events_by_tile must have produced the chunks)
+            # dense chunks come from pack_events_dense (policy switch:
+            # OBJECTIVE_DENSE_PACKING) — the flag here matches by design
             imgs = fused_multi_iwe_banded(
                 flow, x, y, dtf, wt, bands, spec.image_shape,
                 tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
-                n_col_bands(spec.image_shape[1]),
+                objective_dense_col_bands(spec.image_shape[1]),
+                objective_row_window(spec.image_shape[0]),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)

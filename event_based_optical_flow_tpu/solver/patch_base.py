@@ -194,7 +194,7 @@ class PatchContrastMaximization(SolverBase):
         via the caller); returns device args + scalar t_scale."""
         from ..ops.pallas_objective_banded import (
             pack_events_by_band_bin,
-            pack_events_by_tile,
+            pack_events_dense,
         )
         from ..types import pad_events
 
@@ -209,7 +209,7 @@ class PatchContrastMaximization(SolverBase):
                 padded, wgt, dtf, self.image_shape[0], getattr(self, "time_bin", 10)
             )
         else:
-            x2, y2, d2, w2, bands = pack_events_by_tile(
+            x2, y2, d2, w2, bands = pack_events_dense(
                 padded, wgt, dtf, self.image_shape[0], self.image_shape[1]
             )
         return (

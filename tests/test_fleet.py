@@ -88,6 +88,35 @@ def test_fleet_pyramidal_solver():
         np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
 
 
+def test_batched_banded_dense_objective_matches_single():
+    """Fleet banded DENSE objective (pack_events_dense policy packing)
+    vs the per-frame matmul objective, loss and motion-grad."""
+    from event_based_optical_flow_tpu.solver.fleet import (
+        build_batched_objective_banded,
+        pack_fleet_banded,
+    )
+
+    spec = dataclasses.replace(_spec(False), iwe_backend="pallas")
+    gts = [(10.0, -6.0), (-8.0, 4.0)]
+    events_list = [_synthetic_events(np.asarray(gt), n=1500, seed=60 + i) for i, gt in enumerate(gts)]
+    x2, y2, d2, w2, brows, scales = pack_fleet_banded(events_list, H, image_width=W)
+    batched = build_batched_objective_banded(spec)
+    args = (jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2), jnp.asarray(w2),
+            jnp.asarray(brows), jnp.asarray(scales))
+    motion = jnp.asarray(np.random.default_rng(7).uniform(-5, 5, (2, 8)))
+    losses = np.asarray(batched(motion, *args))
+    grads = np.asarray(jax.grad(lambda m: jnp.sum(batched(m, *args)))(motion))
+
+    single = build_objective(dataclasses.replace(spec, iwe_backend="matmul"))
+    for b in range(2):
+        padded, wgt = pad_events(events_list[b], target_n=2048)
+        want, gw = jax.value_and_grad(
+            lambda m: single(m, jnp.asarray(padded), jnp.asarray(wgt))[0]
+        )(motion[b])
+        assert losses[b] == pytest.approx(float(want), rel=1e-6)
+        np.testing.assert_allclose(grads[b], np.asarray(gw), atol=1e-8)
+
+
 def test_batched_banded_time_aware_objective_matches_single():
     """Fleet banded TA objective ((bin,band)-packed, batched voxel kernel)
     vs the per-frame unfused TA objective, loss and motion-grad."""

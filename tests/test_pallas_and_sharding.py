@@ -86,6 +86,119 @@ def test_banded_kernel_matches_scatter():
     np.testing.assert_allclose(out, np.stack([np.asarray(r) for r in ref]), atol=1e-8)
 
 
+@pytest.mark.parametrize("flow_mag", [4.0, 200.0, "mixed"])
+def test_row_windowed_votes_match_full(flow_mag):
+    """v4 row-windowed votes == full-height votes, forward and flow-grad:
+    small motions take the windowed fast path, huge motions the exact
+    in-kernel fallback, 'mixed' exercises both per (chunk, direction)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt = 260, 60  # hp=264 > window=128; narrow W keeps CPU time low
+    rng = np.random.default_rng(21)
+    n = 700
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    if flow_mag == "mixed":
+        flow = rng.uniform(-4, 4, (2, Ht, Wt))
+        flow[:, :128] = rng.uniform(150, 250, (2, 128, Wt))  # top half blows out
+    else:
+        flow = rng.uniform(-flow_mag, flow_mag, (2, Ht, Wt))
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    x2, y2, d2, w2, bands = PB.pack_events_by_band(padded, wgt, dtf, Ht)
+
+    def run(fl, rw):
+        return PB.fused_multi_iwe_banded(
+            fl, jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2),
+            jnp.asarray(w2), jnp.asarray(bands), (Ht, Wt), (0.0, 0.5), True,
+            1e-6, False, None, rw,
+        )
+
+    fl = jnp.asarray(flow)
+    assert PB.objective_row_window(Ht) == 128
+    np.testing.assert_array_equal(
+        np.asarray(run(fl, 128)), np.asarray(run(fl, None))
+    )
+    g_w = jax.grad(lambda f: jnp.sum(run(f, 128) ** 2))(fl)
+    g_f = jax.grad(lambda f: jnp.sum(run(f, None) ** 2))(fl)
+    np.testing.assert_array_equal(np.asarray(g_w), np.asarray(g_f))
+
+
+def test_row_windowed_voxel_votes_match_full():
+    """v4 row windows on the time-aware (bin-grid) voxel kernel: windowed
+    == full, forward and voxel-grad, with per-bin flows mixing small and
+    huge motions (both in-kernel paths)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt, T = 260, 60, 3
+    rng = np.random.default_rng(23)
+    n = 600
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    voxel = rng.uniform(-4, 4, (T, 2, Ht, Wt))
+    voxel[1] = rng.uniform(150, 250, (2, Ht, Wt))  # bin 1 blows out
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    x2, y2, d2, w2, bands = PB.pack_events_by_band_bin(padded, wgt, dtf, Ht, T)
+
+    def run(vox, rw):
+        return PB.fused_multi_iwe_banded_voxel(
+            vox, jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2),
+            jnp.asarray(w2), jnp.asarray(bands), (Ht, Wt), (0.0, 0.5), True,
+            1e-6, False, rw,
+        )
+
+    vox = jnp.asarray(voxel)
+    np.testing.assert_array_equal(np.asarray(run(vox, 128)), np.asarray(run(vox, None)))
+    g_w = jax.grad(lambda v: jnp.sum(run(v, 128) ** 2))(vox)
+    g_f = jax.grad(lambda v: jnp.sum(run(v, None) ** 2))(vox)
+    np.testing.assert_array_equal(np.asarray(g_w), np.asarray(g_f))
+
+
+def test_tile_packed_kernel_matches_band_packed():
+    """Tile packing (row x 128-column windows, the standalone-vote fast
+    path — bench.py) == band packing, forward and flow-grad, on a frame
+    wide enough for multiple column bands."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt = 130, 200  # 3 row bands, 2 column bands
+    rng = np.random.default_rng(11)
+    n = 500
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    flow = rng.uniform(-4, 4, (2, Ht, Wt))
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+
+    xb, yb, db, wb, bandsb = PB.pack_events_by_band(padded, wgt, dtf, Ht)
+    xt, yt, dt, wt2, bandst = PB.pack_events_by_tile(padded, wgt, dtf, Ht, Wt)
+
+    def run_band(fl):
+        return PB.fused_multi_iwe_banded(
+            fl, jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(db),
+            jnp.asarray(wb), jnp.asarray(bandsb), (Ht, Wt), (0.0, 0.5), True, 1e-6, False,
+        )
+
+    def run_tile(fl):
+        return PB.fused_multi_iwe_banded(
+            fl, jnp.asarray(xt), jnp.asarray(yt), jnp.asarray(dt),
+            jnp.asarray(wt2), jnp.asarray(bandst), (Ht, Wt), (0.0, 0.5), True, 1e-6, False,
+            PB.n_col_bands(Wt),
+        )
+
+    fl = jnp.asarray(flow)
+    np.testing.assert_allclose(np.asarray(run_tile(fl)), np.asarray(run_band(fl)), atol=1e-9)
+    gt_ = jax.grad(lambda f: jnp.sum(run_tile(f) ** 2))(fl)
+    gb_ = jax.grad(lambda f: jnp.sum(run_band(f) ** 2))(fl)
+    np.testing.assert_allclose(np.asarray(gt_), np.asarray(gb_), atol=1e-8)
+
+
 @pytest.mark.parametrize("height", [H, 130])  # 1 band / 3 bands (non-64-multiple)
 def test_banded_voxel_kernel_matches_composed(height):
     """Time-aware banded fused kernel ((bin, band)-packed chunks, per-bin
@@ -360,7 +473,7 @@ def test_sharded_banded_objective_matches_single(time_aware):
     if time_aware:
         packed = PB.pack_events_by_band_bin(padded, wgt, dtf, H, spec.time_bin)
     else:
-        packed = PB.pack_events_by_tile(padded, wgt, dtf, H, W)
+        packed = PB.pack_events_dense(padded, wgt, dtf, H, W)
     packed = pad_chunks_for_sharding(packed, 8)
     args = tuple(jnp.asarray(a) for a in packed) + (jnp.asarray(span),)
 
