@@ -86,6 +86,7 @@ def main():
         from event_based_optical_flow_tpu.ops.pallas_objective_banded import (
             fused_multi_iwe_banded,
             n_col_bands,
+            objective_row_window,
             pack_events_by_tile,
         )
 
@@ -108,7 +109,7 @@ def main():
                 x2, y2, d2, w2, bd, ff = args
                 return fused_multi_iwe_banded(
                     ff, x2, y2, d2, w2, bd, (H, W), (0.5,), False, 1e-6, True,
-                    n_col_bands(W),
+                    n_col_bands(W), objective_row_window(H),
                 ).sum()
 
             total = jnp.float32(0.0)
@@ -124,10 +125,14 @@ def main():
             return bilinear_vote(warped, (H, W)).sum()
 
     # Slope samples at two scales: the long pair averages over pool-speed
-    # drift (stable), the short pairs can catch an uncontended window
-    # (hardware-representative).  Non-positive slopes (t_hi <= t_lo: drift
-    # exceeded the signal) are discarded; the fastest valid sample wins.
-    pairs = [(64, 512), (16, 80), (16, 80), (16, 80)] if on_tpu else [(2, 6)]
+    # drift (stable), the shorter pairs sample independent windows.
+    # Loop counts are sized so the slope signal (hundreds of iterations)
+    # dwarfs tunnel jitter — the v4 kernel at ~0.07 ms/iter made the old
+    # (16, 80) pairs noise-dominated, which inflated min-of-slopes past
+    # the hardware's peak-FLOP bound.  Non-positive slopes (drift
+    # exceeded the signal) are discarded; the MEDIAN valid sample wins
+    # (robust to one contended or one lucky window).
+    pairs = [(256, 1024), (64, 320), (64, 320), (64, 320)] if on_tpu else [(2, 6)]
     slopes = []
     t_lo, compile_s = _run_loop(pairs[0][0], body_fn, ev, fl)
     t_hi, _ = _run_loop(pairs[0][1], body_fn, ev, fl)
@@ -137,8 +142,13 @@ def main():
         t_lo2, _ = _run_loop(i1, body_fn, ev, fl)
         t_hi2, _ = _run_loop(i2, body_fn, ev, fl)
         slopes.append((t_hi2 - t_lo2) / (i2 - i1))
-    valid = [m for m in slopes if m > 0]
-    marginal = min(valid) if valid else max(t_hi / pairs[0][1], 1e-9)
+    valid = sorted(m for m in slopes if m > 0)
+    if valid:
+        marginal = valid[len(valid) // 2] if len(valid) % 2 else (
+            (valid[len(valid) // 2 - 1] + valid[len(valid) // 2]) / 2
+        )
+    else:
+        marginal = max(t_hi / pairs[0][1], 1e-9)
     meps = batch * n_events / marginal / 1e6
 
     print(

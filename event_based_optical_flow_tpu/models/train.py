@@ -9,6 +9,8 @@ paper loss driving a network instead of per-tile parameters.
 """
 
 import logging
+import os
+import re
 from typing import Optional, Tuple
 
 import jax
@@ -137,6 +139,46 @@ def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin:
     return jax.jit(step), loss_fn
 
 
+def save_dnn_checkpoint(ckpt_dir: str, params, opt_state, step: int) -> str:
+    """Orbax checkpoint of (params, opt_state, step) at
+    ``<ckpt_dir>/step_<step>`` — the DNN analog of the eval loop's
+    checkpoint/resume (utils/checkpoint.py).  The reference only promises
+    an externally hosted checkpoint (ref README.md:126); here training is
+    resumable and the trained model reloadable."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    ocp.PyTreeCheckpointer().save(
+        path, {"params": params, "opt_state": opt_state, "step": step}, force=True
+    )
+    return path
+
+
+def latest_dnn_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Path of the highest-step checkpoint under ``ckpt_dir`` (None if no
+    checkpoints exist)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), os.path.join(ckpt_dir, name))
+    return os.path.abspath(best[1]) if best else None
+
+
+def restore_dnn_checkpoint(path: str, params, opt_state):
+    """Restore (params, opt_state, step) using the freshly-initialized
+    state as the structure template (standard orbax item-restore)."""
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(path),
+        item={"params": params, "opt_state": opt_state, "step": 0},
+    )
+    return restored["params"], restored["opt_state"], int(restored["step"])
+
+
 def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
     """CLI entry for is_dnn configs: train EV-FlowNet unsupervised on the
     loaded sequence, then (if evaluate) report AEE against GT."""
@@ -154,6 +196,22 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
     model, params, tx, opt_state = make_dnn_train_state(
         image_size, n_bin, lr=float(dnn_cfg.get("lr", 1e-4))
     )
+
+    ckpt_dir = dnn_cfg.get(
+        "checkpoint_dir",
+        os.path.join(config["output"]["output_dir"], "checkpoints"),
+    )
+    ckpt_every = int(dnn_cfg.get("checkpoint_every", 0))  # 0 = end only
+    start_step = 0
+    latest = latest_dnn_checkpoint(ckpt_dir)
+    if latest is not None:
+        params, opt_state, start_step = restore_dnn_checkpoint(latest, params, opt_state)
+        logger.info(f"restored DNN checkpoint {latest} (step {start_step})")
+    elif dnn_cfg.get("eval_only"):
+        raise FileNotFoundError(
+            f"dnn.eval_only set but no checkpoint found under {ckpt_dir}"
+        )
+
     n_dev = len(jax.devices())
     if dnn_cfg.get("data_parallel") and n_dev > 1 and batch % n_dev == 0:
         from jax.sharding import Mesh
@@ -166,22 +224,33 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
 
     total = len(loader)
     rng = np.random.default_rng(0)
-    for it in range(steps):
-        evs, wgts = [], []
-        for _ in range(batch):
-            start = int(rng.integers(0, max(1, total - n_events)))
-            ev = loader.load_event(start, min(start + n_events, total))
-            ev[:, 2] -= ev[:, 2].min()
-            ev = ev[(ev[:, 0] < Hc) & (ev[:, 1] < Wc)]
-            p, w = pad_events(ev, target_n=n_events)
-            evs.append(p)
-            wgts.append(w)
-        params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(wgts))
-        )
-        if it % 10 == 0:
-            logger.info(f"dnn step {it}: loss {float(loss):.4f}")
-    logger.info("DNN training finished.")
+    if not dnn_cfg.get("eval_only"):
+        # resume determinism: replay the RNG draws of completed steps so a
+        # resumed run sees the same batch sequence as an uninterrupted one
+        for _ in range(start_step * batch):
+            rng.integers(0, max(1, total - n_events))
+        for it in range(start_step, steps):
+            evs, wgts = [], []
+            for _ in range(batch):
+                start = int(rng.integers(0, max(1, total - n_events)))
+                ev = loader.load_event(start, min(start + n_events, total))
+                ev[:, 2] -= ev[:, 2].min()
+                ev = ev[(ev[:, 0] < Hc) & (ev[:, 1] < Wc)]
+                p, w = pad_events(ev, target_n=n_events)
+                evs.append(p)
+                wgts.append(w)
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(wgts))
+            )
+            if it % 10 == 0:
+                logger.info(f"dnn step {it}: loss {float(loss):.4f}")
+            if ckpt_every and (it + 1) % ckpt_every == 0 and (it + 1) < steps:
+                save_dnn_checkpoint(ckpt_dir, params, opt_state, it + 1)
+        if steps > start_step:
+            save_dnn_checkpoint(ckpt_dir, params, opt_state, steps)
+            logger.info(f"DNN training finished; checkpoint at {ckpt_dir}/step_{steps}.")
+        else:
+            logger.info("DNN training already complete (checkpoint at target step).")
 
     if evaluate and getattr(loader, "gt_flow_available", False):
         _evaluate_dnn(

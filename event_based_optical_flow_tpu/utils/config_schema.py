@@ -57,6 +57,10 @@ _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
     "chain",
 }
+_KNOWN_DNN_KEYS = {
+    "n_bin", "batch_size", "n_steps", "lr", "data_parallel",
+    "checkpoint_dir", "checkpoint_every", "eval_only",
+}
 
 
 def validate_config(config: Dict[str, Any]) -> List[str]:
@@ -84,6 +88,10 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     for key in data:
         if key not in _KNOWN_DATA_KEYS:
             warnings.append(f"unknown config key 'data.{key}' (ignored?)")
+
+    for key in config.get("dnn", {}) or {}:
+        if key not in _KNOWN_DNN_KEYS:
+            warnings.append(f"unknown config key 'dnn.{key}' (ignored?)")
 
     out = config["output"]
     _require(out, "output_dir", str, "output")

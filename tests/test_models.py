@@ -109,3 +109,12 @@ def test_run_dnn_flow_trains_and_evaluates(tmp_path):
     assert txt.exists()
     content = txt.read_text()
     assert "mean::" in content and "EPE" in content
+
+    # training saved a final checkpoint; a rerun restores it, skips
+    # training (target step already reached) and returns the same params
+    from event_based_optical_flow_tpu.models.train import latest_dnn_checkpoint
+
+    assert latest_dnn_checkpoint(str(tmp_path / "checkpoints")) is not None
+    params2 = run_dnn_flow(config, loader, viz, evaluate=False)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
