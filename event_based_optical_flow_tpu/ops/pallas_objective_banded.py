@@ -128,25 +128,35 @@ def n_col_bands(width: int) -> int:
 # event-sharded, fleet).  Long-loop interleaved A/B on the tunneled TPU
 # (see BENCHMARKS.md): the Newton solve is dominated by fwd+bwd objective
 # evaluations, where plain band packing measured ~12% faster than
-# (row, col)-tile packing — the tile win is specific to few-output shapes
-# (standalone 1-warp vote: 2.5x), where the gather is the dominant cost.
-# Packer and kernel flag MUST agree; this single switch keeps every
+# (row, col)-tile packing at MVSEC width — the tile win is specific to
+# few-output shapes (standalone 1-warp vote: 2.5x) where the gather is
+# the dominant cost.  On WIDE frames (DSEC: wp 768 > OBJECTIVE_COL_WINDOW)
+# tile packing pays again because it enables column-windowed votes.
+# Packer and kernel flags MUST agree; these helpers keep every
 # objective-path consumer consistent.  The standalone vote path
 # (ops/iwe, bench.py) stays tile-packed explicitly.
-OBJECTIVE_DENSE_PACKING = "band"  # "band" | "tile"
+OBJECTIVE_DENSE_PACKING = "band"  # "band" | "tile" (narrow frames; wide always tile)
 
 
-def objective_dense_col_bands(width: int) -> Optional[int]:
-    """``col_bands`` kernel flag matching ``pack_events_dense``."""
-    return n_col_bands(width) if OBJECTIVE_DENSE_PACKING == "tile" else None
-
-
-# Row-windowed votes (v4): near convergence, warped rows stay close to
-# the source band, so votes can accumulate into a 128-row slice instead
-# of the full padded height — with an exact in-kernel fallback per
-# (chunk, direction) for far-flung candidates (init sweeps, line-search
-# probes).  Must be a multiple of 16 (keeps the window start 8-aligned).
+# Windowed votes (v4): near convergence, warped positions stay close to
+# the source tile, so votes can accumulate into a row (and, with tile
+# packing, column) window instead of the full padded image — with an
+# exact full-size fallback predicated per chunk for far-flung candidates
+# (init sweeps, line-search probes).  ROW window: multiple of 16 (keeps
+# the 8-aligned start provable).  COL window: (COLBAND - cw)/2 must be a
+# multiple of 128 (lane alignment), i.e. cw in {128, 384, 640, ...};
+# DISABLED by default — same-session DSEC-geometry A/B measured
+# tile+row 4.86 ms vs tile+row+col 5.41 ms per objective eval (the row
+# window already removes the dominant vote cost; the narrower lane dim
+# only shrinks already-cheap dots and adds predicate work).  The kernel
+# capability + bit-exactness tests remain for future hardware.
 OBJECTIVE_ROW_WINDOW = 128
+OBJECTIVE_COL_WINDOW = None
+# wp threshold above which the dense objective packs by tile: at wide
+# frames the 128-column gather windows pay again (DSEC-geometry A/B:
+# tile+row 4.86 vs band+row 5.80 ms) even though band wins at MVSEC
+# width (see OBJECTIVE_DENSE_PACKING note above)
+_WIDE_TILE_WP = 512
 
 
 def objective_row_window(height: int) -> Optional[int]:
@@ -156,10 +166,42 @@ def objective_row_window(height: int) -> Optional[int]:
     return OBJECTIVE_ROW_WINDOW if hp > OBJECTIVE_ROW_WINDOW else None
 
 
+def objective_dense_packing(width: int) -> str:
+    """'band' | 'tile' for the dense objective paths: band on narrow
+    frames (MVSEC), tile on wide frames where the column gather windows
+    pay again."""
+    wp = _round_up(width + 1, 128)
+    if OBJECTIVE_DENSE_PACKING == "tile" or wp >= _WIDE_TILE_WP:
+        return "tile"
+    return "band"
+
+
+def objective_dense_col_bands(width: int) -> Optional[int]:
+    """``col_bands`` kernel flag matching ``pack_events_dense``."""
+    return n_col_bands(width) if objective_dense_packing(width) == "tile" else None
+
+
+def objective_col_window(height: int, width: int) -> Optional[int]:
+    """Column window for the dense objective kernels (requires tile
+    packing and an active row window); None unless OBJECTIVE_COL_WINDOW
+    is enabled (see the policy note above)."""
+    if OBJECTIVE_COL_WINDOW is None:
+        return None
+    wp = _round_up(width + 1, 128)
+    if (
+        objective_row_window(height) is not None
+        and objective_dense_packing(width) == "tile"
+        and wp > OBJECTIVE_COL_WINDOW
+    ):
+        return OBJECTIVE_COL_WINDOW
+    return None
+
+
 def pack_events_dense(events, weights, dtf, height: int, width: int, chunk: int = _CHUNK):
     """Dense-path packing for the objective consumers; the matching kernel
-    flag is ``objective_dense_col_bands(width)``."""
-    if OBJECTIVE_DENSE_PACKING == "tile":
+    flags are ``objective_dense_col_bands`` / ``objective_row_window`` /
+    ``objective_col_window``."""
+    if objective_dense_packing(width) == "tile":
         return pack_events_by_tile(events, weights, dtf, height, width, chunk)
     return pack_events_by_band(events, weights, dtf, height)
 
@@ -264,6 +306,22 @@ def _window_start(x_base, hp, row_window):
     return jnp.clip(lo, 0, hp - row_window)
 
 
+def _col_window_start(col_base, wp, col_window):
+    """128-aligned start of the vote column window centered on the source
+    column band (col_base is 128-aligned; col_window must satisfy
+    (COLBAND - col_window) // 2 ≡ 0 mod 128, e.g. 384; wp is a multiple
+    of 128).  Covers the column band itself, so unwarped votes are
+    col-in-window by construction."""
+    lo = col_base + (COLBAND - col_window) // 2
+    return jnp.clip(lo, 0, wp - col_window)
+
+
+def _ds_lane_aligned(c0, size):
+    """Dynamic lane slice with the 128-alignment assertion (see
+    _col_window_start)."""
+    return pl.ds(pl.multiple_of(c0, 128), size)
+
+
 def _ds_aligned(w0, size):
     """Dynamic sublane slice with the 8-alignment assertion Mosaic cannot
     derive through the clip in _window_start (every term is a multiple
@@ -273,7 +331,9 @@ def _ds_aligned(w0, size):
 
 def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
-                bands_mod=None, init_axes=None, col_bands=None, row_window=None):
+                bands_mod=None, init_axes=None, col_bands=None, row_window=None,
+                col_window=None):
+    assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
     init = i == 0
     for ax in init_axes or ():
@@ -301,65 +361,84 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
     u, v, _, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
 
     w0 = None if row_window is None else _window_start(x_base, hp, row_window)
+    c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
     k0 = 0
     if include_orig:
-        c0 = _corner(y, None, wp, eps)
         fl0, fr0 = _fl_frac(x, eps)
+        cl0, cf0 = _fl_frac(y, eps)
         if row_window is None:
             r0 = _corner_block(fl0, fr0, wt, hp)
+            c0 = _corner_block(cl0, cf0, None, wp)
             out_ref[0] += _dot(r0, c0, ((1,), (1,)), use_bf16, dtype)
         else:
-            # unwarped rows are inside the band, hence inside the window
+            # unwarped rows/cols are inside their band, hence in-window
             r0 = _corner_block(fl0 - w0, fr0, wt, row_window)
-            out_ref[0, _ds_aligned(w0, row_window), :] += _dot(
-                r0, c0, ((1,), (1,)), use_bf16, dtype
-            )
+            if col_window is None:
+                c0 = _corner_block(cl0, cf0, None, wp)
+                out_ref[0, _ds_aligned(w0, row_window), :] += _dot(
+                    r0, c0, ((1,), (1,)), use_bf16, dtype
+                )
+            else:
+                c0 = _corner_block(cl0 - c0w, cf0, None, col_window)
+                out_ref[0, _ds_aligned(w0, row_window), _ds_lane_aligned(c0w, col_window)] += _dot(
+                    r0, c0, ((1,), (1,)), use_bf16, dtype
+                )
         k0 = 1
     warped = []
     for k, off in enumerate(offsets):
         dt = dtf - off
         xw = x - dt * u
         yw = y - dt * v
-        warped.append((_fl_frac(xw, eps), yw))
+        warped.append((_fl_frac(xw, eps), _fl_frac(yw, eps)))
     if row_window is None:
-        for k, ((fl_i, frac), yw) in enumerate(warped):
+        for k, ((fl_i, frac), (cl_i, cfr)) in enumerate(warped):
             r = _corner_block(fl_i, frac, wt, hp)
-            c = _corner(yw, None, wp, eps)
+            c = _corner_block(cl_i, cfr, None, wp)
             out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
     else:
         # ONE chunk-level predicate across every direction (scalar syncs
         # and branch transitions are the overhead, not the votes): a vote
         # is inert iff the event is padding or lands fully off the padded
-        # image; otherwise it must sit strictly inside the window (both
-        # touched rows) for the windowed fast path
+        # image on either axis; otherwise it must sit strictly inside the
+        # window (both touched rows/cols) for the windowed fast path
         ok = None
-        for (fl_i, _), _yw in warped:
+        for (fl_i, _), (cl_i, _) in warped:
             inert = (wt <= 0) | (fl_i <= -2) | (fl_i >= hp)
             in_win = (fl_i >= w0) & (fl_i <= w0 + row_window - 2)
+            if col_window is not None:
+                inert = inert | (cl_i <= -2) | (cl_i >= wp)
+                in_win = in_win & (cl_i >= c0w) & (cl_i <= c0w + col_window - 2)
             this = inert | in_win
             ok = this if ok is None else (ok & this)
         all_ok = jnp.all(ok)
 
         @pl.when(all_ok)
         def _():
-            for k, ((fl_i, frac), yw) in enumerate(warped):
+            for k, ((fl_i, frac), (cl_i, cfr)) in enumerate(warped):
                 r = _corner_block(fl_i - w0, frac, wt, row_window)
-                c = _corner(yw, None, wp, eps)
-                out_ref[k0 + k, _ds_aligned(w0, row_window), :] += _dot(
-                    r, c, ((1,), (1,)), use_bf16, dtype
-                )
+                if col_window is None:
+                    c = _corner_block(cl_i, cfr, None, wp)
+                    out_ref[k0 + k, _ds_aligned(w0, row_window), :] += _dot(
+                        r, c, ((1,), (1,)), use_bf16, dtype
+                    )
+                else:
+                    c = _corner_block(cl_i - c0w, cfr, None, col_window)
+                    out_ref[k0 + k, _ds_aligned(w0, row_window), _ds_lane_aligned(c0w, col_window)] += _dot(
+                        r, c, ((1,), (1,)), use_bf16, dtype
+                    )
 
         @pl.when(~all_ok)
         def _():
-            for k, ((fl_i, frac), yw) in enumerate(warped):
+            for k, ((fl_i, frac), (cl_i, cfr)) in enumerate(warped):
                 r = _corner_block(fl_i, frac, wt, hp)
-                c = _corner(yw, None, wp, eps)
+                c = _corner_block(cl_i, cfr, None, wp)
                 out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
 
 
 def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
-                bands_mod=None, col_bands=None, row_window=None):
+                bands_mod=None, col_bands=None, row_window=None, col_window=None):
+    assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
@@ -383,28 +462,38 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
     u, v, a_band, b_loc = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
 
     w0 = None if row_window is None else _window_start(x_base, hp, row_window)
+    c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
     k0 = 1 if include_orig else 0
     warped = []
     for k, off in enumerate(offsets):
         dt = dtf - off
         xw = x - dt * u
         yw = y - dt * v
-        warped.append((dt, _fl_frac(xw, eps), yw))
+        warped.append((dt, _fl_frac(xw, eps), _fl_frac(yw, eps)))
 
     def accumulate(win: bool):
-        """Sum per-direction du/dv; ``win`` selects the row-windowed or
-        full-height cotangent slice.  Rows outside the window only ever
-        carry zero corner weights, so slicing the cotangent is exact."""
+        """Sum per-direction du/dv; ``win`` selects the windowed or
+        full-size cotangent slice.  Rows/cols outside the window only
+        ever carry zero corner weights, so slicing the cotangent is
+        exact."""
         du = jnp.zeros_like(x)
         dv = jnp.zeros_like(x)
         size = row_window if win else hp
-        for k, (dt, (fl_i, frac), yw) in enumerate(warped):
-            c = _corner(yw, None, wp, eps)
-            cd = _corner_deriv(yw, None, wp, eps)
+        csize = col_window if (win and col_window is not None) else wp
+        for k, (dt, (fl_i, frac), (cl_i, cfr)) in enumerate(warped):
+            cl_loc = cl_i - c0w if csize != wp else cl_i
+            c = _corner_block(cl_loc, cfr, None, csize)
+            cd = _corner_deriv_block(cl_loc, None, csize, dtype)
             fl_loc = fl_i - w0 if win else fl_i
             r = _corner_block(fl_loc, frac, wt, size)
             rd = _corner_deriv_block(fl_loc, wt, size, dtype)
-            gk = g_ref[k0 + k, _ds_aligned(w0, row_window), :] if win else g_ref[k0 + k]
+            if win:
+                if col_window is None:
+                    gk = g_ref[k0 + k, _ds_aligned(w0, row_window), :]
+                else:
+                    gk = g_ref[k0 + k, _ds_aligned(w0, row_window), _ds_lane_aligned(c0w, col_window)]
+            else:
+                gk = g_ref[k0 + k]
             p = _dot(gk, c, ((1,), (0,)), use_bf16, dtype)
             pd = _dot(gk, cd, ((1,), (0,)), use_bf16, dtype)
             du += -dt * jnp.sum(rd * p, axis=0, keepdims=True)
@@ -417,9 +506,12 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
         # ONE chunk-level predicate across every direction (forward's
         # routing condition; see _fwd_kernel)
         ok = None
-        for _dt, (fl_i, _), _yw in warped:
+        for _dt, (fl_i, _), (cl_i, _) in warped:
             inert = (wt <= 0) | (fl_i <= -2) | (fl_i >= hp)
             in_win = (fl_i >= w0) & (fl_i <= w0 + row_window - 2)
+            if col_window is not None:
+                inert = inert | (cl_i <= -2) | (cl_i >= wp)
+                in_win = in_win & (cl_i >= c0w) & (cl_i <= c0w + col_window - 2)
             this = inert | in_win
             ok = this if ok is None else (ok & this)
         du, dv = jax.lax.cond(
@@ -456,7 +548,7 @@ def _row_spec(chunk: int = _CHUNK):
     return pl.BlockSpec((None, 1, chunk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None):
+def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None):
     h, w = image_size
     # votes only need one extra row; the flow (gather table) pads to whole
     # 64-row bands so dynamic band slices stay Mosaic-vectorizable
@@ -471,7 +563,7 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
-            row_window=row_window,
+            row_window=row_window, col_window=col_window,
         ),
         grid=(g_chunks,),
         in_specs=[
@@ -486,10 +578,10 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
                            include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
-                           row_window=None):
+                           row_window=None, col_window=None):
     """Banded fused rasterizer over pre-packed chunks (pack_events_by_band,
     or pack_events_by_tile with ``col_bands=n_col_bands(w)`` for the
     column-windowed gather fast path).
@@ -503,15 +595,15 @@ def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
     (chunk, direction) otherwise (predicated in-kernel) — ~hp/row_window
     fewer vote FLOPs near convergence, bit-identical results.
     """
-    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window)
+    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window)
 
 
-def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window):
-    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window)
+def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window):
+    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window)
     return out, (flow, x, y, dtf, wt, band_ids)
 
 
-def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, res, g):
+def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -526,7 +618,7 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_wi
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
-            row_window=row_window,
+            row_window=row_window, col_window=col_window,
         ),
         grid=(g_chunks,),
         in_specs=[

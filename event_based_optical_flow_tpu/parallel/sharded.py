@@ -171,6 +171,7 @@ def build_objective_banded_sharded(spec, mesh: Mesh):
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
+        objective_col_window,
         objective_dense_col_bands,
         objective_row_window,
     )
@@ -206,6 +207,7 @@ def build_objective_banded_sharded(spec, mesh: Mesh):
                 flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig,
                 1e-6, use_bf16, objective_dense_col_bands(spec.image_shape[1]),
                 objective_row_window(spec.image_shape[0]),
+                objective_col_window(*spec.image_shape),
             )
         imgs = jax.lax.psum(imgs, "event")
         if spec.blur_sigma > 0:

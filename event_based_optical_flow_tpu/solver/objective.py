@@ -297,6 +297,7 @@ def build_objective_banded(spec: ObjectiveSpec):
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
+        objective_col_window,
         objective_dense_col_bands,
         objective_row_window,
     )
@@ -333,6 +334,7 @@ def build_objective_banded(spec: ObjectiveSpec):
                 tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
                 objective_dense_col_bands(spec.image_shape[1]),
                 objective_row_window(spec.image_shape[0]),
+                objective_col_window(*spec.image_shape),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)

@@ -88,18 +88,31 @@ def test_fleet_pyramidal_solver():
         np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
 
 
-def test_batched_banded_dense_objective_matches_single():
-    """Fleet banded DENSE objective (pack_events_dense policy packing)
-    vs the per-frame matmul objective, loss and motion-grad."""
+@pytest.mark.parametrize("width", [W, 500])  # band policy / wide->tile policy
+def test_batched_banded_dense_objective_matches_single(width):
+    """Fleet banded DENSE objective (pack_events_dense policy packing —
+    band at narrow widths, tile at wide ones) vs the per-frame matmul
+    objective, loss and motion-grad."""
+    from event_based_optical_flow_tpu.ops.pallas_objective_banded import (
+        objective_dense_packing,
+    )
     from event_based_optical_flow_tpu.solver.fleet import (
         build_batched_objective_banded,
         pack_fleet_banded,
     )
 
-    spec = dataclasses.replace(_spec(False), iwe_backend="pallas")
+    assert objective_dense_packing(width) == ("band" if width == W else "tile")
+    spec = dataclasses.replace(
+        _spec(False), iwe_backend="pallas",
+        image_shape=(H, width),
+        patch_size=(H // 2, width // 2), sliding_window=(H // 2, width // 2),
+    )
     gts = [(10.0, -6.0), (-8.0, 4.0)]
-    events_list = [_synthetic_events(np.asarray(gt), n=1500, seed=60 + i) for i, gt in enumerate(gts)]
-    x2, y2, d2, w2, brows, scales = pack_fleet_banded(events_list, H, image_width=W)
+    events_list = [
+        _synthetic_events(np.asarray(gt), n=1500, seed=60 + i, w=width)
+        for i, gt in enumerate(gts)
+    ]
+    x2, y2, d2, w2, brows, scales = pack_fleet_banded(events_list, H, image_width=width)
     batched = build_batched_objective_banded(spec)
     args = (jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2), jnp.asarray(w2),
             jnp.asarray(brows), jnp.asarray(scales))

@@ -126,6 +126,43 @@ def test_row_windowed_votes_match_full(flow_mag):
     np.testing.assert_array_equal(np.asarray(g_w), np.asarray(g_f))
 
 
+@pytest.mark.parametrize("flow_mag", [4.0, 300.0])
+def test_col_windowed_votes_match_full(flow_mag):
+    """Row+column windowed votes (wide-frame tile packing) == full votes,
+    forward and flow-grad; huge motions exercise the exact fallback."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt = 130, 500  # hp=136 > 128 row window; wp=512 > 384 col window
+    assert PB.objective_dense_packing(Wt) == "tile"  # wide frame -> tile
+    assert PB.objective_col_window(Ht, Wt) is None  # disabled by default (A/B regression)
+    rng = np.random.default_rng(31)
+    n = 600
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    flow = rng.uniform(-flow_mag, flow_mag, (2, Ht, Wt))
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    x2, y2, d2, w2, bands = PB.pack_events_by_tile(padded, wgt, dtf, Ht, Wt)
+    cb = PB.n_col_bands(Wt)
+
+    def run(fl, rw, cw):
+        return PB.fused_multi_iwe_banded(
+            fl, jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2),
+            jnp.asarray(w2), jnp.asarray(bands), (Ht, Wt), (0.0, 0.5), True,
+            1e-6, False, cb, rw, cw,
+        )
+
+    fl = jnp.asarray(flow)
+    np.testing.assert_array_equal(
+        np.asarray(run(fl, 128, 384)), np.asarray(run(fl, None, None))
+    )
+    g_w = jax.grad(lambda f: jnp.sum(run(f, 128, 384) ** 2))(fl)
+    g_f = jax.grad(lambda f: jnp.sum(run(f, None, None) ** 2))(fl)
+    np.testing.assert_array_equal(np.asarray(g_w), np.asarray(g_f))
+
+
 def test_row_windowed_voxel_votes_match_full():
     """v4 row windows on the time-aware (bin-grid) voxel kernel: windowed
     == full, forward and voxel-grad, with per-bin flows mixing small and

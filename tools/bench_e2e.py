@@ -65,25 +65,44 @@ OPT_CFG = {
 
 
 def main():
+    # modes: mine (default) | ref        — MVSEC geometry, dense objective
+    #        ta [mine-only]              — time-aware (Burgers, T=10)
+    #        ta-ref                      — reference time-aware (CPU, shims)
+    #        dsecgeo [mine-only]         — 480x640, 300k events/frame
     which = sys.argv[1] if len(sys.argv) > 1 else "mine"
-    if which == "ref":
+    global H, W
+    slv_cfg = dict(SLV_CFG)
+    n_ev = 30000
+    if which in ("ta", "ta-ref"):
+        slv_cfg.update(
+            time_aware=True, time_bin=10, flow_interpolation="burgers",
+            t0_flow_location="middle",
+        )
+    elif which == "dsecgeo":
+        H, W = 480, 640
+        n_ev = 300000
+        slv_cfg["patch"] = dict(
+            slv_cfg["patch"], crop_height=480, crop_width=640
+        )
+    if which in ("ref", "ta-ref"):
         from src.solver.patch_contrast_pyramid import PyramidalPatchContrastMaximization as Solver
     else:
         from event_based_optical_flow_tpu import solver as _s
 
         Solver = _s.collections["pyramidal_patch_contrast_maximization"]
 
-    solv = Solver((H, W), {}, SLV_CFG, OPT_CFG, {}, None)
+    solv = Solver((H, W), {}, slv_cfg, OPT_CFG, {}, None)
     times = []
     for f in range(3):
-        ev = synth(GT, seed=f)
+        ev = synth(GT, seed=f, n=n_ev)
         t0 = time.time()
         best = solv.optimize(ev)
         times.append(time.time() - t0)
         solv.set_previous_frame_best_estimation(best)
         fin = best[max(best)]
-        lu, ru = fin[0][:, :8].mean(), fin[0][:, 8:].mean()
-        lv, rv = fin[1][:, :8].mean(), fin[1][:, 8:].mean()
+        half = fin.shape[2] // 2
+        lu, ru = fin[0][:, :half].mean(), fin[0][:, half:].mean()
+        lv, rv = fin[1][:, :half].mean(), fin[1][:, half:].mean()
         print(f"{which} frame {f}: {times[-1]:.1f}s halves u=({lu:.1f},{ru:.1f}) v=({lv:.1f},{rv:.1f}) vs ±({GT[0]},{GT[1]})", flush=True)
     print(f"{which} steady-state: {times[-1]:.1f}s/frame")
 
