@@ -69,7 +69,10 @@ def main():
     #        ta [mine-only]              — time-aware (Burgers, T=10)
     #        ta-ref                      — reference time-aware (CPU, shims)
     #        dsecgeo [mine-only]         — 480x640, 300k events/frame
+    #        fleet [mine-only]           — 4 frames per batched device solve
     which = sys.argv[1] if len(sys.argv) > 1 else "mine"
+    if which == "fleet":
+        return run_fleet()
     global H, W
     slv_cfg = dict(SLV_CFG)
     n_ev = 30000
@@ -105,6 +108,29 @@ def main():
         lv, rv = fin[1][:, :half].mean(), fin[1][:, half:].mean()
         print(f"{which} frame {f}: {times[-1]:.1f}s halves u=({lu:.1f},{ru:.1f}) v=({lv:.1f},{rv:.1f}) vs ±({GT[0]},{GT[1]})", flush=True)
     print(f"{which} steady-state: {times[-1]:.1f}s/frame")
+
+
+def run_fleet(bsz: int = 4):
+    """Fleet (batched-frame) solve throughput: B independent frames per
+    device program (no warm start), s/frame all-in."""
+    from event_based_optical_flow_tpu import solver as _s
+
+    solv = _s.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, SLV_CFG, OPT_CFG, {}, None
+    )
+    for rep in range(3):
+        evs = [synth(GT, seed=rep * bsz + f) for f in range(bsz)]
+        t0 = time.time()
+        results = solv.optimize_batch(evs)
+        dt = time.time() - t0
+        fin = results[0][max(results[0])]
+        half = fin.shape[2] // 2
+        lu, ru = fin[0][:, :half].mean(), fin[0][:, half:].mean()
+        print(
+            f"fleet batch {rep}: {dt:.1f}s ({dt / bsz:.2f} s/frame) "
+            f"frame0 u=({lu:.1f},{ru:.1f}) vs ±{GT[0]}", flush=True,
+        )
+    print(f"fleet steady-state: {dt / bsz:.2f} s/frame ({bsz} frames/batch)")
 
 
 if __name__ == "__main__":
