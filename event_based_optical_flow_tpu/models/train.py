@@ -63,6 +63,37 @@ def unsupervised_cmax_loss(
     return nan_to_penalty(loss)
 
 
+def multi_scale_cmax_loss(
+    flows: dict,
+    events: jax.Array,
+    image_size: Tuple[int, int],
+    weights: Optional[jax.Array] = None,
+    blur_sigma: float = 1.0,
+    tv_weight: float = 0.01,
+) -> jax.Array:
+    """CMax loss applied at EVERY decoder scale (flow0 coarsest ...
+    flow3 full res), the EV-FlowNet training recipe adapted to the
+    contrast objective: scale k's loss warps the events with their
+    coordinates divided by 2^(3-k) on a 2^(3-k)-downscaled grid, so each
+    head is supervised at its native resolution (coarse IWEs are nearly
+    free on the MXU).  Returns the mean over scales."""
+    h, w = image_size
+    total = 0.0
+    n = 0
+    for i in range(4):
+        key = f"flow{i}"
+        if key not in flows:
+            continue
+        s = 2 ** (3 - i)
+        scale_vec = jnp.asarray([1.0 / s, 1.0 / s, 1.0, 1.0], events.dtype)
+        total = total + unsupervised_cmax_loss(
+            flows[key], events * scale_vec, (h // s, w // s), weights,
+            blur_sigma=blur_sigma, tv_weight=tv_weight,
+        )
+        n += 1
+    return total / max(1, n)
+
+
 def make_dnn_train_state(
     image_size: Tuple[int, int],
     n_bin: int = 4,
@@ -79,19 +110,30 @@ def make_dnn_train_state(
     return model, params, tx, opt_state
 
 
-def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4):
+def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4,
+                   multi_scale: bool = False):
     """Build the jitted training step:
     step(params, opt_state, events [B, N, 4], weights [B, N])
       -> (params, opt_state, loss)
-    Flow head 3 (full resolution) drives the CMax loss per batch item."""
+    Flow head 3 (full resolution) drives the CMax loss per batch item;
+    with ``multi_scale`` every decoder head is supervised at its native
+    resolution (multi_scale_cmax_loss)."""
 
     def loss_fn(params, events, weights):
         voxels = jax.vmap(lambda e, w: events_to_voxel_grid(e, image_size, n_bin, w))(events, weights)
         flows = model.apply(params, voxels)
-        flow = flows["flow3"]  # [B, 2, H, W]
-        per_item = jax.vmap(
-            lambda f, e, w: unsupervised_cmax_loss(f, e, image_size, w)
-        )(flow, events, weights)
+        if multi_scale:
+            per_item = jax.vmap(
+                lambda f0, f1, f2, f3, e, w: multi_scale_cmax_loss(
+                    {"flow0": f0, "flow1": f1, "flow2": f2, "flow3": f3},
+                    e, image_size, w,
+                )
+            )(flows["flow0"], flows["flow1"], flows["flow2"], flows["flow3"],
+              events, weights)
+        else:
+            per_item = jax.vmap(
+                lambda f, e, w: unsupervised_cmax_loss(f, e, image_size, w)
+            )(flows["flow3"], events, weights)
         return jnp.mean(per_item)
 
     @jax.jit
@@ -104,7 +146,8 @@ def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4):
     return step, loss_fn
 
 
-def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin: int = 4):
+def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin: int = 4,
+                            multi_scale: bool = False):
     """Data-parallel variant of dnn_train_step under ``shard_map``: the
     batch shards over the mesh's 'data' axis, params/opt state replicate,
     gradients are combined with ``pmean`` over ICI.  Per-step results are
@@ -116,9 +159,18 @@ def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin:
     def loss_fn(params, events, weights):
         voxels = jax.vmap(lambda e, w: events_to_voxel_grid(e, image_size, n_bin, w))(events, weights)
         flows = model.apply(params, voxels)
-        per_item = jax.vmap(
-            lambda f, e, w: unsupervised_cmax_loss(f, e, image_size, w)
-        )(flows["flow3"], events, weights)
+        if multi_scale:
+            per_item = jax.vmap(
+                lambda f0, f1, f2, f3, e, w: multi_scale_cmax_loss(
+                    {"flow0": f0, "flow1": f1, "flow2": f2, "flow3": f3},
+                    e, image_size, w,
+                )
+            )(flows["flow0"], flows["flow1"], flows["flow2"], flows["flow3"],
+              events, weights)
+        else:
+            per_item = jax.vmap(
+                lambda f, e, w: unsupervised_cmax_loss(f, e, image_size, w)
+            )(flows["flow3"], events, weights)
         return jnp.mean(per_item)
 
     def local_step(params, opt_state, events, weights):
@@ -217,10 +269,16 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()), ("data",))
-        step, loss_fn = dnn_train_step_parallel(model, tx, image_size, mesh, n_bin)
+        step, loss_fn = dnn_train_step_parallel(
+            model, tx, image_size, mesh, n_bin,
+            multi_scale=bool(dnn_cfg.get("multi_scale")),
+        )
         logger.info(f"data-parallel DNN training over {n_dev} devices")
     else:
-        step, loss_fn = dnn_train_step(model, tx, image_size, n_bin)
+        step, loss_fn = dnn_train_step(
+            model, tx, image_size, n_bin,
+            multi_scale=bool(dnn_cfg.get("multi_scale")),
+        )
 
     total = len(loader)
     rng = np.random.default_rng(0)

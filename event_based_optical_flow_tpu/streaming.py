@@ -1,0 +1,131 @@
+"""Online (streaming) flow estimation: the serving surface.
+
+The reference only exposes an offline batch pipeline (`main.py --eval`
+iterates a prerecorded sequence, ref main.py:52-107).  For deployment a
+consumer has a live event stream and wants per-window dense flow with
+the same warm-start chaining the eval protocol uses.  This wraps the
+pyramidal solver behind a push API:
+
+    est = StreamingFlowEstimator(image_shape=(260, 346))
+    for window in event_windows:           # [n, 4] (x, y, t, p) arrays
+        flow = est.push(window)            # [2, H, W] px displacement
+                                           # over the window
+All device state (jitted whole-frame chain, compilation cache, warm
+start) lives inside; `reset()` drops the warm-start chain (e.g. on a
+scene cut).  Windows may have any event count — the solver's bucketed
+padding bounds recompiles.
+"""
+
+import logging
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_DEFAULT_SOLVER = {
+    "method": "pyramidal_patch_contrast_maximization",
+    "time_aware": False,
+    "patch": {"initialize": "random", "scale": 5, "crop_height": 256,
+              "crop_width": 336, "filter_type": "bilinear"},
+    "motion_model": "2d-translation",
+    "warp_direction": "first",
+    "parameters": ["trans_x", "trans_y"],
+    "cost": "hybrid",
+    "outer_padding": 0,
+    "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0,
+                         "total_variation": 0.01},
+    "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+}
+_DEFAULT_OPT = {
+    "n_iter": 40,
+    "method": "Newton-CG",
+    "max_iter": 25,
+    "parameters": {"trans_x": {"min": -150, "max": 150},
+                   "trans_y": {"min": -150, "max": 150}},
+}
+
+
+class StreamingFlowEstimator:
+    """Warm-start-chained per-window dense flow over a live event stream.
+
+    Parameters
+    ----------
+    image_shape : (H, W) sensor resolution.
+    solver_config / optimizer_config : same dicts as the YAML `solver:` /
+        `optimizer:` sections (defaults: the MVSEC-protocol pyramidal
+        configuration, crop scaled to the sensor).  Validated like the
+        CLI (utils.config_schema semantics for the solver keys).
+    warm_start : chain each window's solution into the next one's
+        initialization (the reference eval protocol).
+    """
+
+    def __init__(
+        self,
+        image_shape: Tuple[int, int],
+        solver_config: Optional[dict] = None,
+        optimizer_config: Optional[dict] = None,
+        warm_start: bool = True,
+    ):
+        from . import solver as solver_mod
+
+        H, W = image_shape
+        slv = dict(_DEFAULT_SOLVER)
+        if solver_config:
+            slv.update(solver_config)
+        else:
+            # default crop: largest multiple of 2^(scales-1) fitting the frame
+            scales = int(slv["patch"]["scale"]) - 1
+            unit = 2 ** max(1, scales)
+            slv = dict(slv, patch=dict(
+                slv["patch"],
+                crop_height=(H // unit) * unit,
+                crop_width=(W // unit) * unit,
+            ))
+        opt = dict(_DEFAULT_OPT)
+        if optimizer_config:
+            opt.update(optimizer_config)
+        self.image_shape = (H, W)
+        self.warm_start = warm_start
+        self._solver = solver_mod.collections[slv["method"]](
+            (H, W), {}, slv, opt, {}, None
+        )
+        self.n_windows = 0
+
+    def push(self, events: np.ndarray) -> np.ndarray:
+        """Solve one event window; returns the dense flow as a
+        [2, H, W] float array in PIXEL DISPLACEMENT over the window's
+        time span (divide by the span for px/s).  Events are [n, 4]
+        (x=height coord, y=width coord, t, p) like everywhere else."""
+        events = np.asarray(events, dtype=np.float64)
+        if events.ndim != 2 or events.shape[1] != 4 or not len(events):
+            raise ValueError("push expects a non-empty [n, 4] event array")
+        t = events[:, 2]
+        span = float(t.max() - t.min()) or 1.0
+        best = self._solver.optimize(events)
+        if self.warm_start:
+            self._solver.set_previous_frame_best_estimation(best)
+        self.n_windows += 1
+        flow = self._solver.motion_to_dense_flow(best, span) * span
+        return np.asarray(flow, dtype=np.float64)
+
+    def reset(self) -> None:
+        """Drop the warm-start chain (keeps compiled device programs)."""
+        self._solver.previous_frame_best_estimation = None
+
+    def metrics(self, flow: np.ndarray, gt_flow: np.ndarray,
+                events: np.ndarray) -> Dict[str, float]:
+        """AEE/NPE/AE of a pushed flow against a GT displacement field
+        ([H, W, 2] loader convention), masked by the window's events —
+        the eval pipeline's metric contract."""
+        from .flow.metrics import calculate_flow_error_numpy
+
+        H, W = self.image_shape
+        gt_2hw = np.transpose(np.asarray(gt_flow)[:H, :W], (2, 0, 1))
+        mask = np.zeros((H, W), bool)
+        xs = np.clip(events[:, 0].astype(int), 0, H - 1)
+        ys = np.clip(events[:, 1].astype(int), 0, W - 1)
+        mask[xs, ys] = True
+        return calculate_flow_error_numpy(
+            gt_2hw[None], np.asarray(flow)[None], event_mask=mask[None, None]
+        )

@@ -45,6 +45,37 @@ def test_dnn_train_step_descends():
     assert min(losses) < loss0  # optimization makes progress
 
 
+def test_dnn_multi_scale_train_step():
+    """Multi-scale CMax loss: every decoder head receives gradient (the
+    single-scale loss only trains through flow3's path) and a step
+    descends."""
+    from event_based_optical_flow_tpu.models.train import multi_scale_cmax_loss
+
+    image_size = (32, 32)
+    model, params, tx, opt_state = make_dnn_train_state(image_size, n_bin=4, lr=3e-4, scale_time=8.0)
+    step, loss_fn = dnn_train_step(model, tx, image_size, n_bin=4, multi_scale=True)
+
+    ev = _moving_scene(seed=3)
+    p, w = pad_events(ev, target_n=2048)
+    events = jnp.asarray(p)[None]
+    weights = jnp.asarray(w)[None]
+
+    loss0 = float(loss_fn(params, events, weights))
+    assert np.isfinite(loss0)
+    grads = jax.grad(loss_fn)(params, events, weights)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    # the coarsest prediction head only matters under the multi-scale loss
+    head0 = [np.abs(np.asarray(v)).sum() for k, v in flat if "UpsampleConvAndPredict_0" in str(k)]
+    assert head0 and sum(head0) > 0.0
+
+    losses = []
+    for _ in range(6):
+        params, opt_state, loss = step(params, opt_state, events, weights)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert min(losses) < loss0
+
+
 def test_dnn_parallel_step_matches_single():
     """Data-parallel shard_map train step == single-device step (equal
     shard sizes: pmean of shard means is the global mean)."""

@@ -1,0 +1,70 @@
+"""StreamingFlowEstimator: push-API dense flow over consecutive event
+windows with warm-start chaining, metrics contract, reset."""
+
+import numpy as np
+import pytest
+
+from event_based_optical_flow_tpu.streaming import StreamingFlowEstimator
+
+H, W = 24, 32
+VEL = np.array([8.0, -6.0])  # true feature velocity, px/s
+
+
+def _window(t0, dur=0.4, n=2200, seed=0):
+    rng = np.random.default_rng(seed)
+    n_dots = 48
+    dx = rng.uniform(2, H - 2, n_dots)
+    dy = rng.uniform(2, W - 2, n_dots)
+    idx = rng.integers(0, n_dots, n)
+    t = np.sort(rng.uniform(0, dur, n))
+    x = dx[idx] + rng.normal(0, 0.2, n) + t * VEL[0]
+    y = dy[idx] + rng.normal(0, 0.2, n) + t * VEL[1]
+    ok = (x >= 0) & (x < H - 1) & (y >= 0) & (y < W - 1)
+    return np.stack([np.round(x), np.round(y), t0 + t, rng.integers(0, 2, n)], 1)[ok]
+
+
+@pytest.fixture(scope="module")
+def estimator():
+    return StreamingFlowEstimator(
+        (H, W),
+        solver_config={
+            "patch": {"initialize": "zero", "scale": 3, "crop_height": 20,
+                      "crop_width": 28, "filter_type": "bilinear"},
+        },
+        optimizer_config={"n_iter": 8, "max_iter": 10},
+    )
+
+
+def test_push_recovers_motion_and_chains(estimator):
+    dur = 0.4
+    for i in range(2):
+        flow = estimator.push(_window(t0=i * dur, dur=dur, seed=10 + i))
+        assert flow.shape == (2, H, W)
+        # displacement over the window ~ VEL * dur where events exist
+        interior = flow[:, 4:-4, 4:-4]
+        np.testing.assert_allclose(
+            [interior[0].mean(), interior[1].mean()], VEL * dur, atol=1.2
+        )
+    assert estimator.n_windows == 2
+    assert estimator._solver.previous_frame_best_estimation is not None
+    estimator.reset()
+    assert estimator._solver.previous_frame_best_estimation is None
+
+
+def test_metrics_contract(estimator):
+    dur = 0.4
+    ev = _window(t0=0.0, dur=dur, seed=99)
+    flow = estimator.push(ev)
+    gt_hw2 = np.zeros((H, W, 2))
+    gt_hw2[..., 0] = VEL[0] * dur
+    gt_hw2[..., 1] = VEL[1] * dur
+    err = estimator.metrics(flow, gt_hw2, ev)
+    assert set(err) >= {"EPE", "AE", "1PE"}
+    assert err["EPE"] < 1.5
+
+
+def test_push_rejects_bad_input(estimator):
+    with pytest.raises(ValueError):
+        estimator.push(np.zeros((0, 4)))
+    with pytest.raises(ValueError):
+        estimator.push(np.zeros((10, 3)))
