@@ -110,13 +110,12 @@ def make_dnn_train_state(
     return model, params, tx, opt_state
 
 
-def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4,
-                   multi_scale: bool = False):
-    """Build the jitted training step:
-    step(params, opt_state, events [B, N, 4], weights [B, N])
-      -> (params, opt_state, loss)
-    Flow head 3 (full resolution) drives the CMax loss per batch item;
-    with ``multi_scale`` every decoder head is supervised at its native
+def make_loss_fn(model, image_size: Tuple[int, int], n_bin: int = 4,
+                 multi_scale: bool = False):
+    """Batch loss fn(params, events [B, N, 4], weights [B, N]) -> scalar,
+    shared by the single-device and data-parallel train steps.  Flow head
+    3 (full resolution) drives the CMax loss per batch item; with
+    ``multi_scale`` every decoder head is supervised at its native
     resolution (multi_scale_cmax_loss)."""
 
     def loss_fn(params, events, weights):
@@ -135,6 +134,16 @@ def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4,
                 lambda f, e, w: unsupervised_cmax_loss(f, e, image_size, w)
             )(flows["flow3"], events, weights)
         return jnp.mean(per_item)
+
+    return loss_fn
+
+
+def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4,
+                   multi_scale: bool = False):
+    """Build the jitted training step:
+    step(params, opt_state, events [B, N, 4], weights [B, N])
+      -> (params, opt_state, loss)  (loss: see make_loss_fn)."""
+    loss_fn = make_loss_fn(model, image_size, n_bin, multi_scale)
 
     @jax.jit
     def step(params, opt_state, events, weights):
@@ -156,22 +165,7 @@ def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin:
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def loss_fn(params, events, weights):
-        voxels = jax.vmap(lambda e, w: events_to_voxel_grid(e, image_size, n_bin, w))(events, weights)
-        flows = model.apply(params, voxels)
-        if multi_scale:
-            per_item = jax.vmap(
-                lambda f0, f1, f2, f3, e, w: multi_scale_cmax_loss(
-                    {"flow0": f0, "flow1": f1, "flow2": f2, "flow3": f3},
-                    e, image_size, w,
-                )
-            )(flows["flow0"], flows["flow1"], flows["flow2"], flows["flow3"],
-              events, weights)
-        else:
-            per_item = jax.vmap(
-                lambda f, e, w: unsupervised_cmax_loss(f, e, image_size, w)
-            )(flows["flow3"], events, weights)
-        return jnp.mean(per_item)
+    loss_fn = make_loss_fn(model, image_size, n_bin, multi_scale)
 
     def local_step(params, opt_state, events, weights):
         loss, grads = jax.value_and_grad(loss_fn)(params, events, weights)
@@ -255,13 +249,22 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
     )
     ckpt_every = int(dnn_cfg.get("checkpoint_every", 0))  # 0 = end only
     start_step = 0
-    latest = latest_dnn_checkpoint(ckpt_dir)
+    latest = latest_dnn_checkpoint(ckpt_dir) if dnn_cfg.get("resume", True) else None
     if latest is not None:
         params, opt_state, start_step = restore_dnn_checkpoint(latest, params, opt_state)
         logger.info(f"restored DNN checkpoint {latest} (step {start_step})")
+        if start_step >= steps and not dnn_cfg.get("eval_only"):
+            logger.warning(
+                f"checkpoint step {start_step} >= dnn.n_steps {steps}: training "
+                "is SKIPPED and the restored model is used as-is.  If the "
+                "training config changed (loss, lr, ...), set "
+                "'dnn.resume: false' or point dnn.checkpoint_dir elsewhere "
+                "to retrain."
+            )
     elif dnn_cfg.get("eval_only"):
         raise FileNotFoundError(
             f"dnn.eval_only set but no checkpoint found under {ckpt_dir}"
+            + (" (dnn.resume is false)" if not dnn_cfg.get("resume", True) else "")
         )
 
     n_dev = len(jax.devices())

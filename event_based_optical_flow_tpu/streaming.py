@@ -46,6 +46,18 @@ _DEFAULT_OPT = {
 }
 
 
+def _deep_merge(base: dict, override: dict) -> dict:
+    """Recursive dict merge (override wins; nested dicts merge instead of
+    replace) — partial user configs keep the defaults' remaining keys."""
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 class StreamingFlowEstimator:
     """Warm-start-chained per-window dense flow over a live event stream.
 
@@ -53,9 +65,11 @@ class StreamingFlowEstimator:
     ----------
     image_shape : (H, W) sensor resolution.
     solver_config / optimizer_config : same dicts as the YAML `solver:` /
-        `optimizer:` sections (defaults: the MVSEC-protocol pyramidal
-        configuration, crop scaled to the sensor).  Validated like the
-        CLI (utils.config_schema semantics for the solver keys).
+        `optimizer:` sections, DEEP-merged over the defaults (the
+        MVSEC-protocol pyramidal configuration with the crop fitted to
+        the sensor), so partial overrides like
+        ``{"patch": {"scale": 3}}`` keep the remaining keys.  Unknown
+        keys warn like the CLI's schema validation.
     warm_start : chain each window's solution into the next one's
         initialization (the reference eval protocol).
     """
@@ -68,23 +82,32 @@ class StreamingFlowEstimator:
         warm_start: bool = True,
     ):
         from . import solver as solver_mod
+        from .utils.config_schema import _KNOWN_OPT_KEYS, _KNOWN_SOLVER_KEYS
 
         H, W = image_shape
-        slv = dict(_DEFAULT_SOLVER)
-        if solver_config:
-            slv.update(solver_config)
-        else:
-            # default crop: largest multiple of 2^(scales-1) fitting the frame
+        slv = _deep_merge(_DEFAULT_SOLVER, solver_config or {})
+        user_patch = (solver_config or {}).get("patch", {})
+        if "crop_height" not in user_patch or "crop_width" not in user_patch:
+            # fit the crop to the sensor: largest multiple of
+            # 2^(scales-1) (each pyramid level halves the patch size)
             scales = int(slv["patch"]["scale"]) - 1
             unit = 2 ** max(1, scales)
-            slv = dict(slv, patch=dict(
-                slv["patch"],
-                crop_height=(H // unit) * unit,
-                crop_width=(W // unit) * unit,
-            ))
-        opt = dict(_DEFAULT_OPT)
-        if optimizer_config:
-            opt.update(optimizer_config)
+            if (H // unit) * unit == 0 or (W // unit) * unit == 0:
+                raise ValueError(
+                    f"image_shape {image_shape} too small for "
+                    f"patch.scale={slv['patch']['scale']} (needs >= {unit} px)"
+                )
+            slv["patch"].setdefault("crop_height", (H // unit) * unit)
+            slv["patch"].setdefault("crop_width", (W // unit) * unit)
+            slv["patch"]["crop_height"] = min(slv["patch"]["crop_height"], (H // unit) * unit)
+            slv["patch"]["crop_width"] = min(slv["patch"]["crop_width"], (W // unit) * unit)
+        opt = _deep_merge(_DEFAULT_OPT, optimizer_config or {})
+        for key in slv:
+            if key not in _KNOWN_SOLVER_KEYS:
+                logger.warning(f"unknown solver config key '{key}' (ignored?)")
+        for key in opt:
+            if key not in _KNOWN_OPT_KEYS:
+                logger.warning(f"unknown optimizer config key '{key}' (ignored?)")
         self.image_shape = (H, W)
         self.warm_start = warm_start
         self._solver = solver_mod.collections[slv["method"]](

@@ -63,6 +63,33 @@ def test_metrics_contract(estimator):
     assert err["EPE"] < 1.5
 
 
+def test_partial_configs_merge_and_fit_sensor():
+    """Partial solver configs deep-merge over the defaults and the crop
+    still fits the sensor (regression: a partial patch dict used to
+    replace the whole default patch section, and any solver_config used
+    to skip the sensor-fit crop)."""
+    est = StreamingFlowEstimator(
+        (H, W),
+        solver_config={"patch": {"initialize": "zero", "scale": 3}},
+        optimizer_config={"n_iter": 6, "max_iter": 6},
+    )
+    patch = est._solver.slv_config["patch"]
+    assert patch["filter_type"] == "bilinear"  # default retained
+    assert patch["crop_height"] <= H and patch["crop_width"] <= W
+    flow = est.push(_window(t0=0.0, seed=7))
+    assert flow.shape == (2, H, W)
+
+    est2 = StreamingFlowEstimator(
+        (H, W), solver_config={"warp_direction": "first"},
+        optimizer_config={"n_iter": 6, "max_iter": 6},
+    )
+    patch2 = est2._solver.slv_config["patch"]
+    assert patch2["crop_height"] <= H and patch2["crop_width"] <= W
+
+    with pytest.raises(ValueError):
+        StreamingFlowEstimator((8, 8))  # too small for the default pyramid
+
+
 def test_push_rejects_bad_input(estimator):
     with pytest.raises(ValueError):
         estimator.push(np.zeros((0, 4)))
