@@ -8,6 +8,7 @@ useful equivalent.
 
 import contextlib
 import logging
+import os
 import random
 import time
 from typing import Dict, Optional
@@ -22,6 +23,29 @@ def fix_random_seed(seed: int = 46) -> None:
     framework is explicit via jax PRNG keys derived from this seed."""
     random.seed(seed)
     np.random.seed(seed)
+
+
+def fetch_runtime_info() -> dict:
+    """Reproducibility stamp for the run log: repo commit (reference
+    parity: ref misc.py:57-85 logs the git hash into every run) plus the
+    jax version/backend the results were produced with."""
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    try:
+        import jax
+
+        jax_ver, backend = jax.__version__, jax.default_backend()
+    except Exception:  # pragma: no cover
+        jax_ver, backend = "unknown", "unknown"
+    return {"git_commit": commit, "jax": jax_ver, "backend": backend}
 
 
 def check_key_and_bool(config: dict, key: str) -> bool:

@@ -177,6 +177,7 @@ def main():
     if not isinstance(log_level, int):
         raise ValueError(f"Invalid log level: {args.log}")
     save_config(out_config["output_dir"], args.config_file, log_level)
+    logger.info(f"runtime: {utils.fetch_runtime_info()}")
 
     if utils.check_key_and_bool(config, "fix_random_seed"):
         utils.fix_random_seed()
