@@ -132,7 +132,9 @@ def main():
     # the hardware's peak-FLOP bound.  Non-positive slopes (drift
     # exceeded the signal) are discarded; the MEDIAN valid sample wins
     # (robust to one contended or one lucky window).
-    pairs = [(256, 1024), (64, 320), (64, 320), (64, 320)] if on_tpu else [(2, 6)]
+    pairs = (
+        [(256, 1024)] + [(64, 320)] * 5 if on_tpu else [(2, 6)]
+    )
     slopes = []
     t_lo, compile_s = _run_loop(pairs[0][0], body_fn, ev, fl)
     t_hi, _ = _run_loop(pairs[0][1], body_fn, ev, fl)
