@@ -143,6 +143,20 @@ def test_mixed_solver_warm_start_and_first_order():
     np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=2.5)
 
 
+@pytest.mark.parametrize("method", ["L-BFGS-B", "Newton-CG"])
+def test_scipy_host_bridge_path(method):
+    """Host scipy.optimize driving the jitted objective (the reference's
+    scipy_autograd surface): L-BFGS-B (jac=True) and Newton-CG with
+    device=false (host scipy line search + device HVP) both recover the
+    translation."""
+    gt = np.array([10.0, -7.0])
+    ev = _synthetic_events(gt)
+    slv_cfg, opt_cfg = _mixed_cfg(optimizer={"method": method, "device": False, "max_iter": 30})
+    solv = solver.collections["mixed_patch_contrast_maximization"]((H, W), {}, slv_cfg, opt_cfg, {}, None)
+    best = solv.optimize(ev)
+    np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=2.5)
+
+
 def test_sampling_optimizer_path():
     gt = np.array([8.0, -12.0])
     ev = _synthetic_events(gt)
