@@ -390,7 +390,7 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
         xw = x - dt * u
         yw = y - dt * v
         warped.append((_fl_frac(xw, eps), _fl_frac(yw, eps)))
-    if row_window is None:
+    if row_window is None or not warped:  # orig-only calls have no predicate
         for k, ((fl_i, frac), (cl_i, cfr)) in enumerate(warped):
             r = _corner_block(fl_i, frac, wt, hp)
             c = _corner_block(cl_i, cfr, None, wp)
@@ -500,7 +500,7 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
             dv += -dt * jnp.sum(r * pd, axis=0, keepdims=True)
         return du, dv
 
-    if row_window is None:
+    if row_window is None or not warped:  # orig-only: nothing to predicate
         du, dv = accumulate(False)
     else:
         # ONE chunk-level predicate across every direction (forward's

@@ -283,7 +283,51 @@ def build_objective(spec: ObjectiveSpec):
     return objective
 
 
-def build_objective_banded(spec: ObjectiveSpec):
+def build_orig_iwe_banded(spec: ObjectiveSpec):
+    """Motion-independent (blurred) original IWE from pre-packed banded
+    chunks: fn(x, y, dtf, wt, bands, *rest) -> [H, W].
+
+    The orig image is 1 of the objective's 4 votes but never depends on
+    the candidate motion; hoisting it out of the Newton loop (computed
+    once per solve inside the same jitted program) removes ~25% of the
+    forward vote FLOPs from every objective/line-search evaluation (see
+    build_objective_banded(precomputed_orig=True))."""
+    from .. import config as evconfig
+    from ..ops.blur import gaussian_blur3
+    from ..ops.pallas_objective_banded import (
+        fused_multi_iwe_banded,
+        fused_multi_iwe_banded_voxel,
+        objective_dense_col_bands,
+        objective_row_window,
+    )
+
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    use_bf16 = backend_raw in ("auto", "pallas_bf16")
+    h, w = spec.image_shape
+
+    def orig_fn(x, y, dtf, wt, bands, *_rest):
+        if spec.time_aware:
+            t_bins = x.shape[0]
+            zeros = jnp.zeros((t_bins, 2, h, w), x.dtype)
+            imgs = fused_multi_iwe_banded_voxel(
+                zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
+                1e-6, use_bf16, objective_row_window(h),
+            )
+        else:
+            zeros = jnp.zeros((2, h, w), x.dtype)
+            imgs = fused_multi_iwe_banded(
+                zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
+                1e-6, use_bf16, objective_dense_col_bands(w),
+                objective_row_window(h), None,
+            )
+        if spec.blur_sigma > 0:
+            imgs = gaussian_blur3(imgs, spec.blur_sigma)
+        return jax.lax.stop_gradient(imgs[0])
+
+    return orig_fn
+
+
+def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False):
     """Banded-kernel variant: fn(motion, x, y, dtf, wt, bands, t_scale)
     -> (loss, components), over chunks pre-packed host-side with
     ops.pallas_objective_banded.pack_events_by_band.  Semantically equal
@@ -291,7 +335,12 @@ def build_objective_banded(spec: ObjectiveSpec):
     gathers are ~4x cheaper.  Time-aware specs route to the voxel kernel
     (events pre-packed by (band, time-bin) with pack_events_by_band_bin;
     the Burgers/upwind voxelization runs in plain jnp inside the jit, so
-    gradients traverse the whole PDE chain)."""
+    gradients traverse the whole PDE chain).
+
+    With ``precomputed_orig`` the signature gains a leading
+    ``orig_blurred`` array (from build_orig_iwe_banded) after ``motion``
+    and the kernel skips the orig vote entirely — the caller hoists the
+    motion-independent image out of its optimization loop."""
     from .. import config as evconfig
     from ..ops.blur import gaussian_blur3
     from ..ops.pallas_objective_banded import (
@@ -318,12 +367,14 @@ def build_objective_banded(spec: ObjectiveSpec):
     backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
     use_bf16 = backend_raw in ("auto", "pallas_bf16")
 
-    def objective(motion_flat, x, y, dtf, wt, bands, t_scale):
+    kernel_orig = need_orig and not precomputed_orig
+
+    def _objective_body(motion_flat, orig_blurred, x, y, dtf, wt, bands, t_scale):
         flow = motion_to_dense_flow(spec, motion_flat, t_scale) * t_scale
         if spec.time_aware:
             imgs = fused_multi_iwe_banded_voxel(
                 flow, x, y, dtf, wt, bands, spec.image_shape,
-                tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+                tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
                 objective_row_window(spec.image_shape[0]),
             )
         else:
@@ -331,7 +382,7 @@ def build_objective_banded(spec: ObjectiveSpec):
             # OBJECTIVE_DENSE_PACKING) — the flag here matches by design
             imgs = fused_multi_iwe_banded(
                 flow, x, y, dtf, wt, bands, spec.image_shape,
-                tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+                tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
                 objective_dense_col_bands(spec.image_shape[1]),
                 objective_row_window(spec.image_shape[0]),
                 objective_col_window(*spec.image_shape),
@@ -340,9 +391,11 @@ def build_objective_banded(spec: ObjectiveSpec):
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
         arg = {"omit_boundary": True, "clip": True}
         k = 0
-        if need_orig:
+        if kernel_orig:
             arg["orig_iwe"] = imgs[0]
             k = 1
+        elif need_orig:
+            arg["orig_iwe"] = orig_blurred
         for name, _ in directions:
             if name == "backward":
                 arg.update({"iwe": imgs[k], "backward_iwe": imgs[k]})
@@ -358,6 +411,13 @@ def build_objective_banded(spec: ObjectiveSpec):
             components = {cost.name: loss}
         loss = nan_to_penalty(loss)
         return loss, components
+
+    if precomputed_orig:
+        def objective(motion_flat, orig_blurred, x, y, dtf, wt, bands, t_scale):
+            return _objective_body(motion_flat, orig_blurred, x, y, dtf, wt, bands, t_scale)
+    else:
+        def objective(motion_flat, x, y, dtf, wt, bands, t_scale):
+            return _objective_body(motion_flat, None, x, y, dtf, wt, bands, t_scale)
 
     return objective
 

@@ -21,7 +21,9 @@ from .objective import (
     ObjectiveSpec,
     build_objective,
     build_objective_banded,
+    build_orig_iwe_banded,
     build_value_grad_hvp,
+    make_cost,
     objective_uses_banded,
     objective_uses_fused,
 )
@@ -171,22 +173,7 @@ class PatchContrastMaximization(SolverBase):
     def _get_newton_solver(self, spec, maxiter: int, gtol: float):
         key = (spec, "newton", maxiter, gtol, self._uses_banded(spec))
         if key not in self._fun_cache:
-            from .newton_cg import build_newton_cg
-
-            if self._uses_banded(spec):
-                obj = build_objective_banded(spec)
-            else:
-                obj = build_objective(spec)
-            value_fn = lambda x, *a: obj(x, *a)[0]
-            solve = build_newton_cg(
-                value_fn,
-                maxiter=maxiter,
-                cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
-                xtol=1e-5,
-                gtol=gtol,
-                hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
-            )
-            self._fun_cache[key] = jax.jit(solve)
+            self._fun_cache[key] = jax.jit(self._build_newton(spec, maxiter, gtol))
         return self._fun_cache[key]
 
     def _pack_banded(self, events_np: np.ndarray):
@@ -222,14 +209,23 @@ class PatchContrastMaximization(SolverBase):
         )
 
     def _build_newton(self, spec, maxiter: int, gtol: float):
+        """Newton-CG solve fn(x0, *banded_or_event_args).  On the banded
+        path with an orig-dependent cost, the motion-independent orig IWE
+        is computed ONCE up front (build_orig_iwe_banded) instead of as a
+        4th vote inside every objective evaluation of the Newton loop
+        (~25% of the forward vote FLOPs)."""
         from .newton_cg import build_newton_cg
 
+        orig_fn = None
         if self._uses_banded(spec):
-            obj = build_objective_banded(spec)
+            hoist = "orig_iwe" in make_cost(spec).required_keys
+            obj = build_objective_banded(spec, precomputed_orig=hoist)
+            if hoist:
+                orig_fn = build_orig_iwe_banded(spec)
         else:
             obj = build_objective(spec)
         value_fn = lambda x, *a: obj(x, *a)[0]
-        return build_newton_cg(
+        solve_inner = build_newton_cg(
             value_fn,
             maxiter=maxiter,
             cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
@@ -237,6 +233,13 @@ class PatchContrastMaximization(SolverBase):
             gtol=gtol,
             hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
         )
+        if orig_fn is None:
+            return solve_inner
+
+        def solve(x0, *args):
+            return solve_inner(x0, orig_fn(*args), *args)
+
+        return solve
 
     def _get_fused_scale_solver(self, spec, search_key, maxiter: int, gtol: float):
         """Per-patch init sweep + Newton-CG as ONE jitted device program.

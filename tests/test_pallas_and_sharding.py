@@ -125,6 +125,19 @@ def test_row_windowed_votes_match_full(flow_mag):
     g_f = jax.grad(lambda f: jnp.sum(run(f, None) ** 2))(fl)
     np.testing.assert_array_equal(np.asarray(g_w), np.asarray(g_f))
 
+    # orig-only call (offsets empty — the hoisted-orig fast path) must
+    # work with the window active too (regression: jnp.all(None) crash)
+    def run_orig(fl, rw):
+        return PB.fused_multi_iwe_banded(
+            fl, jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2),
+            jnp.asarray(w2), jnp.asarray(bands), (Ht, Wt), (), True,
+            1e-6, False, None, rw,
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(run_orig(fl, 128)), np.asarray(run_orig(fl, None))
+    )
+
 
 @pytest.mark.parametrize("flow_mag", [4.0, 300.0])
 def test_col_windowed_votes_match_full(flow_mag):
@@ -472,6 +485,44 @@ def test_evflownet_forward_and_voxel_grid():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("time_aware", [False, True])
+def test_precomputed_orig_objective_matches(time_aware):
+    """Hoisted motion-independent orig IWE (build_orig_iwe_banded +
+    build_objective_banded(precomputed_orig=True)) == the fused-orig
+    objective exactly, loss and motion-grad."""
+    import dataclasses
+
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.solver.objective import (
+        build_objective_banded,
+        build_orig_iwe_banded,
+    )
+    from tests.test_solver import _spec, _synthetic_events
+
+    spec = dataclasses.replace(_spec(time_aware), iwe_backend="pallas")
+    ev = _synthetic_events(np.asarray([9.0, -5.0]), n=1200, seed=71)
+    padded, wgt = pad_events(ev, target_n=2048)
+    Hs, Ws = spec.image_shape
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    if time_aware:
+        packed = PB.pack_events_by_band_bin(padded, wgt, dtf, Hs, spec.time_bin)
+    else:
+        packed = PB.pack_events_dense(padded, wgt, dtf, Hs, Ws)
+    args = tuple(jnp.asarray(a) for a in packed) + (
+        jnp.asarray(ev[:, 2].max() - ev[:, 2].min()),
+    )
+    motion = jnp.asarray(np.random.default_rng(5).uniform(-5, 5, 8))
+
+    fused = build_objective_banded(spec)
+    hoisted = build_objective_banded(spec, precomputed_orig=True)
+    orig = build_orig_iwe_banded(spec)(*args)
+
+    want, gw = jax.value_and_grad(lambda m: fused(m, *args)[0])(motion)
+    got, gg = jax.value_and_grad(lambda m: hoisted(m, orig, *args)[0])(motion)
+    assert float(got) == float(want)
+    np.testing.assert_array_equal(np.asarray(gg), np.asarray(gw))
+
+
 @pytest.mark.parametrize("time_aware", [False, True])
 def test_sharded_banded_objective_matches_single(time_aware):
     """Event-sharded banded objective (chunks over the 'event' mesh axis,
