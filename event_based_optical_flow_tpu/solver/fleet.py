@@ -110,9 +110,54 @@ def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
     )
 
 
-def build_batched_objective_banded(spec: ObjectiveSpec):
+def build_orig_iwe_banded_batched(spec: ObjectiveSpec):
+    """Fleet analog of objective.build_orig_iwe_banded: the per-frame
+    motion-independent blurred orig IWEs [B, H, W] from pre-packed fleet
+    chunks, computed once per batched solve instead of as a vote in
+    every lockstep evaluation."""
+    import jax.numpy as jnp
+
+    from .. import config as evconfig
+    from ..ops.blur import gaussian_blur3
+    from ..ops.pallas_objective_banded import (
+        fused_multi_iwe_banded_batched,
+        fused_multi_iwe_banded_voxel_batched,
+        objective_dense_col_bands,
+        objective_row_window,
+    )
+
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    use_bf16 = backend_raw in ("auto", "pallas_bf16")
+    h, w = spec.image_shape
+
+    def orig_fn(x, y, dtf, wt, band_rows, *_rest):
+        bsz = x.shape[0]
+        if spec.time_aware:
+            zeros = jnp.zeros((bsz, x.shape[1], 2, h, w), x.dtype)
+            imgs = fused_multi_iwe_banded_voxel_batched(
+                zeros, x, y, dtf, wt, band_rows, spec.image_shape, (), True,
+                1e-6, use_bf16, objective_row_window(h),
+            )
+        else:
+            zeros = jnp.zeros((bsz, 2, h, w), x.dtype)
+            imgs = fused_multi_iwe_banded_batched(
+                zeros, x, y, dtf, wt, band_rows, spec.image_shape, (), True,
+                1e-6, use_bf16, objective_dense_col_bands(w),
+                objective_row_window(h),
+            )
+        if spec.blur_sigma > 0:
+            imgs = gaussian_blur3(imgs, spec.blur_sigma)
+        return jax.lax.stop_gradient(imgs[:, 0])
+
+    return orig_fn
+
+
+def build_batched_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False):
     """Fleet objective over pre-packed banded chunks:
-    fn(motion [B,M], x, y, dtf, wt, band_rows, t_scales) -> losses [B]."""
+    fn(motion [B,M], x, y, dtf, wt, band_rows, t_scales) -> losses [B].
+    With ``precomputed_orig`` the signature gains a leading
+    orig [B, H, W] (build_orig_iwe_banded_batched) after ``motion`` and
+    the kernels skip the orig vote."""
     from .. import config as evconfig
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded_batched,
@@ -131,10 +176,11 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
     if "middle_iwe" in required:
         directions.append(("middle", 0.5))
     need_orig = "orig_iwe" in required
+    kernel_orig = need_orig and not precomputed_orig
     backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
     use_bf16 = backend_raw in ("auto", "pallas_bf16")
 
-    def batched(motion, x, y, dtf, wt, band_rows, t_scales):
+    def _batched_body(motion, orig_b, x, y, dtf, wt, band_rows, t_scales):
         from .objective import motion_to_dense_flow
 
         flows = jax.vmap(
@@ -143,7 +189,7 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
         if spec.time_aware:
             imgs = fused_multi_iwe_banded_voxel_batched(
                 flows, x, y, dtf, wt, band_rows, spec.image_shape,
-                tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+                tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
                 objective_row_window(spec.image_shape[0]),
             )
         else:
@@ -151,19 +197,23 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
             # -> pack_events_dense; the flag matches the policy by design
             imgs = fused_multi_iwe_banded_batched(
                 flows, x, y, dtf, wt, band_rows, spec.image_shape,
-                tuple(d for _, d in directions), need_orig, 1e-6, use_bf16,
+                tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
                 objective_dense_col_bands(spec.image_shape[1]),
                 objective_row_window(spec.image_shape[0]),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
+        if orig_b is None:
+            orig_b = jnp.zeros((motion.shape[0],) + tuple(spec.image_shape), imgs.dtype)
 
-        def per_frame(img_k, m):
+        def per_frame(img_k, orig_k, m):
             arg = {"omit_boundary": True, "clip": True}
             k = 0
-            if need_orig:
+            if kernel_orig:
                 arg["orig_iwe"] = img_k[0]
                 k = 1
+            elif need_orig:
+                arg["orig_iwe"] = orig_k
             for name, _ in directions:
                 if name == "backward":
                     arg.update({"iwe": img_k[k], "backward_iwe": img_k[k]})
@@ -175,7 +225,14 @@ def build_batched_objective_banded(spec: ObjectiveSpec):
             loss = cost.calculate(arg)
             return nan_to_penalty(loss)
 
-        return jax.vmap(per_frame)(imgs, motion)
+        return jax.vmap(per_frame)(imgs, orig_b, motion)
+
+    if precomputed_orig:
+        def batched(motion, orig_b, x, y, dtf, wt, band_rows, t_scales):
+            return _batched_body(motion, orig_b, x, y, dtf, wt, band_rows, t_scales)
+    else:
+        def batched(motion, x, y, dtf, wt, band_rows, t_scales):
+            return _batched_body(motion, None, x, y, dtf, wt, band_rows, t_scales)
 
     return batched
 
@@ -443,21 +500,38 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
     off (frames independent); per-frame results match the sequential
     solver up to line-search scheduling."""
 
+    def _build_fleet_newton(self, spec, maxiter: int, gtol: float):
+        """Batched lockstep Newton fn(x0 [B,M], *fleet_args); on the
+        banded path with an orig-dependent cost, the per-frame
+        motion-independent orig IWEs are hoisted out of the lockstep loop
+        (see patch_base._build_newton for the single-frame analog)."""
+        orig_fn = None
+        if objective_uses_banded(spec):
+            hoist = "orig_iwe" in make_cost(spec).required_keys
+            batched = build_batched_objective_banded(spec, precomputed_orig=hoist)
+            if hoist:
+                orig_fn = build_orig_iwe_banded_batched(spec)
+        else:
+            batched = build_batched_objective(spec)
+        solve_inner = build_newton_cg_batched(
+            batched,
+            maxiter=maxiter,
+            cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
+            gtol=gtol,
+            fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
+        )
+        if orig_fn is None:
+            return solve_inner
+
+        def solve(x0, *args):
+            return solve_inner(x0, orig_fn(*args), *args)
+
+        return solve
+
     def _get_fleet_solver(self, spec, bsz: int, maxiter: int, gtol: float):
         key = (spec, "fleet", bsz, maxiter, gtol)
         if key not in self._fun_cache:
-            if objective_uses_banded(spec):
-                batched = build_batched_objective_banded(spec)
-            else:
-                batched = build_batched_objective(spec)
-            solve = build_newton_cg_batched(
-                batched,
-                maxiter=maxiter,
-                cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
-                gtol=gtol,
-                fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
-            )
-            self._fun_cache[key] = jax.jit(solve)
+            self._fun_cache[key] = jax.jit(self._build_fleet_newton(spec, maxiter, gtol))
         return self._fun_cache[key]
 
     def optimize_batch(self, events_list: List[np.ndarray]):
@@ -584,20 +658,9 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             bsz, maxiter, gtol,
         )
         if key not in self._fun_cache:
-            solvers = {}
-            for s in scales:
-                spec = specs[s]
-                if objective_uses_banded(spec):
-                    batched = build_batched_objective_banded(spec)
-                else:
-                    batched = build_batched_objective(spec)
-                solvers[s] = build_newton_cg_batched(
-                    batched,
-                    maxiter=maxiter,
-                    cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
-                    gtol=gtol,
-                    fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
-                )
+            solvers = {
+                s: self._build_fleet_newton(specs[s], maxiter, gtol) for s in scales
+            }
             searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
             dtype = self.dtype
 

@@ -129,6 +129,20 @@ def test_batched_banded_dense_objective_matches_single(width):
         assert losses[b] == pytest.approx(float(want), rel=1e-6)
         np.testing.assert_allclose(grads[b], np.asarray(gw), atol=1e-8)
 
+    # hoisted per-frame orig IWEs (the fleet Newton's fast path) are
+    # exactly equivalent
+    from event_based_optical_flow_tpu.solver.fleet import (
+        build_orig_iwe_banded_batched,
+    )
+
+    hoisted = build_batched_objective_banded(spec, precomputed_orig=True)
+    orig_b = build_orig_iwe_banded_batched(spec)(*args[:-1])
+    np.testing.assert_array_equal(
+        np.asarray(hoisted(motion, orig_b, *args)), losses
+    )
+    g2 = np.asarray(jax.grad(lambda m: jnp.sum(hoisted(m, orig_b, *args)))(motion))
+    np.testing.assert_array_equal(g2, grads)
+
 
 def test_batched_banded_time_aware_objective_matches_single():
     """Fleet banded TA objective ((bin,band)-packed, batched voxel kernel)
