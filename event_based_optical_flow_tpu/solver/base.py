@@ -308,21 +308,54 @@ class SolverBase:
             clipped = clipped[self.padding : -self.padding, self.padding : -self.padding]
         return clipped
 
+    def _warped_viz_iwe(self, events_np, motion, motion_model, direction="first",
+                        return_warped: bool = False):
+        """Visualization fast path: pad + warp + IWE as ONE cached jitted
+        device call.  The previous eager per-op dispatch cost seconds per
+        frame through the tunneled runtime (each eager op is a remote
+        call) and recompiled on every new event count; bucketed padding
+        bounds the cache.  Returns the clipped uint8 image (and the
+        padded warped events + weights when ``return_warped``)."""
+        padded, wgt = pad_events(np.asarray(events_np, dtype=np.float64))
+        motion_j = jnp.asarray(np.asarray(motion), self.dtype)
+        key = ("vizWarpIWE", len(padded), motion_model, str(direction), motion_j.shape)
+        if key not in self._fwl_cache:
+            imager, warper = self.imager, self.warper
+            method = self.iwe_config["method"]
+            backend = self.iwe_backend
+
+            def run(e, w, m):
+                warped = warper.warp_event(e, m, motion_model, direction, weights=w)
+                return warped, imager.create_iwe(warped, method, sigma=0, weight=w, backend=backend)
+
+            self._fwl_cache[key] = jax.jit(run)
+        warped, im = self._fwl_cache[key](
+            jnp.asarray(padded, self.dtype), jnp.asarray(wgt, self.dtype), motion_j
+        )
+        clipped = 255 - np.clip(self.iwe_visualize_max_scale * np.asarray(im), 0, 255).astype(np.uint8)
+        if self.padding > 0:
+            clipped = clipped[self.padding : -self.padding, self.padding : -self.padding]
+        if return_warped:
+            return clipped, np.asarray(warped), wgt
+        return clipped
+
     def visualize_one_batch_warp(self, events, warp=None):
         if self.visualizer is None:
             return
         events = np.asarray(events)
-        flow = None
-        if warp is not None:
-            warp = np.copy(np.asarray(warp))
-            if self.normalize_t_in_batch:
-                warp *= np.max(events[:, 2]) - np.min(events[:, 2])
-            events = np.asarray(self.warper.warp_event(jnp.asarray(events), warp, self.motion_model))
-            flow = self.motion_to_dense_flow(warp)
-        clipped = self.create_clipped_iwe_for_visualization(events, self.iwe_visualize_max_scale)
+        if warp is None:
+            clipped = self.create_clipped_iwe_for_visualization(events, self.iwe_visualize_max_scale)
+            self.visualizer.visualize_image(clipped)
+            return
+        warp = np.copy(np.asarray(warp))
+        if self.normalize_t_in_batch:
+            warp *= np.max(events[:, 2]) - np.min(events[:, 2])
+        clipped, warped, wgt = self._warped_viz_iwe(
+            events, warp, self.motion_model, return_warped=True
+        )
         self.visualizer.visualize_image(clipped)
-        if flow is not None:
-            self.visualizer.visualize_optical_flow_on_event_mask(flow, events)
+        flow = self.motion_to_dense_flow(warp)
+        self.visualizer.visualize_optical_flow_on_event_mask(flow, warped[wgt > 0])
 
     def visualize_original_sequential(self, events):
         if self.visualizer is None:
@@ -337,11 +370,7 @@ class SolverBase:
         warp = np.copy(np.asarray(warp))
         if self.normalize_t_in_batch:
             warp *= np.max(events[:, 2]) - np.min(events[:, 2])
-        warped = np.asarray(
-            self.warper.warp_event(jnp.asarray(events), warp, self.motion_model, direction="first")
-        )
-        flow = self.motion_to_dense_flow(warp)
-        clipped = self.create_clipped_iwe_for_visualization(warped, self.iwe_visualize_max_scale)
+        clipped = self._warped_viz_iwe(events, warp, self.motion_model)
         self.visualizer.visualize_image(clipped, file_prefix="pred_warp")
 
     def visualize_gt_sequential(self, events, gt_warp, gt_type: str = "flow"):
@@ -353,10 +382,7 @@ class SolverBase:
             gt_warp = np.transpose(np.asarray(gt_warp), (2, 0, 1))
         else:
             motion_model = self.motion_model
-        warped = np.asarray(
-            self.warper.warp_event(jnp.asarray(events), jnp.asarray(gt_warp), motion_model, direction="first")
-        )
-        clipped = self.create_clipped_iwe_for_visualization(warped, self.iwe_visualize_max_scale)
+        clipped = self._warped_viz_iwe(events, gt_warp, motion_model)
         self.visualizer.visualize_image(clipped, file_prefix="gt_warp")
         if motion_model == "dense-flow":
             self.visualizer.visualize_optical_flow(

@@ -17,6 +17,7 @@ reference's sequential per-patch Optuna CPU loop.
 import logging
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -432,31 +433,67 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
     # --------------------------------------------------------------- metrics
     def motion_to_dense_flow(self, pyramidal_motion, t_scale: float = 1.0):
         """Finest-scale tiles -> dense flow (+ optional time voxel)
-        (ref pyramid.py:464-516)."""
-        finest = (
+        (ref pyramid.py:464-516).  The whole conversion runs as one
+        cached jitted call keyed by the current patch geometry (eager
+        per-op dispatch costs seconds through a tunneled runtime);
+        host-only voxel schemes (griddata) keep the eager path."""
+        finest = np.asarray(
             pyramidal_motion[self.current_scale]
             if isinstance(pyramidal_motion, dict)
-            else pyramidal_motion
+            else pyramidal_motion,
+            dtype=np.float64,
         )
-        dense = tile_to_dense_flow(
-            jnp.asarray(np.asarray(finest, dtype=np.float64)),
-            self.patch_image_size,
-            self.image_shape,
-            self.patch_size,
-            self.sliding_window,
-            self.patch_shift,
-            self.filter_type,
+        from .objective import _JIT_VOXEL_SCHEMES
+
+        jittable = (not self.is_time_aware) or (
+            self.flow_interpolation in _JIT_VOXEL_SCHEMES
         )
-        if not self.is_time_aware:
-            return np.asarray(dense)
-        scale = float(jnp.max(dense)) if self.scale_later else 1.0
-        voxel = construct_dense_flow_voxel(
-            dense * t_scale / scale,
-            self.time_bin,
-            self.flow_interpolation,
-            t0_location=self.t0_flow_location,
+        if not jittable:
+            dense = tile_to_dense_flow(
+                jnp.asarray(finest), self.patch_image_size, self.image_shape,
+                self.patch_size, self.sliding_window, self.patch_shift,
+                self.filter_type,
+            )
+            scale = float(jnp.max(dense)) if self.scale_later else 1.0
+            voxel = construct_dense_flow_voxel(
+                dense * t_scale / scale, self.time_bin, self.flow_interpolation,
+                t0_location=self.t0_flow_location,
+            )
+            return np.asarray(voxel * scale / t_scale)
+
+        key = (
+            "denseFlowJit", finest.shape, tuple(self.patch_image_size),
+            tuple(self.image_shape), tuple(self.patch_size),
+            tuple(self.sliding_window), tuple(self.patch_shift),
+            self.filter_type, self.is_time_aware,
+            getattr(self, "time_bin", 0),
+            getattr(self, "flow_interpolation", None),
+            getattr(self, "t0_flow_location", None),
+            bool(getattr(self, "scale_later", False)),
         )
-        return np.asarray(voxel * scale / t_scale)
+        if key not in self._fun_cache:
+            pis, ims = tuple(self.patch_image_size), tuple(self.image_shape)
+            ps, sw = tuple(self.patch_size), tuple(self.sliding_window)
+            sh, ft = tuple(self.patch_shift), self.filter_type
+            ta, sl = self.is_time_aware, bool(getattr(self, "scale_later", False))
+            tb = getattr(self, "time_bin", 0)
+            fi = getattr(self, "flow_interpolation", None)
+            t0 = getattr(self, "t0_flow_location", None)
+
+            def run(m, ts):
+                dense = tile_to_dense_flow(m, pis, ims, ps, sw, sh, ft)
+                if not ta:
+                    return dense
+                scale = jnp.max(dense) if sl else 1.0
+                voxel = construct_dense_flow_voxel(
+                    dense * ts / scale, tb, fi, t0_location=t0
+                )
+                return voxel * scale / ts
+
+            self._fun_cache[key] = jax.jit(run)
+        return np.asarray(
+            self._fun_cache[key](jnp.asarray(finest), jnp.asarray(float(t_scale)))
+        )
 
     def _build_metrics_body(self):
         """Un-jitted metrics body over the CURRENT (finest) scale geometry:
@@ -585,21 +622,21 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         if self.visualizer is None:
             return
         events = np.asarray(events)
-        flow = None
-        if warp is not None:
-            flow = self.motion_to_dense_flow(warp)
-            if self.normalize_t_in_batch:
-                flow = flow * (np.max(events[:, 2]) - np.min(events[:, 2]))
-            events = np.asarray(
-                self.warper.warp_event(jnp.asarray(events), jnp.asarray(flow), self.motion_model_for_dense_warp)
-            )
-            if self.is_time_aware:
-                flow = self.get_original_flow_from_time_aware_flow_voxel(flow)
-        clipped = self.create_clipped_iwe_for_visualization(events, self.iwe_visualize_max_scale)
+        if warp is None:
+            clipped = self.create_clipped_iwe_for_visualization(events, self.iwe_visualize_max_scale)
+            self.visualizer.visualize_image(clipped)
+            return
+        flow = self.motion_to_dense_flow(warp)
+        if self.normalize_t_in_batch:
+            flow = flow * (np.max(events[:, 2]) - np.min(events[:, 2]))
+        clipped, warped, wgt = self._warped_viz_iwe(
+            events, flow, self.motion_model_for_dense_warp, return_warped=True
+        )
+        if self.is_time_aware:
+            flow = self.get_original_flow_from_time_aware_flow_voxel(flow)
         self.visualizer.visualize_image(clipped)
-        if flow is not None:
-            self.visualizer.visualize_optical_flow_on_event_mask(flow, events)
-            self.visualizer.visualize_overlay_optical_flow_on_event(flow, clipped)
+        self.visualizer.visualize_optical_flow_on_event_mask(flow, warped[wgt > 0])
+        self.visualizer.visualize_overlay_optical_flow_on_event(flow, clipped)
 
     def visualize_pred_sequential(self, events, warp):
         if self.visualizer is None:
@@ -607,13 +644,13 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         events = np.asarray(events)
         t_scale = (np.max(events[:, 2]) - np.min(events[:, 2])) if self.normalize_t_in_batch else 1.0
         flow = self.motion_to_dense_flow(warp, t_scale) * t_scale
-        warped = np.asarray(
-            self.warper.warp_event(
-                jnp.asarray(events), jnp.asarray(flow), self.motion_model_for_dense_warp, direction="middle"
-            )
+        clipped, warped, wgt = self._warped_viz_iwe(
+            events, flow, self.motion_model_for_dense_warp, direction="middle",
+            return_warped=True,
         )
-        clipped = self.create_clipped_iwe_for_visualization(warped, self.iwe_visualize_max_scale)
         if self.is_time_aware:
             flow = self.get_original_flow_from_time_aware_flow_voxel(flow)
         self.visualizer.visualize_image(clipped, file_prefix="pred_warp")
-        self.visualizer.visualize_optical_flow_on_event_mask(flow, warped, file_prefix="pred_masked")
+        self.visualizer.visualize_optical_flow_on_event_mask(
+            flow, warped[wgt > 0], file_prefix="pred_masked"
+        )

@@ -200,14 +200,32 @@ class Visualizer:
         self._show_or_save_image(flow_image, file_prefix)
         return flow_image
 
+    def _numpy_event_mask(self, events) -> np.ndarray:
+        """[1, H, W] bool mask of pixels receiving any bilinear vote —
+        host-side numpy equivalent of ops.iwe.event_mask for all-positive
+        unit weights (eager jax dispatch costs seconds/frame through a
+        tunneled runtime)."""
+        h, w = self._image_size
+        x = np.asarray(events[:, 0], np.float64)
+        y = np.asarray(events[:, 1], np.float64)
+        fx = np.floor(x + 1e-6)
+        fy = np.floor(y + 1e-6)
+        gx, gy = x - fx, y - fy
+        mask = np.zeros((h, w), bool)
+        for dx, wx in ((0, 1.0 - gx), (1, gx)):
+            for dy, wy in ((0, 1.0 - gy), (1, gy)):
+                xi = fx.astype(np.int64) + dx
+                yi = fy.astype(np.int64) + dy
+                ok = (wx * wy > 0) & (0 <= xi) & (xi < h) & (0 <= yi) & (yi < w)
+                mask[xi[ok], yi[ok]] = True
+        return mask[None]
+
     def visualize_optical_flow_on_event_mask(self, flow, events, file_prefix=None,
                                              ord: float = 0.5, max_color_on_mask: bool = True):
-        import jax.numpy as jnp
-
         _show, _save = self._show, self._save
         self._show, self._save = False, False
         try:
-            mask = np.asarray(self.imager.create_eventmask(jnp.asarray(np.asarray(events))))
+            mask = self._numpy_event_mask(np.asarray(events))
             flow = np.asarray(flow)
             if max_color_on_mask:
                 masked = flow * mask
