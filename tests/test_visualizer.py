@@ -70,3 +70,44 @@ def test_sampling_history_plot(viz, tmp_path):
     viz.visualize_sampling_history([5.0, 3.0, 2.5, 2.6, 2.2])
     viz.flush()
     assert len(os.listdir(tmp_path)) > 0
+
+
+def test_time_aware_solver_viz_paths(tmp_path):
+    """The jitted viz fast path (_warped_viz_iwe + jitted
+    motion_to_dense_flow) through the TIME-AWARE pyramid: voxel flows
+    thread the dense-flow-voxel warp and produce files for pred/gt/batch
+    visualizations."""
+    from event_based_optical_flow_tpu import solver, visualizer
+    from tests.test_solver import _synthetic_events
+
+    Hs, Ws = 24, 32
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": True, "time_bin": 3, "flow_interpolation": "burgers",
+        "t0_flow_location": "middle",
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 20,
+                  "crop_width": 28, "filter_type": "bilinear"},
+        "motion_model": "2d-translation", "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"], "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0,
+                             "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1}, "precision": "64",
+    }
+    opt_cfg = {"n_iter": 4, "method": "Newton-CG", "max_iter": 2,
+               "parameters": {"trans_x": {"min": -25, "max": 25},
+                              "trans_y": {"min": -25, "max": 25}}}
+    vz = visualizer.Visualizer((Hs, Ws), show=False, save=True, save_dir=str(tmp_path))
+    solv = solver.collections["pyramidal_patch_contrast_maximization"](
+        (Hs, Ws), {}, slv_cfg, opt_cfg, {}, vz
+    )
+    ev = _synthetic_events(np.asarray([6.0, -4.0]), n=800, seed=5, h=Hs, w=Ws)
+    best = solv.optimize(ev)
+    solv.visualize_pred_sequential(ev, best)
+    solv.visualize_gt_sequential(ev, np.random.default_rng(0).normal(0, 2, (Hs, Ws, 2)))
+    solv.visualize_one_batch_warp(ev, best)
+    vz.flush()
+    names = os.listdir(tmp_path)
+    assert any(n.startswith("pred_warp") for n in names)
+    assert any(n.startswith("pred_masked") for n in names)
+    assert any(n.startswith("gt_warp") for n in names)
