@@ -564,6 +564,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
 
         if self._chain_ready():
             return self._optimize_batch_chain(events_list, solver_args)
+        self.previous_frame_best_estimation = None  # loop path: cold init only
 
         best_per_scale = {}
         for s in range(self.coarsest_scale, self.patch_scales):
@@ -592,7 +593,14 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         host calls per scale in the loop path), coarse->fine expansion is
         a vmapped device pyramid_expand, and each scale's lockstep batched
         Newton follows — one dispatch per fleet batch instead of
-        ~scales*(B+1)."""
+        ~scales*(B+1).
+
+        When ``previous_frame_best_estimation`` holds a per-scale motion
+        dict (set by the caller between batches — ``warm_start: "batch"``
+        in the eval config), every frame warm-starts from it exactly like
+        the sequential chain: coarsest x0 from the warm coarsest motion,
+        finer scales averaged with the device pyramid_expand result.
+        Lockstep Newton then converges in far fewer iterations."""
         from ..ops.interp import pyramid_expand_jax  # noqa: F401 (used in chain)
         from .sampling import gather_patch_events
 
@@ -621,19 +629,36 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                     jnp.asarray(np.stack(pcs)),
                 ))
 
+        warm = self.previous_frame_best_estimation
+        use_warm = isinstance(warm, dict) and all(s in warm for s in scales)
         self.overload_patch_configuration(self.coarsest_scale)
-        init = self.slv_config["patch"]["initialize"]
-        x0 = np.stack([
-            self.initialize_zeros() if init == "zero" else self.initialize_random()
-            for _ in range(bsz)
-        ]).reshape(bsz, -1)
+        if use_warm:
+            x0 = np.tile(
+                np.asarray(warm[scales[0]], dtype=np.float64).reshape(1, -1),
+                (bsz, 1),
+            )
+        else:
+            init = self.slv_config["patch"]["initialize"]
+            x0 = np.stack([
+                self.initialize_zeros() if init == "zero" else self.initialize_random()
+                for _ in range(bsz)
+            ]).reshape(bsz, -1)
 
         fused = self._get_fleet_chain_solver(
             tuple(scales), specs, search_meta, grid_shapes, bsz,
             maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
+            use_warm=use_warm,
         )
         keys = jnp.stack([self._next_key() for _ in scales[1:]]) if len(scales) > 1 else jnp.zeros((0, 2), jnp.uint32)
-        outs, fs = fused(jnp.asarray(x0, self.dtype), tuple(patch_inputs), keys, *solver_args)
+        warm_in = (
+            tuple(
+                jnp.asarray(np.asarray(warm[s], dtype=np.float64), self.dtype)
+                for s in scales[1:]
+            )
+            if use_warm
+            else ()
+        )
+        outs, fs = fused(jnp.asarray(x0, self.dtype), warm_in, tuple(patch_inputs), keys, *solver_args)
         self.overload_patch_configuration(scales[-1])
 
         best_per_scale = {}
@@ -648,14 +673,14 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         return results
 
     def _get_fleet_chain_solver(self, scales, specs, search_meta, grid_shapes, bsz,
-                                maxiter, gtol):
+                                maxiter, gtol, use_warm: bool = False):
         from ..ops.interp import pyramid_expand_jax
 
         key = (
             "fleet_chain",
             tuple(specs[s] for s in scales),
             tuple(sorted(search_meta.items())),
-            bsz, maxiter, gtol,
+            bsz, maxiter, gtol, use_warm,
         )
         if key not in self._fun_cache:
             solvers = {
@@ -664,13 +689,17 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
             dtype = self.dtype
 
-            def chain(x0, patch_inputs, keys, *newton_args):
+            def chain(x0, warm_fine, patch_inputs, keys, *newton_args):
                 best_x, best_f = [], []
                 x = x0  # [B, M_coarsest]
                 prev = None  # [B, 2, hp, wp]
                 for i, s in enumerate(scales):
                     if i > 0:
                         m0 = jax.vmap(pyramid_expand_jax)(prev)
+                        if use_warm:
+                            # sequential-chain semantics: average the
+                            # expanded coarser motion with the warm one
+                            m0 = (m0 + warm_fine[i - 1][None]) / 2.0
                         pe, pw, pc = patch_inputs[i - 1]  # [B, P, C, 4] / [B, P, C] / [B, P]
                         B, P = pe.shape[0], pe.shape[1]
                         m0_flat = (

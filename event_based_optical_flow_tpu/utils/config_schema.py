@@ -153,10 +153,12 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
             warnings.append(f"unknown config key 'optimizer.{key}' (ignored?)")
 
     if data.get("fleet_batch", 1) and int(data.get("fleet_batch", 1)) > 1:
-        if data.get("warm_start", True):
+        if data.get("warm_start", True) not in (False, "batch"):
             raise ConfigError(
                 "'data.fleet_batch' > 1 requires 'data.warm_start: false' "
-                "(fleet frames are solved independently)"
+                "(frames solved independently) or 'data.warm_start: batch' "
+                "(each batch warm-starts from the previous batch's last "
+                "solution)"
             )
 
     for w in warnings:

@@ -85,16 +85,25 @@ def evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch: int)
     warm_start: false — frames are independent).  New capability; the
     reference loop is strictly sequential."""
     eval_dt = data_config["eval_dt"]
+    batch_warm = data_config.get("warm_start") == "batch"
     out_dir = solv.visualizer.save_dir if solv.visualizer else "."
     start_frame, _ = ckpt.load_eval_state(out_dir)
     frames = list(range(start_frame, len(eval_ts) - eval_dt))
-    logger.info(f"Fleet evaluation: {len(frames)} frames, batch {fleet_batch}")
+    logger.info(
+        f"Fleet evaluation: {len(frames)} frames, batch {fleet_batch}"
+        + (", batch warm start" if batch_warm else "")
+    )
     for chunk_start in range(0, len(frames), fleet_batch):
         chunk = frames[chunk_start : chunk_start + fleet_batch]
         gathered = [
             _gather_frame(loader, data_config, eval_ts[i], eval_ts[i + eval_dt]) for i in chunk
         ]
         motions = solv.optimize_batch([g[0] for g in gathered])
+        if batch_warm:
+            # every frame of the next batch warm-starts from this batch's
+            # temporally last solution (fleet analog of the sequential
+            # warm-start chain)
+            solv.set_previous_frame_best_estimation(motions[-1])
         for i1, (opt_b, gt_b, gt_flow, flow_time), best in zip(chunk, gathered, motions):
             flow_error = solv.calculate_flow_error(best, gt_flow, timescale=flow_time, events=gt_b)
             solv.save_flow_error_as_text(i1, flow_error, "flow_error_per_frame_with_mask.txt")

@@ -87,6 +87,17 @@ def test_fleet_pyramidal_solver():
         finest = res[max(res)]
         np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
 
+    # batch warm start (warm_start: "batch"): the next batch initializes
+    # every frame from the previous batch's last per-scale solution and
+    # still recovers its own motions
+    solv.set_previous_frame_best_estimation(results[-1])
+    gts2 = [(9.0, -7.0), (-5.0, 8.0)]
+    events2 = [_synthetic_events(np.asarray(gt), n=2500, seed=30 + i) for i, gt in enumerate(gts2)]
+    results2 = solv.optimize_batch(events2)
+    for res, gt in zip(results2, gts2):
+        finest = res[max(res)]
+        np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
+
 
 @pytest.mark.parametrize("width", [W, 500])  # band policy / wide->tile policy
 def test_batched_banded_dense_objective_matches_single(width):

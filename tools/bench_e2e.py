@@ -73,6 +73,8 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "mine"
     if which == "fleet":
         return run_fleet()
+    if which == "fleet-warm":
+        return run_fleet(warm=True)
     global H, W
     slv_cfg = dict(SLV_CFG)
     n_ev = 30000
@@ -110,27 +112,31 @@ def main():
     print(f"{which} steady-state: {times[-1]:.1f}s/frame")
 
 
-def run_fleet(bsz: int = 4):
-    """Fleet (batched-frame) solve throughput: B independent frames per
-    device program (no warm start), s/frame all-in."""
+def run_fleet(bsz: int = 4, warm: bool = False):
+    """Fleet (batched-frame) solve throughput: B frames per device
+    program, s/frame all-in.  ``warm`` chains each batch from the
+    previous batch's last solution (warm_start: "batch")."""
     from event_based_optical_flow_tpu import solver as _s
 
     solv = _s.collections["fleet_pyramidal_patch_contrast_maximization"](
         (H, W), {}, SLV_CFG, OPT_CFG, {}, None
     )
-    for rep in range(3):
+    tag = "fleet-warm" if warm else "fleet"
+    for rep in range(4):
         evs = [synth(GT, seed=rep * bsz + f) for f in range(bsz)]
         t0 = time.time()
         results = solv.optimize_batch(evs)
         dt = time.time() - t0
+        if warm:
+            solv.set_previous_frame_best_estimation(results[-1])
         fin = results[0][max(results[0])]
         half = fin.shape[2] // 2
         lu, ru = fin[0][:, :half].mean(), fin[0][:, half:].mean()
         print(
-            f"fleet batch {rep}: {dt:.1f}s ({dt / bsz:.2f} s/frame) "
+            f"{tag} batch {rep}: {dt:.1f}s ({dt / bsz:.2f} s/frame) "
             f"frame0 u=({lu:.1f},{ru:.1f}) vs ±{GT[0]}", flush=True,
         )
-    print(f"fleet steady-state: {dt / bsz:.2f} s/frame ({bsz} frames/batch)")
+    print(f"{tag} steady-state: {dt / bsz:.2f} s/frame ({bsz} frames/batch)")
 
 
 if __name__ == "__main__":
