@@ -1,16 +1,40 @@
-"""Banded (v2) fused CMax rasterizer: row-band-local flow gathers.
+"""Banded fused CMax rasterizer family (v2-v4): locality-windowed
+gathers and votes with exact full-size fallbacks.
 
-The v1 fused kernel's gather matmuls contract over the full padded image
-height (Hp ~ 264 rows) even though each event reads exactly one pixel.
-Events sorted into aligned 64-row bands make every chunk's gather a
-64-row contraction — ~4x fewer gather FLOPs — while the vote stays
-full-image (warped positions can leave the band).
+v2 — row-banded gathers: the v1 fused kernel's gather matmuls contract
+over the full padded image height (Hp ~ 264 rows) even though each
+event reads exactly one pixel.  Events sorted into aligned 64-row bands
+make every chunk's gather a 64-row contraction (~4x fewer gather
+FLOPs).
 
-Host-side ``pack_events_by_band`` groups events by band and pads each
-band to whole 512-event chunks (sentinel events are inert); the kernel
-reads each chunk's flow band with a dynamic slice of the VMEM-resident
-flow.  IWE accumulation is order-independent and the time statistics are
-computed before packing, so results match the unsorted kernel exactly.
+v3 — (row, column)-tile packing: on wide frames the gather also
+restricts to a 128-column window (``col_bands``); the width-aware
+policy (``objective_dense_packing``) picks band vs tile per geometry
+from measured A/Bs.
+
+v4 — predicated windowed VOTES: near convergence every warped row lands
+close to its source band, so votes accumulate into a
+``row_window``-row slice (and optionally a ``col_window`` column slice)
+instead of the full padded image — with an EXACT full-size fallback
+selected per chunk by ONE data-dependent predicate across all warp
+directions (per-direction predicates measured slower than no windowing;
+see BENCHMARKS.md).  Both paths place weights from one shared
+floor/frac decision, so results are bit-identical to the unwindowed
+kernel.
+
+The motion-independent original IWE can be skipped entirely
+(``include_orig=False``) when the caller hoists it out of its
+optimization loop (solver.objective.build_orig_iwe_banded).
+
+Host-side packers (``pack_events_by_band`` / ``_by_tile`` /
+``_by_band_bin``) group events by band/tile/(bin, band) and pad each
+group to whole 512-event chunks (sentinel events are inert), running
+through the native C++ counting-sort packer (native/packer.cpp) with a
+byte-identical Python fallback.  IWE accumulation is order-independent
+and the time statistics are computed before packing, so results match
+the unsorted kernel exactly.  Variants: single-frame dense
+(``fused_multi_iwe_banded``), time-aware voxel (bin as a grid
+dimension), and fleet-batched versions of both.
 """
 
 import functools
