@@ -140,9 +140,13 @@ def main():
     t_hi, _ = _run_loop(pairs[0][1], body_fn, ev, fl)
     slopes.append((t_hi - t_lo) / (pairs[0][1] - pairs[0][0]))
     it1 = pairs[0][0]
-    for i1, i2 in pairs[1:]:
-        t_lo2, _ = _run_loop(i1, body_fn, ev, fl)
-        t_hi2, _ = _run_loop(i2, body_fn, ev, fl)
+    for si, (i1, i2) in enumerate(pairs[1:]):
+        # vary the flow per sample: repeated identical (program, inputs)
+        # executions can be memoized by the relay and return in ~fixed
+        # latency, which would fake tiny positive slopes
+        fl_s = fl + (si + 1) * 0.013
+        t_lo2, _ = _run_loop(i1, body_fn, ev, fl_s)
+        t_hi2, _ = _run_loop(i2, body_fn, ev, fl_s)
         slopes.append((t_hi2 - t_lo2) / (i2 - i1))
     valid = sorted(m for m in slopes if m > 0)
     if valid:

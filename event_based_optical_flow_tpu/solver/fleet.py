@@ -564,7 +564,13 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
 
         if self._chain_ready():
             return self._optimize_batch_chain(events_list, solver_args)
-        self.previous_frame_best_estimation = None  # loop path: cold init only
+        if self.previous_frame_best_estimation is not None:
+            logger.warning(
+                "fleet batch warm start is only supported on the chain path "
+                "(optimizer.chain with device Newton-CG); falling back to "
+                "cold initialization for this batch"
+            )
+            self.previous_frame_best_estimation = None
 
         best_per_scale = {}
         for s in range(self.coarsest_scale, self.patch_scales):

@@ -216,7 +216,9 @@ class Visualizer:
             for dy, wy in ((0, 1.0 - gy), (1, gy)):
                 xi = fx.astype(np.int64) + dx
                 yi = fy.astype(np.int64) + dy
-                ok = (wx * wy > 0) & (0 <= xi) & (xi < h) & (0 <= yi) & (yi < w)
+                # != 0 like the device (iwe != 0): the floor(+eps) frac can
+                # be a tiny NEGATIVE number just below integer coordinates
+                ok = (wx * wy != 0) & (0 <= xi) & (xi < h) & (0 <= yi) & (yi < w)
                 mask[xi[ok], yi[ok]] = True
         return mask[None]
 

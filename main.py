@@ -87,7 +87,9 @@ def evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch: int)
     eval_dt = data_config["eval_dt"]
     batch_warm = data_config.get("warm_start") == "batch"
     out_dir = solv.visualizer.save_dir if solv.visualizer else "."
-    start_frame, _ = ckpt.load_eval_state(out_dir)
+    start_frame, warm_motion = ckpt.load_eval_state(out_dir)
+    if batch_warm and warm_motion is not None:
+        solv.set_previous_frame_best_estimation(warm_motion)
     frames = list(range(start_frame, len(eval_ts) - eval_dt))
     logger.info(
         f"Fleet evaluation: {len(frames)} frames, batch {fleet_batch}"
@@ -108,7 +110,9 @@ def evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch: int)
             flow_error = solv.calculate_flow_error(best, gt_flow, timescale=flow_time, events=gt_b)
             solv.save_flow_error_as_text(i1, flow_error, "flow_error_per_frame_with_mask.txt")
             ckpt.append_frame_metrics(out_dir, i1, flow_error)
-        ckpt.save_eval_state(out_dir, chunk[-1] + 1, None)
+        ckpt.save_eval_state(
+            out_dir, chunk[-1] + 1, motions[-1] if batch_warm else None
+        )
 
 
 def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, solv):
@@ -229,8 +233,9 @@ def main():
         eval_ts = loader.eval_frame_time_list()
         fleet_batch = int(data_config.get("fleet_batch", 1))
         if fleet_batch > 1 and hasattr(solv, "optimize_batch"):
-            assert not data_config.get("warm_start", True), (
-                "fleet_batch requires warm_start: false (frames must be independent)"
+            assert data_config.get("warm_start", True) in (False, "batch"), (
+                "fleet_batch requires warm_start: false (independent frames) "
+                "or warm_start: batch (chained batches)"
             )
             evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch)
         else:

@@ -484,7 +484,6 @@ def test_evflownet_forward_and_voxel_grid():
     assert flows["flow0"].shape == (1, 2, 4, 4)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("time_aware", [False, True])
 def test_precomputed_orig_objective_matches(time_aware):
     """Hoisted motion-independent orig IWE (build_orig_iwe_banded +
@@ -523,6 +522,7 @@ def test_precomputed_orig_objective_matches(time_aware):
     np.testing.assert_array_equal(np.asarray(gg), np.asarray(gw))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("time_aware", [False, True])
 def test_sharded_banded_objective_matches_single(time_aware):
     """Event-sharded banded objective (chunks over the 'event' mesh axis,
