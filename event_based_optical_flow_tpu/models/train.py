@@ -239,8 +239,14 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
     steps = int(dnn_cfg.get("n_steps", 50))
     n_events = int(data_cfg.get("n_events_per_batch", 30000))
 
+    # tanh-head flow range in px per normalized window: the 128 default
+    # fits MVSEC/DSEC-scale frames; small sensors need a matching range
+    # or the random-init warps blow out of frame and the NaN penalty
+    # flattens the loss landscape
+    scale_time = float(dnn_cfg.get("scale_time", min(128.0, max(image_size) / 2)))
     model, params, tx, opt_state = make_dnn_train_state(
-        image_size, n_bin, lr=float(dnn_cfg.get("lr", 1e-4))
+        image_size, n_bin, lr=float(dnn_cfg.get("lr", 1e-4)),
+        scale_time=scale_time,
     )
 
     ckpt_dir = dnn_cfg.get(
