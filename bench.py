@@ -95,10 +95,12 @@ def main():
             dtf = (events[b, :, 2] - events[b, :, 2].min()) / (
                 events[b, :, 2].max() - events[b, :, 2].min()
             )
-            # chunk 512 = the production objective's packing (an A/B at
-            # 1024 measured equal within session noise)
+            # chunk 1024: calibrated-slope A/B (tools/probe_kernel.py, 0.3%
+            # sample spread): 512 -> 408, 1024 -> 431, 2048 -> 358 Mev/s on
+            # this shape — fewer grid steps win until the one-hot blocks
+            # outgrow VMEM-friendly sizes
             packed.append(
-                pack_events_by_tile(events[b], np.ones(n_events), dtf, H, W)
+                pack_events_by_tile(events[b], np.ones(n_events), dtf, H, W, chunk=1024)
             )
         pk = [jnp.asarray(np.stack([p[i] for p in packed]), jnp.float32) for i in range(4)]
         bands = jnp.asarray(np.stack([p[4] for p in packed]))
@@ -124,23 +126,30 @@ def main():
             warped = warp_dense_flow(e, f, e[..., 2].min(axis=-1), (H, W), normalize_t=True)
             return bilinear_vote(warped, (H, W)).sum()
 
-    # Slope samples at two scales: the long pair averages over pool-speed
-    # drift (stable), the shorter pairs sample independent windows.
-    # Loop counts are sized so the slope signal (hundreds of iterations)
-    # dwarfs tunnel jitter — the v4 kernel at ~0.07 ms/iter made the old
-    # (16, 80) pairs noise-dominated, which inflated min-of-slopes past
-    # the hardware's peak-FLOP bound.  Non-positive slopes (drift
-    # exceeded the signal) are discarded; the MEDIAN valid sample wins
-    # (robust to one contended or one lucky window).
-    pairs = (
-        [(256, 1024)] + [(64, 320)] * 5 if on_tpu else [(2, 6)]
-    )
+    # Slope sampling with CALIBRATED loop counts.  The signal is
+    # (i2 - i1) * marginal seconds of pure device time; tunnel latency
+    # jitter is tens of ms per call, so the signal must dwarf it.  The v4
+    # kernel at ~0.02-0.07 ms/iter made fixed (256, 1024) pairs carry only
+    # ~20-50 ms of signal — noise-dominated, which is how a ~600+ Mev/s
+    # kernel captured 406 in round 1.  Now: estimate the marginal once,
+    # then size the pairs so each slope spans >= ~1.5 s of device time,
+    # and take the MEDIAN of the valid samples (robust to one contended
+    # or one lucky window).
+    if on_tpu:
+        c1, c2 = 64, 512
+        t_lo, compile_s = _run_loop(c1, body_fn, ev, fl)
+        t_hi, _ = _run_loop(c2, body_fn, ev, fl)
+        est = max((t_hi - t_lo) / (c2 - c1), 1e-6)  # s/iter, rough
+        target_signal = 1.5  # seconds of device time per slope
+        di = int(min(max(np.ceil(target_signal / est), 512), 200_000))
+        i1, i2 = di // 4, di // 4 + di
+        n_samples = 5
+    else:
+        i1, i2 = 2, 6
+        t_lo, compile_s = _run_loop(i1, body_fn, ev, fl)
+        n_samples = 1
     slopes = []
-    t_lo, compile_s = _run_loop(pairs[0][0], body_fn, ev, fl)
-    t_hi, _ = _run_loop(pairs[0][1], body_fn, ev, fl)
-    slopes.append((t_hi - t_lo) / (pairs[0][1] - pairs[0][0]))
-    it1 = pairs[0][0]
-    for si, (i1, i2) in enumerate(pairs[1:]):
+    for si in range(n_samples):
         # vary the flow per sample: repeated identical (program, inputs)
         # executions can be memoized by the relay and return in ~fixed
         # latency, which would fake tiny positive slopes
@@ -154,7 +163,9 @@ def main():
             (valid[len(valid) // 2 - 1] + valid[len(valid) // 2]) / 2
         )
     else:
-        marginal = max(t_hi / pairs[0][1], 1e-9)
+        marginal = max(t_hi2 / i2, 1e-9)
+    it1 = i1
+    t_lo = t_lo2
     meps = batch * n_events / marginal / 1e6
 
     print(

@@ -49,11 +49,16 @@ class EcdDataLoader(DataLoaderBase):
         return float(self.left_ts[min(index, len(self.left_ts) - 1)])
 
     def time_to_index(self, time: float) -> int:
-        return int(np.searchsorted(self.left_ts, time)) - 1
+        # searchsorted-1 (MVSEC parity, ref mvsec.py:220-226), clamped at 0:
+        # the FWL eval clock starts exactly at the first event's timestamp
+        return max(int(np.searchsorted(self.left_ts, time)) - 1, 0)
 
     def eval_frame_time_list(self):
-        # fixed-rate clock over the sequence
-        return np.linspace(self.left_ts[0], self.left_ts[-1], 200)
+        """Fixed-rate evaluation clock over the sequence (ECD has no GT
+        frame timestamps to anchor on): ``data.eval_n_frames`` windows
+        (default 200)."""
+        n = int(self.config.get("eval_n_frames", 200))
+        return np.linspace(self.left_ts[0], self.left_ts[-1], n)
 
     def load_calib(self) -> dict:
         path = self.dataset_files["calib"]

@@ -1,12 +1,23 @@
 """Synthetic sequence loader: dataset-free end-to-end runs and tests.
 
 Generates a deterministic event stream from a moving sparse-edge scene
-with piecewise-constant (per-quadrant) optical flow, and provides exact
-GT displacement — exercising the full DataLoaderBase contract
+with exact GT displacement — exercising the full DataLoaderBase contract
 (load_event / load_optical_flow / time_to_index / eval_frame_time_list)
 without any files on disk.  No reference counterpart (the reference
 requires a downloaded MVSEC hdf5); this makes the eval pipeline
 self-contained.
+
+Scene families (``data.scene``, used by the accuracy parity study —
+tools/parity_study.py):
+  * ``quadrants`` (default): piecewise-constant per-quadrant flow
+  * ``disc``: two halves with opposite translations (sharp discontinuity)
+  * ``rot``: rigid rotation about the image center, rate ``omega`` rad/s
+    (dense flow varies linearly with radius; closed-form advection)
+  * ``zoom``: exponential expansion ``zoom_rate`` 1/s about the center
+``noise_fraction`` mixes in uniform random (scene-independent) events;
+``event_rate`` controls density.  GT displacement is the exact particle
+displacement of each pixel over the window (not velocity x dt), so the
+AEE floor reflects only the estimator, not the scene model.
 """
 
 import logging
@@ -33,6 +44,10 @@ class SyntheticDataLoader(DataLoaderBase):
         self.flow_max = float(config.get("flow_max", 15.0))
         self.n_frames = int(config.get("n_frames", 20))
         self.seed = int(config.get("seed", 7))
+        self.scene = str(config.get("scene", "quadrants"))
+        self.omega = float(config.get("omega", 0.2))  # rad/s (scene: rot)
+        self.zoom_rate = float(config.get("zoom_rate", 0.15))  # 1/s (scene: zoom)
+        self.noise_fraction = float(config.get("noise_fraction", 0.0))
 
     def set_sequence(self, sequence_name: str, undistort: bool = False) -> None:
         self.sequence_name = sequence_name
@@ -45,16 +60,46 @@ class SyntheticDataLoader(DataLoaderBase):
 
         # per-quadrant constant flow field (px/s), pattern velocity = flow
         self.flow_quadrants = rng.uniform(-self.flow_max, self.flow_max, (2, 2, 2))
+        self.center = ((H - 1) / 2.0, (W - 1) / 2.0)
         t = np.sort(rng.uniform(0, self.duration, n))
         # sparse edge scene: positions snapped to a jittered lattice
         x0 = np.round(rng.uniform(2, H - 2, n) / 6) * 6 + rng.normal(0, 0.3, n)
         y0 = np.round(rng.uniform(2, W - 2, n) / 8) * 8 + rng.normal(0, 0.3, n)
-        qx = (x0 > H / 2).astype(int)
-        qy = (y0 > W / 2).astype(int)
-        u = self.flow_quadrants[qx, qy, 0]
-        v = self.flow_quadrants[qx, qy, 1]
-        x = x0 + t * u
-        y = y0 + t * v
+        if self.scene == "quadrants":
+            qx = (x0 > H / 2).astype(int)
+            qy = (y0 > W / 2).astype(int)
+            u = self.flow_quadrants[qx, qy, 0]
+            v = self.flow_quadrants[qx, qy, 1]
+            x = x0 + t * u
+            y = y0 + t * v
+        elif self.scene == "disc":
+            # two halves (by width) with opposite translations: the sharp
+            # discontinuity scene of the time-aware study
+            sign = np.where(y0 > W / 2, 1.0, -1.0)
+            x = x0 + t * sign * self.flow_max
+            y = y0 + t * sign * (-0.7 * self.flow_max)
+        elif self.scene == "rot":
+            # rigid rotation about the center: pos(t) = c + R(w t)(p0 - c)
+            cx, cy = self.center
+            ang = self.omega * t
+            ca, sa = np.cos(ang), np.sin(ang)
+            rx, ry = x0 - cx, y0 - cy
+            x = cx + ca * rx - sa * ry
+            y = cy + sa * rx + ca * ry
+        elif self.scene == "zoom":
+            # exponential expansion: pos(t) = c + exp(s t)(p0 - c)
+            cx, cy = self.center
+            g = np.exp(self.zoom_rate * t)
+            x = cx + g * (x0 - cx)
+            y = cy + g * (y0 - cy)
+        else:
+            raise NotImplementedError(f"synthetic scene {self.scene!r} not implemented")
+        if self.noise_fraction > 0:
+            # scene-independent clutter: a random subset becomes uniform
+            # spatial noise (timestamps kept, so rates stay comparable)
+            noisy = rng.random(n) < self.noise_fraction
+            x = np.where(noisy, rng.uniform(0, H - 1, n), x)
+            y = np.where(noisy, rng.uniform(0, W - 1, n), y)
         ok = (x >= 0) & (x < H - 1) & (y >= 0) & (y < W - 1)
         ev = np.stack([np.round(x), np.round(y), t, rng.integers(0, 2, n)], axis=1)[ok]
         self.events = ev[np.argsort(ev[:, 2], kind="stable")]
@@ -83,17 +128,46 @@ class SyntheticDataLoader(DataLoaderBase):
         return self.gray_ts
 
     def load_optical_flow(self, t1: float, t2: float) -> np.ndarray:
-        """Exact GT displacement over [t1, t2]: [H, W, 2] (height, width)."""
+        """Exact GT displacement over [t1, t2]: [H, W, 2] (height, width).
+
+        For rot/zoom this is the closed-form particle displacement of the
+        pixel's current occupant (the velocity fields are time-invariant
+        in space, so it is exact, not velocity x dt)."""
         H, W = self._HEIGHT, self._WIDTH
         dt = t2 - t1
         flow = np.zeros((H, W, 2))
-        for qx in (0, 1):
-            for qy in (0, 1):
-                sx = slice(0, H // 2) if qx == 0 else slice(H // 2, H)
-                sy = slice(0, W // 2) if qy == 0 else slice(W // 2, W)
-                flow[sx, sy, 0] = self.flow_quadrants[qx, qy, 0] * dt
-                flow[sx, sy, 1] = self.flow_quadrants[qx, qy, 1] * dt
-        return flow
+        if self.scene == "quadrants":
+            for qx in (0, 1):
+                for qy in (0, 1):
+                    sx = slice(0, H // 2) if qx == 0 else slice(H // 2, H)
+                    sy = slice(0, W // 2) if qy == 0 else slice(W // 2, W)
+                    flow[sx, sy, 0] = self.flow_quadrants[qx, qy, 0] * dt
+                    flow[sx, sy, 1] = self.flow_quadrants[qx, qy, 1] * dt
+            return flow
+        if self.scene == "disc":
+            half = W // 2
+            flow[:, half:, 0] = self.flow_max * dt
+            flow[:, half:, 1] = -0.7 * self.flow_max * dt
+            flow[:, :half, 0] = -self.flow_max * dt
+            flow[:, :half, 1] = 0.7 * self.flow_max * dt
+            return flow
+        cx, cy = self.center
+        rx, ry = np.meshgrid(
+            np.arange(H, dtype=np.float64) - cx,
+            np.arange(W, dtype=np.float64) - cy,
+            indexing="ij",
+        )
+        if self.scene == "rot":
+            ca, sa = np.cos(self.omega * dt), np.sin(self.omega * dt)
+            flow[:, :, 0] = ca * rx - sa * ry - rx
+            flow[:, :, 1] = sa * rx + ca * ry - ry
+            return flow
+        if self.scene == "zoom":
+            g = np.exp(self.zoom_rate * dt) - 1.0
+            flow[:, :, 0] = g * rx
+            flow[:, :, 1] = g * ry
+            return flow
+        raise NotImplementedError(f"synthetic scene {self.scene!r} not implemented")
 
     def load_calib(self) -> dict:
         return {}

@@ -162,7 +162,6 @@ def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin:
     gradients are combined with ``pmean`` over ICI.  Per-step results are
     bitwise-independent of the sharding (equal shard sizes => pmean of
     shard means == global mean); verified in tests on an 8-device mesh."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     loss_fn = make_loss_fn(model, image_size, n_bin, multi_scale)
@@ -175,12 +174,12 @@ def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    step = shard_map(
+    step = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), P("data"), P("data")),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step), loss_fn
 

@@ -284,7 +284,13 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None
     the contraction shrinks wp -> 128, ~3x fewer gather FLOPs.
 
     Returns (u, v, a_band, b_loc) — b_loc is the column one-hot actually
-    used, for reuse in the backward scatter."""
+    used, for reuse in the backward scatter.
+
+    The u and v channel slices are stacked along the sublane (M) axis so
+    each gather contraction runs at M = 2*BAND = 128 — a full MXU pass —
+    instead of two half-occupancy M=64 dots per precision part (measured
+    on the 1-warp+vote bench shape; bit-identical results: every output
+    element is the same product-sum as in the per-channel form)."""
     dtype = x.dtype
     x_local = x - x_base.astype(dtype)
     a_band = _onehot_int(x_local, BAND)
@@ -296,28 +302,27 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None
         b_loc = _onehot_int(y - col0.astype(dtype), COLBAND)
         flow_u = flow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
         flow_v = flow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
-    b_int = b_loc
+    fuv = jnp.concatenate([flow_u, flow_v], axis=0)  # [2*BAND, win]
 
-    def gather_ch(f):
-        if use_bf16:
-            b16 = b_int.astype(jnp.bfloat16)
-            hi = f.astype(jnp.bfloat16)
-            lo = (f - hi.astype(dtype)).astype(jnp.bfloat16)
-            p = jax.lax.dot_general(
-                hi, b16, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-            ) + jax.lax.dot_general(
-                lo, b16, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-            )
-        else:
-            p = jax.lax.dot_general(
-                f, b_int, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST,
-            )
-        return jnp.sum(a_band * p, axis=0, keepdims=True)
-
-    return gather_ch(flow_u), gather_ch(flow_v), a_band, b_loc
+    if use_bf16:
+        b16 = b_loc.astype(jnp.bfloat16)
+        hi = fuv.astype(jnp.bfloat16)
+        lo = (fuv - hi.astype(dtype)).astype(jnp.bfloat16)
+        p = jax.lax.dot_general(
+            hi, b16, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        ) + jax.lax.dot_general(
+            lo, b16, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+    else:
+        p = jax.lax.dot_general(
+            fuv, b_loc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST,
+        )
+    u = jnp.sum(a_band * p[:BAND], axis=0, keepdims=True)
+    v = jnp.sum(a_band * p[BAND:], axis=0, keepdims=True)
+    return u, v, a_band, b_loc
 
 
 def _window_start(x_base, hp, row_window):
@@ -542,20 +547,16 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
             jnp.all(ok), lambda: accumulate(True), lambda: accumulate(False)
         )
 
+    # u/v stacked along sublanes: ONE M=128 scatter dot instead of two
+    # M=64 dots (same products, bit-identical; see _banded_gather_uv)
+    duv = jnp.concatenate([a_band * du, a_band * dv], axis=0)  # [2*BAND, C]
+    scat = _dot(duv, b_loc, ((1,), (1,)), use_bf16, dtype)  # [2*BAND, win]
     if col_bands is None:
-        dflow_ref[0, pl.ds(band_row0, BAND), :] += _dot(
-            a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
-        )
-        dflow_ref[1, pl.ds(band_row0, BAND), :] += _dot(
-            a_band * dv, b_loc, ((1,), (1,)), use_bf16, dtype
-        )
+        dflow_ref[0, pl.ds(band_row0, BAND), :] += scat[:BAND]
+        dflow_ref[1, pl.ds(band_row0, BAND), :] += scat[BAND:]
     else:
-        dflow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += _dot(
-            a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
-        )
-        dflow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += _dot(
-            a_band * dv, b_loc, ((1,), (1,)), use_bf16, dtype
-        )
+        dflow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += scat[:BAND]
+        dflow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += scat[BAND:]
 
 
 def _interpret() -> bool:

@@ -167,91 +167,14 @@ def build_objective_banded_sharded(spec, mesh: Mesh):
     fn(motion, x, y, dtf, wt, bands, t_scale) -> (loss, components); the
     chunk arrays must have their chunk axis divisible by the event-axis
     size (see pad_chunks_for_sharding).
+
+    Thin delegate to ``solver.objective.build_objective_banded(mesh=...)``
+    — the same code path the CLI solvers use when a ``parallel:`` config
+    block is present, so this function and the product stay in lockstep.
     """
-    from ..ops.pallas_objective_banded import (
-        fused_multi_iwe_banded,
-        fused_multi_iwe_banded_voxel,
-        objective_col_window,
-        objective_dense_col_bands,
-        objective_row_window,
-    )
-    from ..solver.objective import make_cost, motion_to_dense_flow
+    from ..solver.objective import build_objective_banded
 
-    from .. import config as evconfig
-
-    cost = make_cost(spec)
-    required = set(cost.required_keys)
-    assert spec.outer_padding == 0
-    directions = []
-    if required & {"iwe", "backward_iwe"}:
-        directions.append(("backward", 0.0))
-    if "forward_iwe" in required:
-        directions.append(("forward", 1.0))
-    if "middle_iwe" in required:
-        directions.append(("middle", 0.5))
-    need_orig = "orig_iwe" in required
-    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
-    use_bf16 = backend_raw in ("auto", "pallas_bf16")
-    offs = tuple(d for _, d in directions)
-
-    def body(motion, t_scale, x, y, dtf, wt, bands):
-        flow = motion_to_dense_flow(spec, motion, t_scale) * t_scale
-        if spec.time_aware:
-            imgs = fused_multi_iwe_banded_voxel(
-                flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig, 1e-6, use_bf16,
-                objective_row_window(spec.image_shape[0]),
-            )
-        else:
-            # dense chunks come from pack_events_dense (policy switch)
-            imgs = fused_multi_iwe_banded(
-                flow, x, y, dtf, wt, bands, spec.image_shape, offs, need_orig,
-                1e-6, use_bf16, objective_dense_col_bands(spec.image_shape[1]),
-                objective_row_window(spec.image_shape[0]),
-                objective_col_window(*spec.image_shape),
-            )
-        imgs = jax.lax.psum(imgs, "event")
-        if spec.blur_sigma > 0:
-            imgs = gaussian_blur3(imgs, spec.blur_sigma)
-        arg = {"omit_boundary": True, "clip": True}
-        k = 0
-        if need_orig:
-            arg["orig_iwe"] = imgs[0]
-            k = 1
-        for name, _ in directions:
-            if name == "backward":
-                arg.update({"iwe": imgs[k], "backward_iwe": imgs[k]})
-            else:
-                arg[f"{name}_iwe"] = imgs[k]
-            k += 1
-        if "flow" in required:
-            arg["flow"] = motion.reshape((2,) + tuple(spec.patch_image_size))
-        from .. import costs as costs_mod
-
-        if isinstance(cost, costs_mod.HybridCost):
-            loss, components = cost.calculate_with_components(arg)
-        else:
-            loss = cost.calculate(arg)
-            components = {cost.name: loss}
-        return nan_to_penalty(loss), components
-
-    chunk_spec = (
-        P(None, "event", None, None) if spec.time_aware else P("event", None, None)
-    )
-    band_spec = P(None, "event") if spec.time_aware else P("event")
-    # pallas_call does not annotate varying-mesh-axes metadata: disable the
-    # vma (replication) check, correctness is covered by the parity tests
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(), chunk_spec, chunk_spec, chunk_spec, chunk_spec, band_spec),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-
-    def objective(motion, x, y, dtf, wt, bands, t_scale):
-        return sharded(motion, t_scale, x, y, dtf, wt, bands)
-
-    return objective
+    return build_objective_banded(spec, mesh=mesh)
 
 
 def build_fleet_step(

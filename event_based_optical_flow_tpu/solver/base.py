@@ -88,7 +88,6 @@ class SolverBase:
     ):
         self.image_shape = tuple(image_shape)
         self.padding = int(solver_config.get("outer_padding", 0))
-        self.pad_image_shape = (image_shape[0] + self.padding, image_shape[1] + self.padding)
         self.calib_param = calibration_parameter
         self.opt_config = optimizer_config
         self.opt_method = optimizer_config["method"]
@@ -100,6 +99,7 @@ class SolverBase:
         self.precision = str(solver_config.get("precision", "32"))
         self.dtype = jnp.float64 if self.precision == "64" else jnp.float32
         self.iwe_backend = solver_config.get("iwe_backend", None)
+        self._setup_parallel(solver_config.get("parallel") or {})
 
         self.setup_cost_func()
 
@@ -122,6 +122,35 @@ class SolverBase:
         logger.info(f"Solver config: {solver_config}; optimizer: {optimizer_config}")
 
     # --- configuration -----------------------------------------------------
+    def _setup_parallel(self, parallel_config: dict):
+        """Build the ("data", "event") device mesh from the ``parallel:``
+        config block (no reference counterpart — the reference is strictly
+        single-device, SURVEY §2.10).  ``event: M`` shards each frame's
+        packed event chunks over M devices inside the fused objective
+        (partial IWEs psum-combined over ICI); ``data: N`` is the frame
+        axis used by fleet/batched paths.  With no block (or 1x1) the
+        solver stays single-device and no mesh is created."""
+        self.parallel_config = parallel_config
+        self.mesh = None
+        self.n_event_shards = 1
+        if not parallel_config:
+            return
+        data = int(parallel_config.get("data", 1))
+        event = int(parallel_config.get("event", 1))
+        if data * event <= 1:
+            return
+        n_avail = len(jax.devices())
+        if data * event > n_avail:
+            raise ValueError(
+                f"config 'parallel' asks for data={data} x event={event} = "
+                f"{data * event} devices but only {n_avail} are visible"
+            )
+        from ..parallel.sharded import make_mesh
+
+        self.mesh = make_mesh(data * event, data=data, event=event)
+        self.n_event_shards = event
+        logger.info(f"Parallel mesh: data={data}, event={event} over {data * event} devices")
+
     def setup_cost_func(self):
         if self.slv_config["cost"] == "hybrid":
             self.cost_weight = self.slv_config["cost_with_weight"]

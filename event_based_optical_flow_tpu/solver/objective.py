@@ -283,7 +283,44 @@ def build_objective(spec: ObjectiveSpec):
     return objective
 
 
-def build_orig_iwe_banded(spec: ObjectiveSpec):
+def _chunk_specs(time_aware: bool):
+    """shard_map PartitionSpecs for the packed chunk arrays: the chunk axis
+    ([G, 1, C] dense / [T, G, 1, C] voxel; bands [G] / [T, G]) shards over
+    the mesh's "event" axis."""
+    from jax.sharding import PartitionSpec as P
+
+    chunk = P(None, "event", None, None) if time_aware else P("event", None, None)
+    band = P(None, "event") if time_aware else P("event")
+    return chunk, band
+
+
+def _shard_kernel_over_events(kernel_images, mesh, time_aware: bool):
+    """Wrap ``kernel_images(flow, x, y, dtf, wt, bands) -> imgs`` so the
+    packed chunks shard over the mesh's "event" axis: every device
+    rasterizes a partial IWE stack with the fused kernel and the stacks
+    combine with ``psum`` — bilinear voting is an associative sum, so the
+    result equals the single-device kernel exactly (fp32 summation order
+    aside).  The flow is replicated; gradients transpose through the psum
+    and come out replicated too."""
+    from jax.sharding import PartitionSpec as P
+
+    chunk_spec, band_spec = _chunk_specs(time_aware)
+
+    def body(flow, x, y, dtf, wt, bands):
+        return jax.lax.psum(kernel_images(flow, x, y, dtf, wt, bands), "event")
+
+    # pallas_call does not annotate varying-mesh-axes metadata: disable the
+    # vma (replication) check; correctness is covered by the parity tests
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), chunk_spec, chunk_spec, chunk_spec, chunk_spec, band_spec),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+def build_orig_iwe_banded(spec: ObjectiveSpec, mesh=None):
     """Motion-independent (blurred) original IWE from pre-packed banded
     chunks: fn(x, y, dtf, wt, bands, *rest) -> [H, W].
 
@@ -291,7 +328,8 @@ def build_orig_iwe_banded(spec: ObjectiveSpec):
     the candidate motion; hoisting it out of the Newton loop (computed
     once per solve inside the same jitted program) removes ~25% of the
     forward vote FLOPs from every objective/line-search evaluation (see
-    build_objective_banded(precomputed_orig=True))."""
+    build_objective_banded(precomputed_orig=True)).  With ``mesh`` the
+    chunks shard over the "event" axis (psum-combined partial votes)."""
     from .. import config as evconfig
     from ..ops.blur import gaussian_blur3
     from ..ops.pallas_objective_banded import (
@@ -305,21 +343,31 @@ def build_orig_iwe_banded(spec: ObjectiveSpec):
     use_bf16 = backend_raw in ("auto", "pallas_bf16")
     h, w = spec.image_shape
 
-    def orig_fn(x, y, dtf, wt, bands, *_rest):
+    def kernel_images(_flow, x, y, dtf, wt, bands):
         if spec.time_aware:
             t_bins = x.shape[0]
             zeros = jnp.zeros((t_bins, 2, h, w), x.dtype)
-            imgs = fused_multi_iwe_banded_voxel(
+            return fused_multi_iwe_banded_voxel(
                 zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
                 1e-6, use_bf16, objective_row_window(h),
             )
-        else:
-            zeros = jnp.zeros((2, h, w), x.dtype)
-            imgs = fused_multi_iwe_banded(
-                zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
-                1e-6, use_bf16, objective_dense_col_bands(w),
-                objective_row_window(h), None,
-            )
+        zeros = jnp.zeros((2, h, w), x.dtype)
+        return fused_multi_iwe_banded(
+            zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
+            1e-6, use_bf16, objective_dense_col_bands(w),
+            objective_row_window(h), None,
+        )
+
+    images = (
+        _shard_kernel_over_events(kernel_images, mesh, spec.time_aware)
+        if mesh is not None
+        else kernel_images
+    )
+
+    def orig_fn(x, y, dtf, wt, bands, *_rest):
+        # the flow operand is unused for the orig-only call; a scalar
+        # placeholder keeps the shard_map signature uniform
+        imgs = images(jnp.zeros((), x.dtype), x, y, dtf, wt, bands)
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
         return jax.lax.stop_gradient(imgs[0])
@@ -327,7 +375,7 @@ def build_orig_iwe_banded(spec: ObjectiveSpec):
     return orig_fn
 
 
-def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False):
+def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, mesh=None):
     """Banded-kernel variant: fn(motion, x, y, dtf, wt, bands, t_scale)
     -> (loss, components), over chunks pre-packed host-side with
     ops.pallas_objective_banded.pack_events_by_band.  Semantically equal
@@ -340,7 +388,14 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False):
     With ``precomputed_orig`` the signature gains a leading
     ``orig_blurred`` array (from build_orig_iwe_banded) after ``motion``
     and the kernel skips the orig vote entirely — the caller hoists the
-    motion-independent image out of its optimization loop."""
+    motion-independent image out of its optimization loop.
+
+    With ``mesh`` (a jax Mesh with an "event" axis) the packed chunks
+    shard over "event": each device rasterizes a partial IWE stack and
+    the stacks psum-combine (bilinear voting is associative), so the
+    loss/gradient equal the single-device kernel; the chunk axis must be
+    divisible by the event-axis size (parallel.sharded.
+    pad_chunks_for_sharding) and the blur + scalar cost run replicated."""
     from .. import config as evconfig
     from ..ops.blur import gaussian_blur3
     from ..ops.pallas_objective_banded import (
@@ -369,24 +424,32 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False):
 
     kernel_orig = need_orig and not precomputed_orig
 
+    def kernel_images(flow, x, y, dtf, wt, bands):
+        if spec.time_aware:
+            return fused_multi_iwe_banded_voxel(
+                flow, x, y, dtf, wt, bands, spec.image_shape,
+                tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
+                objective_row_window(spec.image_shape[0]),
+            )
+        # dense chunks come from pack_events_dense (policy switch:
+        # OBJECTIVE_DENSE_PACKING) — the flag here matches by design
+        return fused_multi_iwe_banded(
+            flow, x, y, dtf, wt, bands, spec.image_shape,
+            tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
+            objective_dense_col_bands(spec.image_shape[1]),
+            objective_row_window(spec.image_shape[0]),
+            objective_col_window(*spec.image_shape),
+        )
+
+    images = (
+        _shard_kernel_over_events(kernel_images, mesh, spec.time_aware)
+        if mesh is not None
+        else kernel_images
+    )
+
     def _objective_body(motion_flat, orig_blurred, x, y, dtf, wt, bands, t_scale):
         flow = motion_to_dense_flow(spec, motion_flat, t_scale) * t_scale
-        if spec.time_aware:
-            imgs = fused_multi_iwe_banded_voxel(
-                flow, x, y, dtf, wt, bands, spec.image_shape,
-                tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
-                objective_row_window(spec.image_shape[0]),
-            )
-        else:
-            # dense chunks come from pack_events_dense (policy switch:
-            # OBJECTIVE_DENSE_PACKING) — the flag here matches by design
-            imgs = fused_multi_iwe_banded(
-                flow, x, y, dtf, wt, bands, spec.image_shape,
-                tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
-                objective_dense_col_bands(spec.image_shape[1]),
-                objective_row_window(spec.image_shape[0]),
-                objective_col_window(*spec.image_shape),
-            )
+        imgs = images(flow, x, y, dtf, wt, bands)
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
         arg = {"omit_boundary": True, "clip": True}

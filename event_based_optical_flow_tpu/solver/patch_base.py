@@ -178,7 +178,10 @@ class PatchContrastMaximization(SolverBase):
 
     def _pack_banded(self, events_np: np.ndarray):
         """Per-frame host packing for the banded kernel (cached per frame
-        via the caller); returns device args + scalar t_scale."""
+        via the caller); returns device args + scalar t_scale.  On a mesh,
+        the chunk axis is padded to a multiple of the event-shard count
+        (extra chunks are inert) and the arrays are placed pre-sharded so
+        the solve's shard_map starts without a reshard collective."""
         from ..ops.pallas_objective_banded import (
             pack_events_by_band_bin,
             pack_events_dense,
@@ -192,21 +195,37 @@ class PatchContrastMaximization(SolverBase):
         span = (t_max - t_min) or 1.0
         dtf = (t - t_min) / span
         if self.is_time_aware:
-            x2, y2, d2, w2, bands = pack_events_by_band_bin(
+            packed = pack_events_by_band_bin(
                 padded, wgt, dtf, self.image_shape[0], getattr(self, "time_bin", 10)
             )
         else:
-            x2, y2, d2, w2, bands = pack_events_dense(
+            packed = pack_events_dense(
                 padded, wgt, dtf, self.image_shape[0], self.image_shape[1]
             )
-        return (
-            jnp.asarray(x2, self.dtype),
-            jnp.asarray(y2, self.dtype),
-            jnp.asarray(d2, self.dtype),
-            jnp.asarray(w2, self.dtype),
-            jnp.asarray(bands),
-            jnp.asarray(t_max - t_min, self.dtype),
-        )
+        if self.mesh is not None and self.n_event_shards > 1:
+            from jax.sharding import NamedSharding
+
+            from ..parallel.sharded import pad_chunks_for_sharding
+            from .objective import _chunk_specs
+
+            packed = pad_chunks_for_sharding(packed, self.n_event_shards)
+            chunk_spec, band_spec = _chunk_specs(self.is_time_aware)
+            specs = (chunk_spec,) * 4 + (band_spec,)
+            x2, y2, d2, w2, bands = (
+                jax.device_put(
+                    jnp.asarray(a, self.dtype if a.dtype.kind == "f" else None),
+                    NamedSharding(self.mesh, s),
+                )
+                for a, s in zip(packed, specs)
+            )
+        else:
+            x2, y2, d2, w2, bands = packed
+            x2 = jnp.asarray(x2, self.dtype)
+            y2 = jnp.asarray(y2, self.dtype)
+            d2 = jnp.asarray(d2, self.dtype)
+            w2 = jnp.asarray(w2, self.dtype)
+            bands = jnp.asarray(bands)
+        return (x2, y2, d2, w2, bands, jnp.asarray(t_max - t_min, self.dtype))
 
     def _build_newton(self, spec, maxiter: int, gtol: float):
         """Newton-CG solve fn(x0, *banded_or_event_args).  On the banded
@@ -218,11 +237,20 @@ class PatchContrastMaximization(SolverBase):
 
         orig_fn = None
         if self._uses_banded(spec):
+            mesh = self.mesh if self.n_event_shards > 1 else None
             hoist = "orig_iwe" in make_cost(spec).required_keys
-            obj = build_objective_banded(spec, precomputed_orig=hoist)
+            obj = build_objective_banded(spec, precomputed_orig=hoist, mesh=mesh)
             if hoist:
-                orig_fn = build_orig_iwe_banded(spec)
+                orig_fn = build_orig_iwe_banded(spec, mesh=mesh)
         else:
+            if self.mesh is not None and not getattr(self, "_warned_mesh_unused", False):
+                logger.warning(
+                    "a 'parallel' mesh is configured but the objective does "
+                    "not route through the fused banded kernel (backend "
+                    f"{spec.iwe_backend or 'auto'}, time_aware={spec.time_aware}); "
+                    "the solve runs single-device"
+                )
+                self._warned_mesh_unused = True
             obj = build_objective(spec)
         value_fn = lambda x, *a: obj(x, *a)[0]
         solve_inner = build_newton_cg(

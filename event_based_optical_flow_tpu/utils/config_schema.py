@@ -44,15 +44,19 @@ _KNOWN_DATA_KEYS = {
     "eval_dt", "root", "dataset", "sequence", "height", "width", "load_gt_flow",
     "gt", "n_events_per_batch", "ind1", "ind2", "remove_car", "undistort",
     "preprocess", "warm_start", "fleet_batch", "visualize_every",
+    # GT-free (FWL-only) evaluation clock (ECD)
+    "eval_n_frames",
     # synthetic loader extras
-    "duration", "event_rate", "n_frames",
+    "duration", "event_rate", "n_frames", "flow_max", "seed",
+    "scene", "omega", "zoom_rate", "noise_fraction",
 }
 _KNOWN_SOLVER_KEYS = {
     "method", "time_aware", "time_bin", "flow_interpolation", "t0_flow_location",
     "scale_later", "patch", "motion_model", "warp_direction", "parameters",
     "cost", "cost_with_weight", "outer_padding", "iwe", "max_scale",
-    "precision", "iwe_backend", "seed",
+    "precision", "iwe_backend", "seed", "parallel",
 }
+_KNOWN_PARALLEL_KEYS = {"data", "event"}
 _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
     "chain",
@@ -132,6 +136,23 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     for key in slv:
         if key not in _KNOWN_SOLVER_KEYS:
             warnings.append(f"unknown config key 'solver.{key}' (ignored?)")
+
+    # top-level parallel: {data: N, event: M} — device-mesh axes (new
+    # capability; the reference is single-device).  main.py forwards it to
+    # the solver as solver_config["parallel"].
+    par = config.get("parallel")
+    if par is not None:
+        if not isinstance(par, dict):
+            raise ConfigError(f"config key 'parallel' must be a dict, got {type(par).__name__}")
+        for axis in ("data", "event"):
+            v = par.get(axis, 1)
+            if not isinstance(v, int) or v < 1:
+                raise ConfigError(
+                    f"config key 'parallel.{axis}' must be a positive int, got {v!r}"
+                )
+        for key in par:
+            if key not in _KNOWN_PARALLEL_KEYS:
+                warnings.append(f"unknown config key 'parallel.{key}' (ignored?)")
 
     opt = config["optimizer"]
     known_methods = set(SCIPY_OPTIMIZERS) | set(TORCH_OPTIMIZERS) | {"optuna"}

@@ -150,13 +150,15 @@ class Visualizer:
         flows[np.isinf(flows)] = 0
         flows[np.isnan(flows)] = 0
         mag = np.linalg.norm(flows, axis=2) ** ord
-        ang = (np.arctan2(flow_y, flow_x) + np.pi) * 180.0 / np.pi / 2.0
+        # angle from the sanitized components: NaN/inf inputs land at hue 0
+        # instead of tripping an invalid-value uint8 cast
+        ang = (np.arctan2(flows[:, :, 1], flows[:, :, 0]) + np.pi) * 180.0 / np.pi / 2.0
         hsv = np.zeros(flow_x.shape + (3,), dtype=np.uint8)
         hsv[:, :, 0] = ang.astype(np.uint8)
         hsv[:, :, 1] = 255
         if max_magnitude is None:
             max_magnitude = mag.max()
-        hsv[:, :, 2] = (255 * mag / (max_magnitude + 1e-12)).astype(np.uint8)
+        hsv[:, :, 2] = np.clip(255 * mag / (max_magnitude + 1e-12), 0, 255).astype(np.uint8)
         flow_rgb = _hsv_to_rgb_uint8(hsv)
 
         n = flow_x.shape[0]

@@ -65,7 +65,7 @@ def _gather_frame(loader, data_config, t1, t2):
     ind1 = loader.time_to_index(t1)
     ind2 = loader.time_to_index(t2)
     batch_for_gt_slice = loader.load_event(ind1, ind2)
-    gt_flow = loader.load_optical_flow(t1, t2)
+    gt_flow = loader.load_optical_flow(t1, t2) if loader.gt_flow_available else None
     batch_for_gt_slice[..., 2] -= np.min(batch_for_gt_slice[..., 2])
     if ind2 - ind1 < n_events:
         insufficient = n_events - (ind2 - ind1)
@@ -113,6 +113,45 @@ def evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch: int)
         ckpt.save_eval_state(
             out_dir, chunk[-1] + 1, motions[-1] if batch_warm else None
         )
+
+
+def evaluate_dataset_fwl_only(eval_frame_time_stamp_list, data_config, loader, solv):
+    """GT-free evaluation (e.g. ECD: no dense flow GT exists): per window,
+    optimize and report PRED_FWL (Var(IWE_orig)/Var(IWE_warped) of the
+    predicted flow; < 1 is better) — the protocol the reference defines
+    (calculate_fwl_pred, ref base.py:616-649) but never wires to a
+    GT-free dataset.  Window renormalization, warm start, checkpoint and
+    text/JSONL outputs match the GT loop."""
+    eval_dt = data_config["eval_dt"]
+    warm_start = data_config.get("warm_start", True)
+    out_dir = solv.visualizer.save_dir if solv.visualizer else "."
+    start_frame, warm_motion = ckpt.load_eval_state(out_dir)
+    if warm_motion is not None and warm_start:
+        solv.set_previous_frame_best_estimation(warm_motion)
+    logger.info(
+        f"FWL-only evaluation (no GT flow), dt={eval_dt}, warm_start={warm_start}, "
+        f"from frame {start_frame}"
+    )
+    for i1 in range(start_frame, len(eval_frame_time_stamp_list) - eval_dt):
+        logger.info(f"Frame {i1} of {len(eval_frame_time_stamp_list)}")
+        t1 = eval_frame_time_stamp_list[i1]
+        t2 = eval_frame_time_stamp_list[i1 + eval_dt]
+        batch_for_optimization, batch_for_metrics, _, flow_time = _gather_frame(
+            loader, data_config, t1, t2
+        )
+        best_motion = solv.profiled_optimize(batch_for_optimization)
+        fwl = solv.calculate_fwl_pred(best_motion, batch_for_metrics, flow_time)
+        if warm_start:
+            solv.set_previous_frame_best_estimation(best_motion)
+        solv.save_flow_error_as_text(i1, fwl, "flow_error_per_frame_with_mask.txt")
+        ckpt.append_frame_metrics(out_dir, i1, fwl)
+        ckpt.save_eval_state(out_dir, i1 + 1, best_motion if warm_start else None)
+        viz_every = int(data_config.get("visualize_every", 1))
+        if viz_every and i1 % viz_every == 0:
+            solv.visualize_original_sequential(batch_for_metrics)
+            solv.visualize_pred_sequential(batch_for_metrics, best_motion)
+    if solv.visualizer is not None:
+        solv.visualizer.flush()
 
 
 def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, solv):
@@ -212,6 +251,11 @@ def main():
     loader = data.collections[data_config["dataset"]](config=data_config)
     loader.set_sequence(data_config["sequence"])
 
+    if config.get("parallel"):
+        # forward the top-level parallel block to the solver: it builds a
+        # ("data", "event") mesh and event-shards the fused objective
+        config["solver"]["parallel"] = config["parallel"]
+
     method_name = config["solver"]["method"]
     solv = solver.collections[method_name](
         image_shape,
@@ -229,10 +273,12 @@ def main():
         return
 
     if args.eval:
-        assert loader.gt_flow_available, "evaluation requires GT flow"
         eval_ts = loader.eval_frame_time_list()
         fleet_batch = int(data_config.get("fleet_batch", 1))
-        if fleet_batch > 1 and hasattr(solv, "optimize_batch"):
+        if not loader.gt_flow_available:
+            # GT-free datasets (ECD): FWL-only evaluation protocol
+            evaluate_dataset_fwl_only(eval_ts, data_config, loader, solv)
+        elif fleet_batch > 1 and hasattr(solv, "optimize_batch"):
             assert data_config.get("warm_start", True) in (False, "batch"), (
                 "fleet_batch requires warm_start: false (independent frames) "
                 "or warm_start: batch (chained batches)"

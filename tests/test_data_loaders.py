@@ -102,3 +102,46 @@ def test_dsec_h5_loader(tmp_path):
     assert flow.shape == (480, 640, 2)
     np.testing.assert_allclose(flow[..., 0], -1.0, atol=1e-6)  # height comp
     np.testing.assert_allclose(flow[..., 1], 2.0, atol=1e-6)   # width comp
+
+
+def test_synthetic_scene_families_gt_consistency():
+    """Every synthetic scene family (parity-study substrate) must be
+    self-consistent: warping the events by the exact GT displacement
+    sharpens the IWE (normalized-variance ratio < 1)."""
+    import jax.numpy as jnp
+
+    from event_based_optical_flow_tpu.costs import functional as F
+    from event_based_optical_flow_tpu.ops.iwe import EventImageConverter
+    from event_based_optical_flow_tpu.ops.warp import Warp
+
+    H, W = 60, 80
+    cases = [
+        ("quadrants", {}),
+        ("disc", {"flow_max": 12.0}),
+        ("rot", {"omega": 0.6}),
+        ("zoom", {"zoom_rate": 0.5}),
+        ("quadrants", {"noise_fraction": 0.3}),
+    ]
+    for scene, extra in cases:
+        cfg = {"height": H, "width": W, "duration": 1.0, "event_rate": 60000,
+               "n_frames": 3, "scene": scene}
+        cfg.update(extra)
+        loader = data.collections["synthetic"](config=cfg)
+        loader.set_sequence("s")
+        ts = loader.eval_frame_time_list()
+        i1, i2 = loader.time_to_index(ts[0]), loader.time_to_index(ts[1])
+        ev = loader.load_event(i1, i2)
+        ev[:, 2] -= ev[:, 2].min()
+        gt = loader.load_optical_flow(ts[0], ts[1])
+        assert len(ev) > 1000 and gt.shape == (H, W, 2)
+        imager = EventImageConverter((H, W))
+        warper = Warp((H, W), normalize_t=True)
+        e = jnp.asarray(ev)
+        warped = warper.warp_event(e, jnp.asarray(np.transpose(gt, (2, 0, 1))), "dense-flow")
+        ratio = float(
+            F.normalized_image_variance(
+                imager.create_iwe(warped, sigma=1), imager.create_iwe(e, sigma=1),
+                omit_boundary=False, ddof=0,
+            )
+        )
+        assert 1.0 / ratio < 0.75, (scene, extra, 1.0 / ratio)
