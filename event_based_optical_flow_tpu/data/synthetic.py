@@ -48,6 +48,12 @@ class SyntheticDataLoader(DataLoaderBase):
         self.omega = float(config.get("omega", 0.2))  # rad/s (scene: rot)
         self.zoom_rate = float(config.get("zoom_rate", 0.15))  # 1/s (scene: zoom)
         self.noise_fraction = float(config.get("noise_fraction", 0.0))
+        # "lattice" (default): jittered sparse-edge lattice.  "dots":
+        # persistent random dots — APERIODIC; lattice patterns alias
+        # translations by period/dt, which breaks recovery studies (the
+        # round-1 lesson; use dots for any accuracy measurement)
+        self.pattern = str(config.get("pattern", "lattice"))
+        self.n_dots = int(config.get("n_dots", 1200))
 
     def set_sequence(self, sequence_name: str, undistort: bool = False) -> None:
         self.sequence_name = sequence_name
@@ -62,9 +68,16 @@ class SyntheticDataLoader(DataLoaderBase):
         self.flow_quadrants = rng.uniform(-self.flow_max, self.flow_max, (2, 2, 2))
         self.center = ((H - 1) / 2.0, (W - 1) / 2.0)
         t = np.sort(rng.uniform(0, self.duration, n))
-        # sparse edge scene: positions snapped to a jittered lattice
-        x0 = np.round(rng.uniform(2, H - 2, n) / 6) * 6 + rng.normal(0, 0.3, n)
-        y0 = np.round(rng.uniform(2, W - 2, n) / 8) * 8 + rng.normal(0, 0.3, n)
+        if self.pattern == "dots":
+            dx = rng.uniform(2, H - 2, self.n_dots)
+            dy = rng.uniform(2, W - 2, self.n_dots)
+            idx = rng.integers(0, self.n_dots, n)
+            x0 = dx[idx] + rng.normal(0, 0.2, n)
+            y0 = dy[idx] + rng.normal(0, 0.2, n)
+        else:
+            # sparse edge scene: positions snapped to a jittered lattice
+            x0 = np.round(rng.uniform(2, H - 2, n) / 6) * 6 + rng.normal(0, 0.3, n)
+            y0 = np.round(rng.uniform(2, W - 2, n) / 8) * 8 + rng.normal(0, 0.3, n)
         if self.scene == "quadrants":
             qx = (x0 > H / 2).astype(int)
             qy = (y0 > W / 2).astype(int)

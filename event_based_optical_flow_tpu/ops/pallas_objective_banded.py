@@ -284,13 +284,7 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None
     the contraction shrinks wp -> 128, ~3x fewer gather FLOPs.
 
     Returns (u, v, a_band, b_loc) — b_loc is the column one-hot actually
-    used, for reuse in the backward scatter.
-
-    The u and v channel slices are stacked along the sublane (M) axis so
-    each gather contraction runs at M = 2*BAND = 128 — a full MXU pass —
-    instead of two half-occupancy M=64 dots per precision part (measured
-    on the 1-warp+vote bench shape; bit-identical results: every output
-    element is the same product-sum as in the per-channel form)."""
+    used, for reuse in the backward scatter."""
     dtype = x.dtype
     x_local = x - x_base.astype(dtype)
     a_band = _onehot_int(x_local, BAND)
@@ -302,27 +296,28 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None
         b_loc = _onehot_int(y - col0.astype(dtype), COLBAND)
         flow_u = flow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
         flow_v = flow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
-    fuv = jnp.concatenate([flow_u, flow_v], axis=0)  # [2*BAND, win]
+    b_int = b_loc
 
-    if use_bf16:
-        b16 = b_loc.astype(jnp.bfloat16)
-        hi = fuv.astype(jnp.bfloat16)
-        lo = (fuv - hi.astype(dtype)).astype(jnp.bfloat16)
-        p = jax.lax.dot_general(
-            hi, b16, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-        ) + jax.lax.dot_general(
-            lo, b16, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-        )
-    else:
-        p = jax.lax.dot_general(
-            fuv, b_loc, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST,
-        )
-    u = jnp.sum(a_band * p[:BAND], axis=0, keepdims=True)
-    v = jnp.sum(a_band * p[BAND:], axis=0, keepdims=True)
-    return u, v, a_band, b_loc
+    def gather_ch(f):
+        if use_bf16:
+            b16 = b_int.astype(jnp.bfloat16)
+            hi = f.astype(jnp.bfloat16)
+            lo = (f - hi.astype(dtype)).astype(jnp.bfloat16)
+            p = jax.lax.dot_general(
+                hi, b16, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            ) + jax.lax.dot_general(
+                lo, b16, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )
+        else:
+            p = jax.lax.dot_general(
+                f, b_int, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST,
+            )
+        return jnp.sum(a_band * p, axis=0, keepdims=True)
+
+    return gather_ch(flow_u), gather_ch(flow_v), a_band, b_loc
 
 
 def _window_start(x_base, hp, row_window):
@@ -361,7 +356,7 @@ def _ds_aligned(w0, size):
 def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
                 bands_mod=None, init_axes=None, col_bands=None, row_window=None,
-                col_window=None):
+                col_window=None, chunks_per_step=1):
     assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
     init = i == 0
@@ -373,12 +368,30 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x = x_ref[:]
-    y = y_ref[:]
-    dtf = dtf_ref[:]
-    wt = w_ref[:]
+    # chunks_per_step > 1: the block carries several independent chunks
+    # ([k, C] rows); unrolling them in one grid step gives the instruction
+    # scheduler independent VPU (one-hot/corner builds) and MXU (gather/
+    # vote dots) streams to dual-issue — within a single chunk the
+    # build -> dot chain is serial
+    for j in range(chunks_per_step):
+        _fwd_one_chunk(
+            band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
+            hp=hp, wp=wp, eps=eps, offsets=offsets, include_orig=include_orig,
+            use_bf16=use_bf16, bands_mod=bands_mod, col_bands=col_bands,
+            row_window=row_window, col_window=col_window,
+        )
+
+
+def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j, *,
+                   hp, wp, eps, offsets, include_orig, use_bf16,
+                   bands_mod=None, col_bands=None, row_window=None,
+                   col_window=None):
+    x = x_ref[j : j + 1, :]
+    y = y_ref[j : j + 1, :]
+    dtf = dtf_ref[j : j + 1, :]
+    wt = w_ref[j : j + 1, :]
     dtype = x.dtype
-    band_id = band_ref[0, 0]
+    band_id = band_ref[j, 0]
     if col_bands is None:
         band_row0 = band_id * BAND  # aligned: flow padded to 64-row multiples
         col0 = None
@@ -466,7 +479,8 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
 
 def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
-                bands_mod=None, col_bands=None, row_window=None, col_window=None):
+                bands_mod=None, col_bands=None, row_window=None, col_window=None,
+                chunks_per_step=1):
     assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
 
@@ -474,12 +488,25 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
     def _():
         dflow_ref[:] = jnp.zeros_like(dflow_ref)
 
-    x = x_ref[:]
-    y = y_ref[:]
-    dtf = dtf_ref[:]
-    wt = w_ref[:]
+    for j in range(chunks_per_step):
+        _bwd_one_chunk(
+            band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, j,
+            hp=hp, wp=wp, eps=eps, offsets=offsets, include_orig=include_orig,
+            use_bf16=use_bf16, bands_mod=bands_mod, col_bands=col_bands,
+            row_window=row_window, col_window=col_window,
+        )
+
+
+def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, j, *,
+                   hp, wp, eps, offsets, include_orig, use_bf16,
+                   bands_mod=None, col_bands=None, row_window=None,
+                   col_window=None):
+    x = x_ref[j : j + 1, :]
+    y = y_ref[j : j + 1, :]
+    dtf = dtf_ref[j : j + 1, :]
+    wt = w_ref[j : j + 1, :]
     dtype = x.dtype
-    band_id = band_ref[0, 0]
+    band_id = band_ref[j, 0]
     if col_bands is None:
         band_row0 = band_id * BAND
         col0 = None
@@ -547,16 +574,20 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
             jnp.all(ok), lambda: accumulate(True), lambda: accumulate(False)
         )
 
-    # u/v stacked along sublanes: ONE M=128 scatter dot instead of two
-    # M=64 dots (same products, bit-identical; see _banded_gather_uv)
-    duv = jnp.concatenate([a_band * du, a_band * dv], axis=0)  # [2*BAND, C]
-    scat = _dot(duv, b_loc, ((1,), (1,)), use_bf16, dtype)  # [2*BAND, win]
     if col_bands is None:
-        dflow_ref[0, pl.ds(band_row0, BAND), :] += scat[:BAND]
-        dflow_ref[1, pl.ds(band_row0, BAND), :] += scat[BAND:]
+        dflow_ref[0, pl.ds(band_row0, BAND), :] += _dot(
+            a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+        dflow_ref[1, pl.ds(band_row0, BAND), :] += _dot(
+            a_band * dv, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
     else:
-        dflow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += scat[:BAND]
-        dflow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += scat[BAND:]
+        dflow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += _dot(
+            a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+        dflow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += _dot(
+            a_band * dv, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
 
 
 def _interpret() -> bool:
@@ -573,40 +604,65 @@ def _row_spec(chunk: int = _CHUNK):
     return pl.BlockSpec((None, 1, chunk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None):
+def _group_chunks(x, y, dtf, wt, band_ids, k: int):
+    """Regroup [G, 1, C] chunk arrays into [G/k, k, C] blocks of k
+    independent chunks per grid step (padding with inert sentinel chunks
+    to a multiple of k); returns (x, y, dtf, wt [G/k, k, C],
+    band_rows [G/k, k, 128], n_steps)."""
+    g = x.shape[0]
+    c = x.shape[-1]
+    g_pad = -(-g // k) * k
+    if g_pad != g:
+        widths = ((0, g_pad - g), (0, 0), (0, 0))
+        x = jnp.pad(x, widths, constant_values=-10.0)
+        y = jnp.pad(y, widths, constant_values=-10.0)
+        dtf = jnp.pad(dtf, widths)
+        wt = jnp.pad(wt, widths)
+        band_ids = jnp.pad(band_ids, (0, g_pad - g))
+    steps = g_pad // k
+    rows = jnp.broadcast_to(
+        band_ids.astype(jnp.int32).reshape(steps, k)[:, :, None], (steps, k, 128)
+    )
+    shape = (steps, k, c)
+    return (x.reshape(shape), y.reshape(shape), dtf.reshape(shape),
+            wt.reshape(shape), rows, steps)
+
+
+def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None, chunks_per_step=1):
     h, w = image_size
     # votes only need one extra row; the flow (gather table) pads to whole
     # 64-row bands so dynamic band slices stay Mosaic-vectorizable
     hp = _round_up(max(h + 1, BAND), 8)
     hp_flow = _round_up(h, BAND)
     wp = _round_up(w + 1, 128)
-    g_chunks = x.shape[0]
+    k = chunks_per_step
     flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
     k_total = len(offsets) + (1 if include_orig else 0)
+    xs, ys, ds, ws, rows, steps = _group_chunks(x, y, dtf, wt, band_ids, k)
 
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
-            row_window=row_window, col_window=col_window,
+            row_window=row_window, col_window=col_window, chunks_per_step=k,
         ),
-        grid=(g_chunks,),
+        grid=(steps,),
         in_specs=[
-            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *[_row_spec(x.shape[-1])] * 4,
+            pl.BlockSpec((None, k, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((None, k, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 4,
             pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_total, hp, wp), flow.dtype),
         interpret=_interpret(),
-    )(_band_rows(band_ids), x, y, dtf, wt, flow_p)
+    )(rows, xs, ys, ds, ws, flow_p)
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
                            include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
-                           row_window=None, col_window=None):
+                           row_window=None, col_window=None, chunks_per_step=1):
     """Banded fused rasterizer over pre-packed chunks (pack_events_by_band,
     or pack_events_by_tile with ``col_bands=n_col_bands(w)`` for the
     column-windowed gather fast path).
@@ -619,43 +675,49 @@ def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
     row lands inside it, with an exact full-height fallback per
     (chunk, direction) otherwise (predicated in-kernel) — ~hp/row_window
     fewer vote FLOPs near convergence, bit-identical results.
+
+    ``chunks_per_step`` (v5): process this many independent chunks per
+    grid step so the scheduler can overlap one chunk's VPU one-hot
+    builds with another's MXU dots; bit-identical (same per-chunk math,
+    same accumulation order).
     """
-    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window)
+    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step)
 
 
-def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window):
-    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window)
+def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step):
+    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step)
     return out, (flow, x, y, dtf, wt, band_ids)
 
 
-def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, res, g):
+def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
     hp_flow = _round_up(h, BAND)
     wp = _round_up(w + 1, 128)
-    g_chunks = x.shape[0]
+    k = chunks_per_step
     flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
     k_total = g.shape[0]
     g_p = jnp.zeros((k_total, hp, wp), g.dtype).at[:, :h, :w].set(g)
+    xs, ys, ds, ws, rows, steps = _group_chunks(x, y, dtf, wt, band_ids, k)
 
     dflow_p = pl.pallas_call(
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
-            row_window=row_window, col_window=col_window,
+            row_window=row_window, col_window=col_window, chunks_per_step=k,
         ),
-        grid=(g_chunks,),
+        grid=(steps,),
         in_specs=[
-            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *[_row_spec(x.shape[-1])] * 4,
+            pl.BlockSpec((None, k, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((None, k, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 4,
             pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, hp_flow, wp), flow.dtype),
         interpret=_interpret(),
-    )(_band_rows(band_ids), x, y, dtf, wt, flow_p, g_p)
+    )(rows, xs, ys, ds, ws, flow_p, g_p)
     dflow = dflow_p[:, :h, :w]
     z = jnp.zeros_like
     return dflow, z(x), z(y), z(dtf), z(wt), None

@@ -48,7 +48,7 @@ _KNOWN_DATA_KEYS = {
     "eval_n_frames",
     # synthetic loader extras
     "duration", "event_rate", "n_frames", "flow_max", "seed",
-    "scene", "omega", "zoom_rate", "noise_fraction",
+    "scene", "omega", "zoom_rate", "noise_fraction", "pattern", "n_dots",
 }
 _KNOWN_SOLVER_KEYS = {
     "method", "time_aware", "time_bin", "flow_interpolation", "t0_flow_location",

@@ -5,6 +5,7 @@ the restored pytrees."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from event_based_optical_flow_tpu.models.train import (
     dnn_train_step,
@@ -28,6 +29,7 @@ def _batch(n=300, seed=0):
     return jnp.asarray(p)[None], jnp.asarray(w)[None]
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     model, params, tx, opt_state = make_dnn_train_state(IMG, n_bin=2, seed=3)
     step, _ = dnn_train_step(model, tx, IMG, n_bin=2)

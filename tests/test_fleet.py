@@ -43,6 +43,7 @@ def test_batched_objective_matches_single():
         assert losses[b] == pytest.approx(want, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_batched_newton_recovers_both_frames():
     spec = _spec(False)
     gts = [(10.0, -6.0), (-8.0, 4.0)]
@@ -56,6 +57,7 @@ def test_batched_newton_recovers_both_frames():
         np.testing.assert_allclose(bx[b].reshape(2, -1).mean(1), gt, atol=2.5)
 
 
+@pytest.mark.slow
 def test_fleet_pyramidal_solver():
     gts = [(10.0, -8.0), (-6.0, 9.0)]
     slv_cfg = {
@@ -100,6 +102,7 @@ def test_fleet_pyramidal_solver():
 
 
 @pytest.mark.parametrize("width", [W, 500])  # band policy / wide->tile policy
+@pytest.mark.slow
 def test_batched_banded_dense_objective_matches_single(width):
     """Fleet banded DENSE objective (pack_events_dense policy packing —
     band at narrow widths, tile at wide ones) vs the per-frame matmul
@@ -155,6 +158,7 @@ def test_batched_banded_dense_objective_matches_single(width):
     np.testing.assert_array_equal(g2, grads)
 
 
+@pytest.mark.slow
 def test_batched_banded_time_aware_objective_matches_single():
     """Fleet banded TA objective ((bin,band)-packed, batched voxel kernel)
     vs the per-frame unfused TA objective, loss and motion-grad."""

@@ -112,6 +112,7 @@ def test_eval_pipeline_end_to_end_and_resume(tmp_path):
     assert len(open(metrics_txt).read().strip().splitlines()) == n_expected
 
 
+@pytest.mark.slow
 def test_eval_pipeline_mesh_matches_single_device(tmp_path):
     """The production mesh path: `parallel: {event: 2}` event-shards the
     fused banded objective inside the CLI eval loop (psum-combined partial

@@ -4,6 +4,7 @@ loss is finite and (over a few steps) decreasing."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from event_based_optical_flow_tpu.models import dnn_train_step, make_dnn_train_state
 from event_based_optical_flow_tpu.types import pad_events
@@ -22,6 +23,7 @@ def _moving_scene(n=1500, h=32, w=32, gt=(6.0, -4.0), seed=0):
     return np.stack([np.round(x), np.round(y), t, rng.integers(0, 2, n)], 1)[ok]
 
 
+@pytest.mark.slow
 def test_dnn_train_step_descends():
     image_size = (32, 32)
     model, params, tx, opt_state = make_dnn_train_state(image_size, n_bin=4, lr=3e-4, scale_time=8.0)
@@ -45,6 +47,7 @@ def test_dnn_train_step_descends():
     assert min(losses) < loss0  # optimization makes progress
 
 
+@pytest.mark.slow
 def test_dnn_multi_scale_train_step():
     """Multi-scale CMax loss: every decoder head receives gradient (the
     single-scale loss only trains through flow3's path) and a step
@@ -76,6 +79,7 @@ def test_dnn_multi_scale_train_step():
     assert min(losses) < loss0
 
 
+@pytest.mark.slow
 def test_dnn_parallel_step_matches_single():
     """Data-parallel shard_map train step == single-device step (equal
     shard sizes: pmean of shard means is the global mean)."""

@@ -296,6 +296,7 @@ def test_banded_voxel_kernel_matches_composed(height):
     np.testing.assert_allclose(np.asarray(grad_fused), np.asarray(grad_comp), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_banded_time_aware_objective_matches_unfused():
     """Full time-aware objective through the banded voxel kernel (tile
     interp -> Burgers voxel -> fused warp+vote -> hybrid cost) vs the
@@ -524,6 +525,7 @@ def test_precomputed_orig_objective_matches(time_aware):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("time_aware", [False, True])
+@pytest.mark.slow
 def test_sharded_banded_objective_matches_single(time_aware):
     """Event-sharded banded objective (chunks over the 'event' mesh axis,
     partial IWEs psum'ed) == single-device banded objective, loss + grad."""

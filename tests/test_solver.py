@@ -81,6 +81,7 @@ def test_objective_gradient_finite_difference(time_aware):
         assert float(fd) == pytest.approx(float(grad[i]), rel=2e-3, abs=1e-7), i
 
 
+@pytest.mark.slow
 def test_hvp_matches_dense_hessian():
     spec = _spec(False)
     ev = _synthetic_events(n=800)
@@ -285,6 +286,7 @@ def test_pyramid_expand_jax_matches_numpy():
     )
 
 
+@pytest.mark.slow
 def test_pyramid_chain_matches_per_scale_loop():
     """The whole-frame fused chain (one device program for every scale)
     must reproduce the per-scale dispatch loop: same kernels in the same
@@ -324,6 +326,7 @@ def test_pyramid_chain_matches_per_scale_loop():
             np.testing.assert_allclose(b[s], a[s], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_optimize_with_metrics_matches_two_call_path():
     """optimize_with_metrics (solve + AEE/FWL in one device dispatch) must
     equal optimize() followed by calculate_flow_error()."""

@@ -35,6 +35,7 @@ def estimator():
     )
 
 
+@pytest.mark.slow
 def test_push_recovers_motion_and_chains(estimator):
     dur = 0.4
     for i in range(2):

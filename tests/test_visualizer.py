@@ -72,6 +72,7 @@ def test_sampling_history_plot(viz, tmp_path):
     assert len(os.listdir(tmp_path)) > 0
 
 
+@pytest.mark.slow
 def test_time_aware_solver_viz_paths(tmp_path):
     """The jitted viz fast path (_warped_viz_iwe + jitted
     motion_to_dense_flow) through the TIME-AWARE pyramid: voxel flows

@@ -40,14 +40,16 @@ logging.disable(logging.INFO)
 
 H, W = 260, 346
 
-# family name -> synthetic-loader data-config overrides
+# family name -> synthetic-loader data-config overrides.  All families
+# use the APERIODIC dots pattern (lattice scenes alias translations by
+# period/dt) and MVSEC-protocol-like windows: ~0.1 s, ~30k events.
 FAMILIES = {
     "quadrants": {},
     "disc": {"scene": "disc", "flow_max": 25.0},
     "rot": {"scene": "rot", "omega": 0.35},
     "zoom": {"scene": "zoom", "zoom_rate": 0.25},
     "noise": {"noise_fraction": 0.3},
-    "sparse": {"event_rate": 40_000.0},
+    "sparse": {"event_rate": 60_000.0},
 }
 
 N_WINDOWS = 3
@@ -79,8 +81,9 @@ def make_loader(family: str):
     from event_based_optical_flow_tpu import data as data_mod
 
     cfg = {
-        "height": H, "width": W, "duration": 2.0, "event_rate": 250_000.0,
-        "flow_max": 25.0, "n_frames": N_WINDOWS + 1, "seed": 11,
+        "height": H, "width": W, "duration": 2.0, "event_rate": 300_000.0,
+        "flow_max": 25.0, "n_frames": 21, "seed": 11,
+        "pattern": "dots", "n_dots": 1200,
         "n_events_per_batch": 30000, "eval_dt": 1,
     }
     cfg.update(FAMILIES[family])

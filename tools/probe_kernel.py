@@ -43,7 +43,8 @@ def main():
     wt = np.ones(n_events)
     flow = jnp.asarray(rng.uniform(-30, 30, (2, H, W)), jnp.float32)
 
-    def make_runner(packed, col_bands, row_window, use_bf16=True):
+    def make_runner(packed, col_bands, row_window, use_bf16=True, k=1,
+                    offsets=(0.5,), include_orig=False):
         pk = tuple(
             jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
             for a in packed
@@ -51,8 +52,8 @@ def main():
 
         def body_fn(f):
             return fused_multi_iwe_banded(
-                f, *pk, (H, W), (0.5,), False, 1e-6, use_bf16,
-                col_bands, row_window, None,
+                f, *pk, (H, W), offsets, include_orig, 1e-6, use_bf16,
+                col_bands, row_window, None, k,
             ).sum()
 
         @jax.jit
@@ -68,19 +69,44 @@ def main():
     variants = {}
     for chunk in (512, 1024, 2048):
         variants[f"tile{chunk}+row"] = (
-            pack_events_by_tile(events, wt, dtf, H, W, chunk=chunk), n_col_bands(W), 128,
+            pack_events_by_tile(events, wt, dtf, H, W, chunk=chunk), n_col_bands(W), 128, 1,
         )
     variants["tile512+norow"] = (
-        pack_events_by_tile(events, wt, dtf, H, W, chunk=512), n_col_bands(W), None,
+        pack_events_by_tile(events, wt, dtf, H, W, chunk=512), n_col_bands(W), None, 1,
     )
-    variants["band512+row"] = (pack_events_by_band(events, wt, dtf, H), None, 128)
+    variants["band512+row"] = (pack_events_by_band(events, wt, dtf, H), None, 128, 1)
+    for k in (2, 4):
+        variants[f"tile512+row/k{k}"] = (
+            pack_events_by_tile(events, wt, dtf, H, W, chunk=512), n_col_bands(W), 128, k,
+        )
+    variants["tile1024+row/k2"] = (
+        pack_events_by_tile(events, wt, dtf, H, W, chunk=1024), n_col_bands(W), 128, 2,
+    )
+    variants["band512+row/k2"] = (pack_events_by_band(events, wt, dtf, H), None, 128, 2)
+    for rw in (96, 112):
+        variants[f"tile1024+row{rw}"] = (
+            pack_events_by_tile(events, wt, dtf, H, W, chunk=1024), n_col_bands(W), rw, 1,
+        )
+
+    # cost decomposition: t(full) = ovh + gather + vote;
+    # t(orig) = ovh + vote; t(2off) = ovh + gather + 2*vote
+    variants["tile1024+row/orig"] = (
+        pack_events_by_tile(events, wt, dtf, H, W, chunk=1024), n_col_bands(W), 128, 1,
+        (), True,
+    )
+    variants["tile1024+row/2off"] = (
+        pack_events_by_tile(events, wt, dtf, H, W, chunk=1024), n_col_bands(W), 128, 1,
+        (0.5, 1.0), False,
+    )
 
     names = sys.argv[1:] or list(variants)
     runners = {}
     for name in names:
-        packed, cb, rw = variants[name]
+        spec = variants[name]
+        packed, cb, rw, k = spec[:4]
+        offs, orig = (spec[4], spec[5]) if len(spec) > 4 else ((0.5,), False)
         g = packed[0].shape[0]
-        runners[name] = make_runner(packed, cb, rw)
+        runners[name] = make_runner(packed, cb, rw, k=k, offsets=offs, include_orig=orig)
         print(f"{name}: G={g} chunks", flush=True)
 
     # compile + calibrate
