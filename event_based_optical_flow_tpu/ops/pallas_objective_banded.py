@@ -149,17 +149,16 @@ def n_col_bands(width: int) -> int:
 
 
 # Dense packing policy for the OBJECTIVE paths (single-frame Newton,
-# event-sharded, fleet).  Long-loop interleaved A/B on the tunneled TPU
-# (see BENCHMARKS.md): the Newton solve is dominated by fwd+bwd objective
-# evaluations, where plain band packing measured ~12% faster than
-# (row, col)-tile packing at MVSEC width — the tile win is specific to
-# few-output shapes (standalone 1-warp vote: 2.5x) where the gather is
-# the dominant cost.  On WIDE frames (DSEC: wp 768 > OBJECTIVE_COL_WINDOW)
-# tile packing pays again because it enables column-windowed votes.
+# event-sharded, fleet).  Round-2 CALIBRATED probes (tools/
+# probe_objective.py, 0.3% reproducibility — superseding round 1's
+# noisy-slope "band beats tile at MVSEC width" conclusion) measured the
+# fwd+bwd objective shape: MVSEC 260x346/30k: tile512:rw96 0.3594 ms vs
+# band:rw128 0.3801 / tile512:rw128 0.3775 / band:rw96 0.3631; DSEC
+# 480x640/300k: tile1024:rw96 4.66 vs tile512:rw128 5.08.  Policy: TILE
+# packing at every width, row window 96, chunk 512 narrow / 1024 wide.
 # Packer and kernel flags MUST agree; these helpers keep every
-# objective-path consumer consistent.  The standalone vote path
-# (ops/iwe, bench.py) stays tile-packed explicitly.
-OBJECTIVE_DENSE_PACKING = "band"  # "band" | "tile" (narrow frames; wide always tile)
+# objective-path consumer consistent.
+OBJECTIVE_DENSE_PACKING = "tile"  # "band" | "tile"
 
 
 # Windowed votes (v4): near convergence, warped positions stay close to
@@ -167,19 +166,21 @@ OBJECTIVE_DENSE_PACKING = "band"  # "band" | "tile" (narrow frames; wide always 
 # packing, column) window instead of the full padded image — with an
 # exact full-size fallback predicated per chunk for far-flung candidates
 # (init sweeps, line-search probes).  ROW window: multiple of 16 (keeps
-# the 8-aligned start provable).  COL window: (COLBAND - cw)/2 must be a
-# multiple of 128 (lane alignment), i.e. cw in {128, 384, 640, ...};
-# DISABLED by default — same-session DSEC-geometry A/B measured
-# tile+row 4.86 ms vs tile+row+col 5.41 ms per objective eval (the row
-# window already removes the dominant vote cost; the narrower lane dim
-# only shrinks already-cheap dots and adds predicate work).  The kernel
-# capability + bit-exactness tests remain for future hardware.
-OBJECTIVE_ROW_WINDOW = 128
+# the 8-aligned start provable); 96 = band +-16 rows — covers the
+# displacements of near-convergent solves, and the calibrated probes
+# measured it faster than 128 on the objective shape at BOTH geometries
+# (vote MXU M pads to 128 either way; the saving is the VPU corner
+# build).  COL window: (COLBAND - cw)/2 must be a multiple of 128 (lane
+# alignment), i.e. cw in {128, 384, 640, ...}; DISABLED by default —
+# same-session DSEC-geometry A/B measured tile+row 4.86 ms vs
+# tile+row+col 5.41 ms per objective eval (the row window already
+# removes the dominant vote cost; the narrower lane dim only shrinks
+# already-cheap dots and adds predicate work).  The kernel capability +
+# bit-exactness tests remain for future hardware.
+OBJECTIVE_ROW_WINDOW = 96
 OBJECTIVE_COL_WINDOW = None
-# wp threshold above which the dense objective packs by tile: at wide
-# frames the 128-column gather windows pay again (DSEC-geometry A/B:
-# tile+row 4.86 vs band+row 5.80 ms) even though band wins at MVSEC
-# width (see OBJECTIVE_DENSE_PACKING note above)
+# wp threshold above which the dense objective packs 1024-event chunks
+# (DSEC-geometry probe: 4.66 vs 4.74 ms; at MVSEC width 512 wins)
 _WIDE_TILE_WP = 512
 
 
@@ -221,10 +222,21 @@ def objective_col_window(height: int, width: int) -> Optional[int]:
     return None
 
 
-def pack_events_dense(events, weights, dtf, height: int, width: int, chunk: int = _CHUNK):
+def objective_dense_chunk(width: int) -> int:
+    """Chunk size for the dense objective packing: 1024 on wide frames
+    (DSEC probe 4.66 vs 4.74 ms), _CHUNK (512) on narrow ones (MVSEC
+    probe: 1024 was SLOWER, 0.378 vs 0.359 — padded tile tails hit all
+    four directions)."""
+    wp = _round_up(width + 1, 128)
+    return 1024 if wp >= _WIDE_TILE_WP else _CHUNK
+
+
+def pack_events_dense(events, weights, dtf, height: int, width: int, chunk: int = 0):
     """Dense-path packing for the objective consumers; the matching kernel
     flags are ``objective_dense_col_bands`` / ``objective_row_window`` /
-    ``objective_col_window``."""
+    ``objective_col_window`` (chunk defaults to the width policy
+    ``objective_dense_chunk``)."""
+    chunk = chunk or objective_dense_chunk(width)
     if objective_dense_packing(width) == "tile":
         return pack_events_by_tile(events, weights, dtf, height, width, chunk)
     return pack_events_by_band(events, weights, dtf, height)

@@ -31,6 +31,7 @@ Array = jax.Array
 MOTION_MODELS = (
     "2d-translation",
     "rigid-optical-flow",
+    "4-param-similarity",
     "dense-flow",
     "dense-flow-voxel",
 )
@@ -360,6 +361,30 @@ def flow_from_2d_translation(motion: Array, image_size: Tuple[int, int]) -> Arra
     return jnp.broadcast_to((-motion)[..., :, None, None], motion.shape[:-1] + (2, h, w))
 
 
+def flow_from_similarity(motion: Array, image_size: Tuple[int, int]) -> Array:
+    """Dense [2, H, W] flow of a 4-DoF similarity motion about the image
+    center: motion = (tx, ty, rot [rad/s], zoom [1/s]).
+
+    New capability (ego-motion/rotational sequences, e.g. ECD): the
+    reference stripped its rotational models (its "rigid-optical-flow" is
+    an alias of 2d-translation, ref warp.py:77,108).  Convention matches
+    2d-translation: the warp advects events with velocity g(p) =
+    (tx, ty) + rot*perp(p-c) + zoom*(p-c), and the equivalent dense flow
+    is -g (ref warp.py:149-150 sign flip), so every term is linear in the
+    parameters (motion * timescale scales the flow exactly)."""
+    h, w = image_size
+    cx, cy = (h - 1) / 2.0, (w - 1) / 2.0
+    rx = jnp.arange(h, dtype=motion.dtype)[:, None] - cx  # [H, 1]
+    ry = jnp.arange(w, dtype=motion.dtype)[None, :] - cy  # [1, W]
+    tx, ty, om, zm = motion[..., 0], motion[..., 1], motion[..., 2], motion[..., 3]
+    ex = lambda a: a[..., None, None]
+    gx = ex(tx) - ex(om) * ry + ex(zm) * rx  # broadcasts to [..., H, W]
+    gy = ex(ty) + ex(om) * rx + ex(zm) * ry
+    shape = motion.shape[:-1] + (2, h, w)
+    return -jnp.stack([jnp.broadcast_to(gx, shape[:-3] + (h, w)),
+                       jnp.broadcast_to(gy, shape[:-3] + (h, w))], axis=-3)
+
+
 class Warp:
     """Facade mirroring the reference ``Warp`` class (ref warp.py:24-62)."""
 
@@ -377,6 +402,8 @@ class Warp:
     def get_key_names(self, motion_model: str):
         if motion_model in ("dense-flow", "2d-translation", "rigid-optical-flow"):
             return ["trans_x", "trans_y"]
+        if motion_model == "4-param-similarity":
+            return ["trans_x", "trans_y", "rot", "zoom"]
         raise ValueError(f"motion model {motion_model!r} not supported")
 
     def get_motion_vector_size(self, motion_model: str) -> int:
@@ -388,16 +415,22 @@ class Warp:
             return np.asarray(flow_from_2d_translation(jnp.asarray(motion), self.image_size))
         if motion_model in ("2d-translation", "rigid-optical-flow"):
             return np.array([params["trans_x"], params["trans_y"]])
+        if motion_model == "4-param-similarity":
+            return np.array([params["trans_x"], params["trans_y"], params["rot"], params["zoom"]])
         raise ValueError(f"motion model {motion_model!r} not supported")
 
     def motion_model_from_motion(self, motion, motion_model: str) -> dict:
         if motion_model in ("dense-flow", "2d-translation", "rigid-optical-flow"):
             return {"trans_x": motion[0], "trans_y": motion[1]}
+        if motion_model == "4-param-similarity":
+            return {"trans_x": motion[0], "trans_y": motion[1], "rot": motion[2], "zoom": motion[3]}
         raise ValueError(f"motion model {motion_model!r} not supported")
 
     def get_flow_from_motion(self, motion, motion_model: str):
         if motion_model in ("2d-translation", "rigid-optical-flow"):
             return flow_from_2d_translation(jnp.asarray(motion), self.image_size)
+        if motion_model == "4-param-similarity":
+            return flow_from_similarity(jnp.asarray(motion), self.image_size)
         raise ValueError(f"motion model {motion_model!r} not supported")
 
     def warp_event(
@@ -419,4 +452,7 @@ class Warp:
             return warp_voxel_flow(events, motion, ref_time, self.image_size, self.normalize_t, weights)
         if motion_model in ("2d-translation", "rigid-optical-flow"):
             return warp_2dof(events, motion, ref_time, self.normalize_t, weights=weights)
+        if motion_model == "4-param-similarity":
+            flow = flow_from_similarity(motion, self.image_size)
+            return warp_dense_flow(events, flow, ref_time, self.image_size, self.normalize_t, weights)
         raise ValueError(f"motion model {motion_model!r} not supported")

@@ -48,6 +48,17 @@ class ObjectiveSpec:
     t0_location: str = "middle"
     scale_later: bool = False
     iwe_backend: Optional[str] = None
+    # "tiles" (default): motion = per-patch 2-DoF translations interpolated
+    # to dense flow.  A global motion-model name ("2d-translation" /
+    # "4-param-similarity") makes motion the model's parameter vector and
+    # the dense flow its analytic field (solver/global_motion.py).
+    motion_model: str = "tiles"
+    # per-parameter scale applied before the model mapping: the optimizer
+    # then works in pixel-equivalent units (rot/zoom rates are ~R times
+    # "stiffer" than translations — unscaled, the Newton line search and
+    # plateau-escape probes, tuned to pixel-scale washboards, miss the
+    # basin entirely; see GlobalMotionContrastMaximization)
+    param_scale: Optional[Tuple[float, ...]] = None
 
 
 def make_cost(spec: ObjectiveSpec):
@@ -61,16 +72,31 @@ def make_cost(spec: ObjectiveSpec):
 def motion_to_dense_flow(spec: ObjectiveSpec, motion_flat: Array, t_scale) -> Array:
     """Tile motion -> dense flow (optionally a time voxel), matching
     reference ``PyramidalPatchContrastMaximization.motion_to_dense_flow``
-    (patch_contrast_pyramid.py:464-516)."""
-    dense = tile_to_dense_flow(
-        motion_flat,
-        spec.patch_image_size,
-        spec.image_shape,
-        spec.patch_size,
-        spec.sliding_window,
-        spec.patch_shift,
-        spec.filter_type,
-    )
+    (patch_contrast_pyramid.py:464-516); global motion models map their
+    parameter vector to the analytic dense field instead."""
+    if spec.motion_model != "tiles":
+        from ..ops.warp import flow_from_2d_translation, flow_from_similarity
+
+        if spec.param_scale is not None:
+            motion_flat = motion_flat * jnp.asarray(spec.param_scale, motion_flat.dtype)
+        if spec.motion_model == "4-param-similarity":
+            dense = flow_from_similarity(motion_flat, spec.image_shape)
+        elif spec.motion_model in ("2d-translation", "rigid-optical-flow"):
+            dense = flow_from_2d_translation(motion_flat, spec.image_shape)
+        else:
+            raise NotImplementedError(
+                f"objective motion model {spec.motion_model!r} not implemented"
+            )
+    else:
+        dense = tile_to_dense_flow(
+            motion_flat,
+            spec.patch_image_size,
+            spec.image_shape,
+            spec.patch_size,
+            spec.sliding_window,
+            spec.patch_shift,
+            spec.filter_type,
+        )
     if not spec.time_aware:
         return dense
     scale = jnp.max(dense) if spec.scale_later else 1.0
@@ -170,6 +196,11 @@ def build_objective(spec: ObjectiveSpec):
 
     cost = make_cost(spec)
     required = set(cost.required_keys)
+    if spec.motion_model != "tiles" and "flow" in required:
+        raise ValueError(
+            "cost key 'flow' (total_variation) requires tile motion; "
+            "global motion models have no tile grid to regularize"
+        )
     pad = spec.outer_padding
     imager = EventImageConverter(spec.image_shape, outer_padding=pad)
     warper = Warp(spec.image_shape, normalize_t=True)
@@ -408,6 +439,11 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
 
     cost = make_cost(spec)
     required = set(cost.required_keys)
+    if spec.motion_model != "tiles" and "flow" in required:
+        raise ValueError(
+            "cost key 'flow' (total_variation) requires tile motion; "
+            "global motion models have no tile grid to regularize"
+        )
     assert spec.outer_padding == 0
     if spec.time_aware:
         assert spec.flow_interpolation in _JIT_VOXEL_SCHEMES

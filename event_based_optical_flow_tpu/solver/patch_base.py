@@ -81,7 +81,7 @@ class PatchContrastMaximization(SolverBase):
             output_config,
             visualize_module,
         )
-        self.filter_type = self.slv_config["patch"]["filter_type"]
+        self.filter_type = self.slv_config.get("patch", {}).get("filter_type", "bilinear")
         self._fun_cache: Dict = {}
         self._search_cache: Dict = {}
         self._key = jax.random.PRNGKey(int(self.slv_config.get("seed", 0)))
@@ -150,6 +150,7 @@ class PatchContrastMaximization(SolverBase):
             t0_location=getattr(self, "t0_flow_location", "middle"),
             scale_later=getattr(self, "scale_later", False),
             iwe_backend=self.iwe_backend,
+            motion_model=getattr(self, "objective_motion_model", "tiles"),
         )
 
     def _get_funs(self, spec: ObjectiveSpec):

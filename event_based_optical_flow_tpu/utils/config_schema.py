@@ -110,14 +110,34 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
         cww = _require(slv, "cost_with_weight", dict, "solver")
         for name in cww:
             _choice({"c": name}, "c", set(cost_functions) - {"hybrid"}, "solver.cost_with_weight")
-    _choice(slv, "motion_model", {"2d-translation", "rigid-optical-flow", "dense-flow"}, "solver")
+    _choice(
+        slv, "motion_model",
+        {"2d-translation", "rigid-optical-flow", "dense-flow", "4-param-similarity"},
+        "solver",
+    )
+    if slv.get("method") == "global_contrast_maximization":
+        if slv.get("cost") == "hybrid" and "total_variation" in (slv.get("cost_with_weight") or {}):
+            raise ConfigError(
+                "solver.method global_contrast_maximization has no tile grid: "
+                "drop total_variation from solver.cost_with_weight"
+            )
+    elif slv.get("motion_model") == "4-param-similarity":
+        raise ConfigError(
+            "solver.motion_model 4-param-similarity requires "
+            "solver.method global_contrast_maximization (tile solvers "
+            "parameterize per-tile translations)"
+        )
     _choice(
         slv, "warp_direction",
         {"first", "middle", "last", "random", "before", "after"}, "solver",
     )
-    patch = _require(slv, "patch", dict, "solver")
-    _choice(patch, "initialize", {"random", "zero", "grid-best", "global-best", "optuna-sampling"}, "solver.patch")
-    _choice(patch, "filter_type", {"bilinear", "nearest"}, "solver.patch")
+    if slv.get("method") == "global_contrast_maximization":
+        patch = slv.get("patch") or {}  # optional: only 'initialize' applies
+        _choice(patch, "initialize", {"random", "zero"}, "solver.patch")
+    else:
+        patch = _require(slv, "patch", dict, "solver")
+        _choice(patch, "initialize", {"random", "zero", "grid-best", "global-best", "optuna-sampling"}, "solver.patch")
+        _choice(patch, "filter_type", {"bilinear", "nearest"}, "solver.patch")
     if slv.get("time_aware"):
         _choice(
             slv, "flow_interpolation",

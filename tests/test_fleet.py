@@ -105,8 +105,8 @@ def test_fleet_pyramidal_solver():
 @pytest.mark.slow
 def test_batched_banded_dense_objective_matches_single(width):
     """Fleet banded DENSE objective (pack_events_dense policy packing —
-    band at narrow widths, tile at wide ones) vs the per-frame matmul
-    objective, loss and motion-grad."""
+    tile at every width since the round-2 calibrated probes) vs the
+    per-frame matmul objective, loss and motion-grad."""
     from event_based_optical_flow_tpu.ops.pallas_objective_banded import (
         objective_dense_packing,
     )
@@ -115,7 +115,7 @@ def test_batched_banded_dense_objective_matches_single(width):
         pack_fleet_banded,
     )
 
-    assert objective_dense_packing(width) == ("band" if width == W else "tile")
+    assert objective_dense_packing(width) == "tile"
     spec = dataclasses.replace(
         _spec(False), iwe_backend="pallas",
         image_shape=(H, width),

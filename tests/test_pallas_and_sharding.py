@@ -117,11 +117,12 @@ def test_row_windowed_votes_match_full(flow_mag):
         )
 
     fl = jnp.asarray(flow)
-    assert PB.objective_row_window(Ht) == 128
+    rw = PB.objective_row_window(Ht)
+    assert rw == 96  # policy value (round-2 calibrated probes)
     np.testing.assert_array_equal(
-        np.asarray(run(fl, 128)), np.asarray(run(fl, None))
+        np.asarray(run(fl, rw)), np.asarray(run(fl, None))
     )
-    g_w = jax.grad(lambda f: jnp.sum(run(f, 128) ** 2))(fl)
+    g_w = jax.grad(lambda f: jnp.sum(run(f, rw) ** 2))(fl)
     g_f = jax.grad(lambda f: jnp.sum(run(f, None) ** 2))(fl)
     np.testing.assert_array_equal(np.asarray(g_w), np.asarray(g_f))
 

@@ -363,3 +363,57 @@ def test_optimize_with_metrics_matches_two_call_path():
         np.testing.assert_allclose(best1[s], best2[s], atol=1e-12)
     for k in err2:
         assert err1[k] == pytest.approx(err2[k], abs=1e-9), k
+
+
+@pytest.mark.slow
+def test_global_similarity_solver_recovers_rot_and_zoom():
+    """Global 4-DoF similarity solver (new capability — the reference
+    stripped its rotational models): recovers rotation rate and zoom rate
+    on the synthetic rot/zoom scenes, with sub-pixel AEE.  Warp
+    convention: events advect with +field, the solver's parameters are
+    the negated field (see ops/warp.flow_from_similarity)."""
+    from event_based_optical_flow_tpu import data as data_mod
+    from event_based_optical_flow_tpu import solver as solver_mod
+
+    H, W = 48, 56
+    for scene, extra, idx, expected in [
+        ("rot", {"omega": 0.8}, 2, -0.8),
+        ("zoom", {"zoom_rate": 0.6}, 3, -0.6),
+    ]:
+        # n_frames 5 -> ~0.24 s windows: keeps omega*dt small enough that
+        # the constant-velocity field's linearization floor vs the exact
+        # rotation displacement GT stays well under a pixel
+        cfg = {"height": H, "width": W, "duration": 1.0, "event_rate": 30000,
+               "n_frames": 5, "scene": scene, "pattern": "dots", "n_dots": 500}
+        cfg.update(extra)
+        loader = data_mod.collections["synthetic"](config=cfg)
+        loader.set_sequence("g")
+        ts = loader.eval_frame_time_list()
+        i1, i2 = loader.time_to_index(ts[0]), loader.time_to_index(ts[1])
+        ev = loader.load_event(i1, i2)
+        ev[:, 2] -= ev[:, 2].min()
+
+        solv = solver_mod.collections["global_contrast_maximization"](
+            (H, W),
+            calibration_parameter={},
+            solver_config={
+                "method": "global_contrast_maximization",
+                "motion_model": "4-param-similarity",
+                "patch": {"initialize": "zero"},
+                "cost": "multi_focal_normalized_gradient_magnitude",
+                "outer_padding": 0,
+                "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+                "precision": "64",
+            },
+            optimizer_config={"method": "Newton-CG", "max_iter": 30, "n_iter": 32},
+        )
+        best = solv.optimize(ev)
+        assert best.shape == (4,)
+        assert abs(best[idx] - expected) < 0.12 * abs(expected) + 0.03, (scene, best)
+        # the other rate parameter stays near zero
+        other = 5 - idx  # 2 <-> 3
+        assert abs(best[other]) < 0.1, (scene, best)
+
+        gt = loader.load_optical_flow(ts[0], ts[1])
+        err = solv.calculate_flow_error(best, gt, timescale=ts[1] - ts[0], events=ev)
+        assert err["EPE"] < 1.0, (scene, err)

@@ -71,6 +71,13 @@ def main():
     #        dsecgeo [mine-only]         — 480x640, 300k events/frame
     #        fleet [mine-only]           — 4 frames per batched device solve
     which = sys.argv[1] if len(sys.argv) > 1 else "mine"
+    # budget knobs for solve-stage decomposition, e.g.:
+    #   bench_e2e.py dsecgeo max_iter=1    (Newton off -> init/search share)
+    #   bench_e2e.py dsecgeo n_iter=4      (cheap init searches)
+    for arg in sys.argv[2:]:
+        if "=" in arg:
+            k, v = arg.split("=", 1)
+            OPT_CFG[k] = int(v)
     if which == "fleet":
         return run_fleet()
     if which == "fleet-warm":

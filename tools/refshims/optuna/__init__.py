@@ -50,9 +50,14 @@ class GridSampler(_Sampler):
 
 class TPESampler:
     def __init__(self, n_startup_trials=10, n_ei_candidates=24, seed=0, **_k):
+        import os
+
         self.n_startup_trials = int(n_startup_trials)
         self.n_ei_candidates = int(n_ei_candidates)
         self._rng = np.random.default_rng(seed)
+        # A/B switch for the init-quality study (tools/tpe_study): run the
+        # reference with its TPE init degraded to pure random sampling
+        self._force_random = os.environ.get("REFSHIM_FORCE_RANDOM") == "1"
 
     @staticmethod
     def _gamma(n):
@@ -100,7 +105,7 @@ class TPESampler:
 
     def sample(self, history_x, history_y, low, high):
         n = len(history_x)
-        if n < self.n_startup_trials:
+        if self._force_random or n < self.n_startup_trials:
             return float(self._rng.uniform(low, high))
         order = np.argsort(history_y)
         nb = self._gamma(n)
