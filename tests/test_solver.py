@@ -417,3 +417,4 @@ def test_global_similarity_solver_recovers_rot_and_zoom():
         gt = loader.load_optical_flow(ts[0], ts[1])
         err = solv.calculate_flow_error(best, gt, timescale=ts[1] - ts[0], events=ev)
         assert err["EPE"] < 1.0, (scene, err)
+

@@ -178,6 +178,10 @@ if __name__ == "__main__":
         report(args[1:])
         sys.exit(0)
     impl = args[0] if args else "mine"
+    for arg in args[1:]:
+        if "=" in arg:  # optimizer overrides, e.g. polish=5 n_iter=80
+            k, v = arg.split("=", 1)
+            OPT_CFG[k] = int(v)
     cfg_names = [a for a in args[1:] if a in ("dense", "ta")] or ["dense", "ta"]
     fams = [a for a in args[1:] if a in FAMILIES] or list(FAMILIES)
     for cfg_name in cfg_names:
