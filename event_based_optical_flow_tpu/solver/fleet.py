@@ -500,6 +500,18 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
     off (frames independent); per-frame results match the sequential
     solver up to line-search scheduling."""
 
+    def _setup_parallel(self, parallel_config: dict):
+        super()._setup_parallel(parallel_config)
+        if self.mesh is not None:
+            logger.warning(
+                "the fleet solver batches frames through its own kernels and "
+                "does not event-shard over the 'parallel' mesh yet; the solve "
+                "runs single-device (use the sequential solver for event "
+                "sharding)"
+            )
+            self.mesh = None
+            self.n_event_shards = 1
+
     def _build_fleet_newton(self, spec, maxiter: int, gtol: float):
         """Batched lockstep Newton fn(x0 [B,M], *fleet_args); on the
         banded path with an orig-dependent cost, the per-frame
