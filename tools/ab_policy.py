@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Interleaved SAME-PROCESS A/B of the dense objective packing policy at
+the full-solve level (MVSEC protocol).  Policy constants are read at
+objective build time, so two solver instances built under different
+constants carry different kernels; solving the same frames alternately
+cancels session drift.
+
+    python tools/ab_policy.py [n_rounds]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import logging
+
+logging.disable(logging.INFO)
+
+from bench_e2e import GT, OPT_CFG, SLV_CFG, synth  # noqa: E402
+
+H, W = 260, 346
+
+
+def build_solver():
+    from event_based_optical_flow_tpu import solver as _s
+
+    return _s.collections["pyramidal_patch_contrast_maximization"](
+        (H, W), {}, dict(SLV_CFG), dict(OPT_CFG), {}, None
+    )
+
+
+def main():
+    import event_based_optical_flow_tpu.ops.pallas_objective_banded as PB
+
+    n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+    POLICIES = {
+        "A(tile,rw96)": ("tile", 96),
+        "B(band,rw128)": ("band", 128),
+    }
+
+    def with_policy(name, fn):
+        # the host packer reads the policy constants at CALL time and the
+        # kernel flags at BUILD time — both must see the same policy for
+        # a given solver on every call
+        PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW = POLICIES[name]
+        try:
+            return fn()
+        finally:
+            PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW = "tile", 96
+
+    solvers = {name: build_solver() for name in POLICIES}
+
+    frames = [synth(GT, seed=100 + f) for f in range(n_rounds + 1)]
+    # warm both (compiles + warm start state)
+    for name, s in solvers.items():
+        best = with_policy(name, lambda: s.optimize(frames[0]))
+        s.set_previous_frame_best_estimation(best)
+
+    times = {name: [] for name in POLICIES}
+    for r in range(1, n_rounds + 1):
+        for name, s in solvers.items():
+            t0 = time.time()
+            best = with_policy(name, lambda: s.optimize(frames[r]))
+            times[name].append(time.time() - t0)
+            s.set_previous_frame_best_estimation(best)
+            fin = best[max(best)]
+            half = fin.shape[2] // 2
+            print(
+                f"round {r} {name}: {times[name][-1]:.2f}s "
+                f"u=({fin[0][:, :half].mean():.1f},{fin[0][:, half:].mean():.1f})",
+                flush=True,
+            )
+    for name, ts in times.items():
+        print(f"{name}: median {sorted(ts)[len(ts)//2]:.2f}s over {len(ts)} frames")
+
+
+if __name__ == "__main__":
+    main()
