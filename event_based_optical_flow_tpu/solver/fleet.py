@@ -502,15 +502,23 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
 
     def _setup_parallel(self, parallel_config: dict):
         super()._setup_parallel(parallel_config)
+        self.n_data_shards = 1
         if self.mesh is not None:
-            logger.warning(
-                "the fleet solver batches frames through its own kernels and "
-                "does not event-shard over the 'parallel' mesh yet; the solve "
-                "runs single-device (use the sequential solver for event "
-                "sharding)"
-            )
-            self.mesh = None
+            from ..parallel.sharded import make_mesh
+
+            if self.n_event_shards > 1:
+                logger.info(
+                    "fleet solver: frames shard over ALL parallel devices "
+                    "(data x event collapsed onto 'data'); its batched "
+                    "kernels do not event-shard within a frame"
+                )
+            # repurpose every configured device as a frame shard
+            n_total = int(self.mesh.size)
+            self.mesh = make_mesh(n_total, data=n_total, event=1)
+            self.n_data_shards = n_total
             self.n_event_shards = 1
+            if self.n_data_shards <= 1:
+                self.mesh = None
 
     def _build_fleet_newton(self, spec, maxiter: int, gtol: float):
         """Batched lockstep Newton fn(x0 [B,M], *fleet_args); on the
@@ -547,7 +555,15 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         return self._fun_cache[key]
 
     def optimize_batch(self, events_list: List[np.ndarray]):
-        """Solve B frames together; returns a list of per-scale motion dicts."""
+        """Solve B frames together; returns a list of per-scale motion dicts.
+
+        With a ``parallel:`` mesh, frames shard over the devices (chain
+        path; the batch pads to a shard multiple with copies of the last
+        frame, dropped from the results)."""
+        orig_bsz = len(events_list)
+        if self.mesh is not None and orig_bsz % self.n_data_shards:
+            pad_n = -(-orig_bsz // self.n_data_shards) * self.n_data_shards - orig_bsz
+            events_list = list(events_list) + [events_list[-1]] * pad_n
         bsz = len(events_list)
         use_banded = objective_uses_banded(self._current_spec())
         if use_banded:
@@ -575,7 +591,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             )
 
         if self._chain_ready():
-            return self._optimize_batch_chain(events_list, solver_args)
+            return self._optimize_batch_chain(events_list, solver_args)[:orig_bsz]
         if self.previous_frame_best_estimation is not None:
             logger.warning(
                 "fleet batch warm start is only supported on the chain path "
@@ -602,7 +618,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         for b in range(bsz):
             per_frame = {s: best_per_scale[s][b] for s in best_per_scale}
             results.append(self.update_coarse_from_fine(per_frame))
-        return results
+        return results[:orig_bsz]
 
     # ---------------------------------------------- whole-fleet device chain
     def _optimize_batch_chain(self, events_list: List[np.ndarray], solver_args):
@@ -683,7 +699,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         for i, s in enumerate(scales):
             best_per_scale[s] = np.asarray(outs[i], np.float64)
         fs_np = np.asarray(fs)
-        logger.info(f"fleet chain done ({bsz} frames, {len(scales)} scales); losses {fs_np[-1]}")
+        logger.info(f"fleet chain done ({bsz} frames, {len(scales)} scales); losses {fs_np[:, -1]}")
         results = []
         for b in range(bsz):
             per_frame = {s: best_per_scale[s][b] for s in best_per_scale}
@@ -734,12 +750,32 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                             m1.reshape(B, P, 2).transpose(0, 2, 1).reshape(B, -1).astype(dtype)
                         )
                     bx, bf, _ = solvers[s](x, *newton_args)
-                    prev = bx.reshape((bsz, 2) + grid_shapes[s])
+                    # local batch size: under shard_map this is B / n_data
+                    prev = bx.reshape((bx.shape[0], 2) + grid_shapes[s])
                     best_x.append(prev)
                     best_f.append(bf)
-                return tuple(best_x), jnp.stack(best_f)
+                return tuple(best_x), jnp.stack(best_f, axis=-1)
 
-            self._fun_cache[key] = jax.jit(chain)
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                # frames shard over 'data'; each shard runs its own chain
+                # (embarrassingly parallel — no collectives); warm motions
+                # and search keys replicate.  pallas_call carries no vma
+                # metadata -> check_vma off (parity covered by tests).
+                # *newton_args tail: banded = (x, y, dtf, wt, band_rows,
+                # t_scales); unfused = (events, weights) — all [B, ...]
+                n_args = 6 if objective_uses_banded(specs[scales[0]]) else 2
+                chain_sharded = jax.shard_map(
+                    chain,
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P(), P("data"), P()) + (P("data"),) * n_args,
+                    out_specs=(tuple(P("data") for _ in scales), P("data")),
+                    check_vma=False,
+                )
+                self._fun_cache[key] = jax.jit(chain_sharded)
+            else:
+                self._fun_cache[key] = jax.jit(chain)
         return self._fun_cache[key]
 
     def _init_scale_single(self, s, events_np, best_per_scale, b):

@@ -186,3 +186,53 @@ def test_batched_banded_time_aware_objective_matches_single():
         )(motion[b])
         assert losses[b] == pytest.approx(float(want), rel=1e-6)
         np.testing.assert_allclose(grads[b], np.asarray(gw), atol=1e-8)
+
+
+@pytest.mark.slow
+def test_fleet_mesh_data_sharding_matches_single_device():
+    """Fleet + `parallel:` mesh: frames shard over the 'data' axis (each
+    shard runs its own chain — embarrassingly parallel); every frame's
+    motion must be recovered as well as single-device (bit-equality does
+    not hold: the per-patch sampling key stream depends on the local
+    batch layout), including an odd batch size that pads to a shard
+    multiple."""
+    gts = [(10.0, -8.0), (-6.0, 9.0), (7.0, 5.0)]  # odd B=3 -> pads to 4
+    slv_cfg = {
+        "method": "fleet_pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 20, "crop_width": 28, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 8,
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    events_list = [_synthetic_events(np.asarray(gt), n=2500, seed=50 + i) for i, gt in enumerate(gts)]
+
+    single = solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, dict(slv_cfg), opt_cfg, {}, None
+    )
+    res_single = single.optimize_batch(events_list)
+
+    meshed = solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, dict(slv_cfg, parallel={"data": 2}), opt_cfg, {}, None
+    )
+    assert meshed.mesh is not None and meshed.n_data_shards == 2
+    res_mesh = meshed.optimize_batch(events_list)
+
+    assert len(res_mesh) == len(res_single) == 3
+    for res in (res_mesh, res_single):
+        for per_frame, gt in zip(res, gts):
+            finest = per_frame[max(per_frame)]
+            np.testing.assert_allclose(
+                finest.reshape(2, -1).mean(1), np.asarray(gt), atol=3.5
+            )
