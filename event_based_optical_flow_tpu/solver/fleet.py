@@ -319,11 +319,15 @@ def build_newton_cg_batched(
     ls_maxiter: int = 16,
     armijo_c1: float = 1e-4,
     fd_hvp: bool = True,
+    fd_central: bool = True,
 ):
     """Lockstep per-frame truncated Newton.
 
     batched_value_fn(x [B, M], *args) -> [B] losses.
     Returns solve(x0 [B, M], *args) -> (x_best [B, M], f_best [B], iters).
+    ``fd_central``: central-difference HVPs (2 gradients each) — the
+    accuracy default; one-sided (vs the iterate's gradient, 1 gradient)
+    is the measured-speed knob (optimizer.hvp_central: false).
     """
 
     def _sum_fn(x, args):
@@ -351,6 +355,9 @@ def build_newton_cg_batched(
         d_norm = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
         eps = _FD_EPS_SCALE * (1.0 + 1e-3 * jnp.linalg.norm(x, axis=-1, keepdims=True)) / d_norm
         g_plus = grad_only(x + eps * d, args)
+        if fd_central:
+            g_minus = grad_only(x - eps * d, args)
+            return (g_plus - g_minus) / (2.0 * eps)
         return (g_plus - g0) / eps
 
     def cg_solve(x, g, args):
@@ -468,12 +475,18 @@ def build_newton_cg_batched(
             x, f, g, k, done, bx, bf = state
             p = cg_solve(x, g, args)
             alpha, f_ls = line_search(x, f, g, p, args)
+            # plateau escape per frame: backtracking failed OR the first
+            # iteration only found a negligible decrease (flat/zero inits
+            # near a stationary point; see newton_cg.build_newton_cg)
+            trigger = (alpha == 0.0) | (
+                (k == 0) & (f - f_ls <= 1e-6 * (1.0 + jnp.abs(f)))
+            )
             a_esc, p_hat = jax.lax.cond(
-                jnp.any(alpha == 0.0),
+                jnp.any(trigger),
                 lambda: escape_probe(x, f, p, args),
                 lambda: (jnp.zeros_like(alpha), p),
             )
-            use_esc = (alpha == 0.0) & (a_esc != 0.0)
+            use_esc = trigger & (a_esc != 0.0)
             alpha = jnp.where(use_esc, 1.0, alpha)
             step = jnp.where(use_esc[:, None], a_esc[:, None] * p_hat, alpha[:, None] * p)
             x_new = jnp.where(done[:, None], x, x + step)
@@ -539,6 +552,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
             gtol=gtol,
             fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
+            fd_central=bool(self.opt_config.get("hvp_central", True)),
         )
         if orig_fn is None:
             return solve_inner

@@ -261,6 +261,7 @@ class PatchContrastMaximization(SolverBase):
             xtol=1e-5,
             gtol=gtol,
             hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
+            fd_central=bool(self.opt_config.get("hvp_central", True)),
         )
         if orig_fn is None:
             return solve_inner

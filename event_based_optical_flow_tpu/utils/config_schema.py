@@ -59,7 +59,7 @@ _KNOWN_SOLVER_KEYS = {
 _KNOWN_PARALLEL_KEYS = {"data", "event"}
 _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
-    "chain",
+    "chain", "hvp_central",
 }
 _KNOWN_DNN_KEYS = {
     "n_bin", "batch_size", "n_steps", "lr", "data_parallel",

@@ -1,11 +1,11 @@
 #!/usr/bin/env python3
-"""Interleaved SAME-PROCESS A/B of the dense objective packing policy at
-the full-solve level (MVSEC protocol).  Policy constants are read at
-objective build time, so two solver instances built under different
-constants carry different kernels; solving the same frames alternately
-cancels session drift.
+"""Interleaved SAME-PROCESS A/B at the full-solve level (MVSEC
+protocol): solving the same frames alternately with two solver variants
+cancels the tunnel's session drift (single-shot e2e numbers swing
++-50%).
 
-    python tools/ab_policy.py [n_rounds]
+    python tools/ab_policy.py [n_rounds]          # packing-policy A/B
+    python tools/ab_policy.py [n_rounds] hvp      # one-sided vs central FD-HVP
 """
 import os
 import sys
@@ -25,11 +25,11 @@ from bench_e2e import GT, OPT_CFG, SLV_CFG, synth  # noqa: E402
 H, W = 260, 346
 
 
-def build_solver():
+def build_solver(opt_over=None):
     from event_based_optical_flow_tpu import solver as _s
 
     return _s.collections["pyramidal_patch_contrast_maximization"](
-        (H, W), {}, dict(SLV_CFG), dict(OPT_CFG), {}, None
+        (H, W), {}, dict(SLV_CFG), dict(OPT_CFG, **(opt_over or {})), {}, None
     )
 
 
@@ -37,11 +37,20 @@ def main():
     import event_based_optical_flow_tpu.ops.pallas_objective_banded as PB
 
     n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    mode = sys.argv[2] if len(sys.argv) > 2 else "packing"
 
-    POLICIES = {
-        "A(tile,rw96)": ("tile", 96),
-        "B(band,rw128)": ("band", 128),
-    }
+    if mode == "hvp":
+        POLICIES = {
+            "A(one-sided)": ("tile", 96),
+            "B(central)": ("tile", 96),
+        }
+        OPT_OVER = {"A(one-sided)": {}, "B(central)": {"hvp_central": True}}
+    else:
+        POLICIES = {
+            "A(tile,rw96)": ("tile", 96),
+            "B(band,rw128)": ("band", 128),
+        }
+        OPT_OVER = {k: {} for k in POLICIES}
 
     def with_policy(name, fn):
         # the host packer reads the policy constants at CALL time and the
@@ -53,7 +62,7 @@ def main():
         finally:
             PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW = "tile", 96
 
-    solvers = {name: build_solver() for name in POLICIES}
+    solvers = {name: build_solver(OPT_OVER[name]) for name in POLICIES}
 
     frames = [synth(GT, seed=100 + f) for f in range(n_rounds + 1)]
     # warm both (compiles + warm start state)
