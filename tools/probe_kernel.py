@@ -99,6 +99,17 @@ def main():
         (0.5, 1.0), False,
     )
 
+    # ad-hoc spec: "tileC[:RW]" e.g. tile1536:96
+    for arg in sys.argv[1:]:
+        if arg.startswith("tile") and arg not in variants:
+            parts = arg[4:].split(":")
+            chunk = int(parts[0])
+            rw = int(parts[1]) if len(parts) > 1 else 128
+            variants[arg] = (
+                pack_events_by_tile(events, wt, dtf, H, W, chunk=chunk),
+                n_col_bands(W), rw, 1,
+            )
+
     names = sys.argv[1:] or list(variants)
     runners = {}
     for name in names:
