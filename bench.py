@@ -84,9 +84,10 @@ def main():
         # work amortized over thousands of kernel calls in a solve; it is
         # outside the timed loop)
         from event_based_optical_flow_tpu.ops.pallas_objective_banded import (
+            FLEX_ROW_SCALE,
             fused_multi_iwe_banded,
             n_col_bands,
-            pack_events_by_tile,
+            pack_events_by_tile_flex,
         )
 
         packed = []
@@ -94,12 +95,16 @@ def main():
             dtf = (events[b, :, 2] - events[b, :, 2].min()) / (
                 events[b, :, 2].max() - events[b, :, 2].min()
             )
-            # chunk 1024: calibrated-slope A/B (tools/probe_kernel.py, 0.3%
-            # sample spread): 512 -> 408, 1024 -> 431, 2048 -> 358 Mev/s on
-            # this shape — fewer grid steps win until the one-hot blocks
-            # outgrow VMEM-friendly sizes
+            # flex packing, chunk 1280: a grid step costs the same whether
+            # its chunk rows are events or padding, so the DP fill-balanced
+            # packer (variable-height 8-aligned row bands) directly cuts
+            # step count.  Calibrated-slope A/B (tools/probe_kernel.py,
+            # 0.3% sample spread): fixed-lattice tile 1024 -> 451 Mev/s;
+            # flex 1024 -> 654, 1280 -> 670, 1536 -> 650, 2048 -> 602
             packed.append(
-                pack_events_by_tile(events[b], np.ones(n_events), dtf, H, W, chunk=1024)
+                pack_events_by_tile_flex(
+                    events[b], np.ones(n_events), dtf, H, W, chunk=1280
+                )
             )
         pk = [jnp.asarray(np.stack([p[i] for p in packed]), jnp.float32) for i in range(4)]
         bands = jnp.asarray(np.stack([p[4] for p in packed]))
@@ -108,13 +113,13 @@ def main():
             # e is unused on this path (coordinate variation comes via f)
             def one(args):
                 x2, y2, d2, w2, bd, ff = args
-                # row window 96 (band +-16): covers the max displacement of
-                # this shape (|flow| <= 30 x |dtf-0.5| <= 0.5 -> 15 px) with
-                # the exact per-chunk fallback intact; calibrated A/B
-                # (tools/probe_kernel.py): rw 128 -> 432, 96 -> 452 Mev/s
+                # row window 96 (band +-16 at full band height): covers the
+                # max displacement of this shape (|flow| <= 30 x
+                # |dtf-0.5| <= 0.5 -> 15 px) with the exact per-chunk
+                # fallback intact; calibrated A/B: rw 128 -> 432, 96 -> 452
                 return fused_multi_iwe_banded(
                     ff, x2, y2, d2, w2, bd, (H, W), (0.5,), False, 1e-6, True,
-                    n_col_bands(W), 96,
+                    n_col_bands(W), 96, None, 1, False, FLEX_ROW_SCALE,
                 ).sum()
 
             total = jnp.float32(0.0)

@@ -154,11 +154,15 @@ def n_col_bands(width: int) -> int:
 # noisy-slope "band beats tile at MVSEC width" conclusion) measured the
 # fwd+bwd objective shape: MVSEC 260x346/30k: tile512:rw96 0.3594 ms vs
 # band:rw128 0.3801 / tile512:rw128 0.3775 / band:rw96 0.3631; DSEC
-# 480x640/300k: tile1024:rw96 4.66 vs tile512:rw128 5.08.  Policy: TILE
-# packing at every width, row window 96, chunk 512 narrow / 1024 wide.
+# 480x640/300k: tile1024:rw96 4.66 vs tile512:rw128 5.08.  Late round 2:
+# FLEX packing (fill-balanced DP row bands, pack_events_by_tile_flex)
+# cuts grid steps at every geometry — a step costs the same whether its
+# chunk is events or padding (standalone-vote probes: tile1024 451 ->
+# flex1280 670 Mev/s).  Policy: FLEX packing, row window 96; chunk per
+# objective_dense_chunk (objective-shape A/B numbers in BENCHMARKS.md).
 # Packer and kernel flags MUST agree; these helpers keep every
 # objective-path consumer consistent.
-OBJECTIVE_DENSE_PACKING = "tile"  # "band" | "tile"
+OBJECTIVE_DENSE_PACKING = "flex"  # "band" | "tile" | "flex"
 
 
 # Windowed votes (v4): near convergence, warped positions stay close to
@@ -192,9 +196,9 @@ def objective_row_window(height: int) -> Optional[int]:
 
 
 def objective_dense_packing(width: int) -> str:
-    """'band' | 'tile' for the dense objective paths: band on narrow
-    frames (MVSEC), tile on wide frames where the column gather windows
-    pay again."""
+    """'band' | 'tile' | 'flex' for the dense objective paths."""
+    if OBJECTIVE_DENSE_PACKING == "flex":
+        return "flex"
     wp = _round_up(width + 1, 128)
     if OBJECTIVE_DENSE_PACKING == "tile" or wp >= _WIDE_TILE_WP:
         return "tile"
@@ -203,7 +207,12 @@ def objective_dense_packing(width: int) -> str:
 
 def objective_dense_col_bands(width: int) -> Optional[int]:
     """``col_bands`` kernel flag matching ``pack_events_dense``."""
-    return n_col_bands(width) if objective_dense_packing(width) == "tile" else None
+    return n_col_bands(width) if objective_dense_packing(width) != "band" else None
+
+
+def objective_row_scale(width: int) -> int:
+    """``row_scale`` kernel flag matching ``pack_events_dense``."""
+    return FLEX_ROW_SCALE if objective_dense_packing(width) == "flex" else BAND
 
 
 def objective_col_window(height: int, width: int) -> Optional[int]:
@@ -223,21 +232,36 @@ def objective_col_window(height: int, width: int) -> Optional[int]:
 
 
 def objective_dense_chunk(width: int) -> int:
-    """Chunk size for the dense objective packing: 1024 on wide frames
-    (DSEC probe 4.66 vs 4.74 ms), _CHUNK (512) on narrow ones (MVSEC
-    probe: 1024 was SLOWER, 0.378 vs 0.359 — padded tile tails hit all
-    four directions)."""
+    """Chunk size for the dense objective packing.  Fixed-lattice tile:
+    1024 wide / 512 narrow (round-2 probes).  Flex packing keeps fill
+    high at wide chunks: 1024 everywhere (calibrated objective A/Bs —
+    MVSEC 0.271 ms at 1024 vs 0.281 at 1280; DSEC 3.28 at 1024 vs 3.30
+    at 1280 / 3.31 at 1536; BENCHMARKS.md).  The standalone-vote bench
+    shape prefers 1280 (bench.py packs explicitly)."""
+    if objective_dense_packing(width) == "flex":
+        return 1024
     wp = _round_up(width + 1, 128)
     return 1024 if wp >= _WIDE_TILE_WP else _CHUNK
+
+
+# G-bucket for flex packing on the objective paths: the chunk count is
+# data-dependent, so it rounds up to a multiple of this (inert sentinel
+# chunks) to bound jit retraces across frames of similar density.
+_FLEX_G_ROUND = 8
 
 
 def pack_events_dense(events, weights, dtf, height: int, width: int, chunk: int = 0):
     """Dense-path packing for the objective consumers; the matching kernel
     flags are ``objective_dense_col_bands`` / ``objective_row_window`` /
-    ``objective_col_window`` (chunk defaults to the width policy
-    ``objective_dense_chunk``)."""
+    ``objective_col_window`` / ``objective_row_scale`` (chunk defaults to
+    the width policy ``objective_dense_chunk``)."""
     chunk = chunk or objective_dense_chunk(width)
-    if objective_dense_packing(width) == "tile":
+    packing = objective_dense_packing(width)
+    if packing == "flex":
+        return pack_events_by_tile_flex(
+            events, weights, dtf, height, width, chunk, g_round=_FLEX_G_ROUND
+        )
+    if packing == "tile":
         return pack_events_by_tile(events, weights, dtf, height, width, chunk)
     return pack_events_by_band(events, weights, dtf, height)
 
@@ -281,6 +305,144 @@ def pack_events_by_tile(
         d_out.reshape(shape),
         w_out.reshape(shape),
         band_ids,
+    )
+
+
+def _stack_uv_hilo(flow_p):
+    """[2, hp_flow, wp] f32 flow table -> [4*hp_flow, wp] bf16 gather table
+    with per-64-row-band interleaving: rows [256b, 256b+256) hold
+    [u_hi; v_hi; u_lo; lo_v] of band b.  The kernel slices ONE 256-row
+    tile per chunk and issues ONE gather dot at full MXU M (the round-2
+    "M=128 stacking" probe lost to IN-KERNEL concat cost; pre-stacking on
+    the host removes the concat and also hoists the per-chunk f32->bf16
+    hi/lo split out of the kernel).  The hi+lo sum is accumulated in f32
+    outside the dot, so results are bit-identical to the unstacked bf16
+    gather."""
+    dtype = flow_p.dtype
+    hi = flow_p.astype(jnp.bfloat16)
+    lo = (flow_p - hi.astype(dtype)).astype(jnp.bfloat16)
+    hp_flow, wp = flow_p.shape[1], flow_p.shape[2]
+    nb = hp_flow // BAND
+    s = jnp.stack([hi, lo])  # [2 (hi/lo), 2 (u/v), hp_flow, wp]
+    s = s.reshape(2, 2, nb, BAND, wp).transpose(2, 0, 1, 3, 4)
+    return s.reshape(nb * 4 * BAND, wp)
+
+
+def _banded_gather_uv_stacked(stable_ref, band_row0, x_base, x, y, wp, col0=None):
+    """(u, v) from the pre-stacked hi/lo gather table (_stack_uv_hilo):
+    one [256, COLBAND-or-wp] tile slice, one bf16 dot, f32 accumulation.
+    Bit-identical to _banded_gather_uv(use_bf16=True)."""
+    dtype = x.dtype
+    x_local = x - x_base.astype(dtype)
+    a_band = _onehot_int(x_local, BAND)
+    row0 = pl.multiple_of(band_row0 * 4, 4 * BAND)
+    if col0 is None:
+        b_loc = _onehot_int(y, wp)
+        tile = stable_ref[pl.ds(row0, 4 * BAND), :]
+    else:
+        b_loc = _onehot_int(y - col0.astype(dtype), COLBAND)
+        tile = stable_ref[pl.ds(row0, 4 * BAND), pl.ds(col0, COLBAND)]
+    p = jax.lax.dot_general(
+        tile, b_loc.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    )  # [256, C]
+    p_u = p[0 * BAND : 1 * BAND] + p[2 * BAND : 3 * BAND]
+    p_v = p[1 * BAND : 2 * BAND] + p[3 * BAND : 4 * BAND]
+    u = jnp.sum(a_band * p_u, axis=0, keepdims=True)
+    v = jnp.sum(a_band * p_v, axis=0, keepdims=True)
+    return u, v, a_band, b_loc
+
+
+FLEX_ROW_SCALE = 8  # band-id row units for pack_events_by_tile_flex
+
+
+def pack_events_by_tile_flex(
+    events: np.ndarray,
+    weights: np.ndarray,
+    dtf: np.ndarray,
+    height: int,
+    width: int,
+    chunk: int = _CHUNK,
+    g_round: int = 1,
+):
+    """Fill-balanced tile packing (v7): per 128-column band, row bands are
+    VARIABLE-height (8-aligned starts, <= 64 rows — the gather slice only
+    needs sublane alignment), chosen greedily so each band's event count
+    fills whole chunks.  A grid step costs the same whether its chunk is
+    full or padding, so fewer, fuller chunks is a direct win over the
+    fixed 64-row lattice (which e.g. at H=260 makes a 4-row fifth band and
+    packs the bench shape at 67% fill).
+
+    Returns (x [G,1,C], y, dtf, wt, band_ids [G]) with band_id =
+    (row_start // 8) * n_col_bands + col_band; pass
+    ``row_scale=FLEX_ROW_SCALE`` to the kernel.  ``g_round`` pads G up to
+    a multiple (inert sentinel chunks) to bound jit retraces."""
+    n_cols = n_col_bands(width)
+    n_slabs = _round_up(height, 8) // 8
+    x = np.asarray(events[:, 0], np.float64)
+    y = np.asarray(events[:, 1], np.float64)
+    wt = np.asarray(weights, np.float64)
+    d = np.asarray(dtf, np.float64)
+    valid = wt > 0
+    col_of = np.clip(y.astype(np.int64) // COLBAND, 0, n_cols - 1)
+    slab_of = np.clip(x.astype(np.int64) // FLEX_ROW_SCALE, 0, n_slabs - 1)
+    order = np.argsort(col_of * n_slabs + slab_of, kind="stable")
+    order = order[valid[order]]
+
+    xs, ys, ds, ws, ids = [], [], [], [], []
+    for c in range(n_cols):
+        sel = order[col_of[order] == c]
+        if len(sel) == 0:
+            continue
+        counts = np.bincount(slab_of[sel], minlength=n_slabs)
+        # optimal band partition (exact DP, O(n_slabs * 8)): bands are
+        # <= 8 consecutive slabs; minimize total emitted chunks, ties to
+        # the longer band (fuller last chunks)
+        max_span = BAND // FLEX_ROW_SCALE
+        best = np.zeros(n_slabs + 1, dtype=np.int64)
+        nxt = np.zeros(n_slabs, dtype=np.int64)
+        for s in range(n_slabs - 1, -1, -1):
+            cum = 0
+            best[s] = np.iinfo(np.int64).max
+            for e in range(s + 1, min(s + max_span, n_slabs) + 1):
+                cum += int(counts[e - 1])
+                cand = best[e] + -(-cum // chunk)
+                if cand <= best[s]:
+                    best[s] = cand
+                    nxt[s] = e
+        pos = 0
+        s = 0
+        while s < n_slabs:
+            e = int(nxt[s])
+            cnt = int(counts[s:e].sum())
+            band = sel[pos : pos + cnt]
+            pos += cnt
+            for st in range(0, cnt, chunk):
+                idx = band[st : st + chunk]
+                k = len(idx)
+                pad = chunk - k
+                xs.append(np.concatenate([x[idx], np.full(pad, -10.0)]))
+                ys.append(np.concatenate([y[idx], np.full(pad, -10.0)]))
+                ds.append(np.concatenate([d[idx], np.zeros(pad)]))
+                ws.append(np.concatenate([wt[idx], np.zeros(pad)]))
+                ids.append(s * n_cols + c)
+            s = e
+    g = len(xs)
+    g_max = max(-(-g // g_round) * g_round, g_round)
+    for _ in range(g_max - g):
+        xs.append(np.full(chunk, -10.0))
+        ys.append(np.full(chunk, -10.0))
+        ds.append(np.zeros(chunk))
+        ws.append(np.zeros(chunk))
+        ids.append(0)
+    shape = (g_max, 1, chunk)
+    return (
+        np.stack(xs).reshape(shape),
+        np.stack(ys).reshape(shape),
+        np.stack(ds).reshape(shape),
+        np.stack(ws).reshape(shape),
+        np.asarray(ids, np.int32),
     )
 
 
@@ -368,7 +530,8 @@ def _ds_aligned(w0, size):
 def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
                 bands_mod=None, init_axes=None, col_bands=None, row_window=None,
-                col_window=None, chunks_per_step=1):
+                col_window=None, chunks_per_step=1, stack_uv=False,
+                row_scale=BAND):
     assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
     init = i == 0
@@ -390,14 +553,15 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
             band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
             hp=hp, wp=wp, eps=eps, offsets=offsets, include_orig=include_orig,
             use_bf16=use_bf16, bands_mod=bands_mod, col_bands=col_bands,
-            row_window=row_window, col_window=col_window,
+            row_window=row_window, col_window=col_window, stack_uv=stack_uv,
+            row_scale=row_scale,
         )
 
 
 def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j, *,
                    hp, wp, eps, offsets, include_orig, use_bf16,
                    bands_mod=None, col_bands=None, row_window=None,
-                   col_window=None):
+                   col_window=None, stack_uv=False, row_scale=BAND):
     x = x_ref[j : j + 1, :]
     y = y_ref[j : j + 1, :]
     dtf = dtf_ref[j : j + 1, :]
@@ -405,14 +569,17 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
     dtype = x.dtype
     band_id = band_ref[j, 0]
     if col_bands is None:
-        band_row0 = band_id * BAND  # aligned: flow padded to 64-row multiples
+        band_row0 = band_id * row_scale  # 8-aligned: sublane-legal slices
         col0 = None
     else:
-        band_row0 = (band_id // col_bands) * BAND
+        band_row0 = (band_id // col_bands) * row_scale
         col0 = (band_id % col_bands) * COLBAND
-    x_base = band_row0 if bands_mod is None else (band_id % bands_mod) * BAND
+    x_base = band_row0 if bands_mod is None else (band_id % bands_mod) * row_scale
 
-    u, v, _, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
+    if stack_uv:
+        u, v, _, _ = _banded_gather_uv_stacked(flow_ref, band_row0, x_base, x, y, wp, col0)
+    else:
+        u, v, _, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
 
     w0 = None if row_window is None else _window_start(x_base, hp, row_window)
     c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
@@ -492,7 +659,7 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
 def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
                 bands_mod=None, col_bands=None, row_window=None, col_window=None,
-                chunks_per_step=1):
+                chunks_per_step=1, stack_uv=False, row_scale=BAND):
     assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
 
@@ -505,14 +672,15 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
             band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, j,
             hp=hp, wp=wp, eps=eps, offsets=offsets, include_orig=include_orig,
             use_bf16=use_bf16, bands_mod=bands_mod, col_bands=col_bands,
-            row_window=row_window, col_window=col_window,
+            row_window=row_window, col_window=col_window, stack_uv=stack_uv,
+            row_scale=row_scale,
         )
 
 
 def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, j, *,
                    hp, wp, eps, offsets, include_orig, use_bf16,
                    bands_mod=None, col_bands=None, row_window=None,
-                   col_window=None):
+                   col_window=None, stack_uv=False, row_scale=BAND):
     x = x_ref[j : j + 1, :]
     y = y_ref[j : j + 1, :]
     dtf = dtf_ref[j : j + 1, :]
@@ -520,14 +688,18 @@ def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflo
     dtype = x.dtype
     band_id = band_ref[j, 0]
     if col_bands is None:
-        band_row0 = band_id * BAND
+        band_row0 = band_id * row_scale
         col0 = None
     else:
-        band_row0 = (band_id // col_bands) * BAND
+        band_row0 = (band_id // col_bands) * row_scale
         col0 = (band_id % col_bands) * COLBAND
-    x_base = band_row0 if bands_mod is None else (band_id % bands_mod) * BAND
+    x_base = band_row0 if bands_mod is None else (band_id % bands_mod) * row_scale
 
-    u, v, a_band, b_loc = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
+    if stack_uv:
+        u, v, a_band, b_loc = _banded_gather_uv_stacked(flow_ref, band_row0, x_base, x, y, wp, col0)
+        x_local = x - x_base.astype(dtype)
+    else:
+        u, v, a_band, b_loc = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
 
     w0 = None if row_window is None else _window_start(x_base, hp, row_window)
     c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
@@ -586,7 +758,25 @@ def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflo
             jnp.all(ok), lambda: accumulate(True), lambda: accumulate(False)
         )
 
-    if col_bands is None:
+    if stack_uv:
+        # stacked M=128 scatter into the interleaved [2*hp_flow, wp] dflow
+        # layout (u band rows then v band rows per 64-row band; the host
+        # de-interleaves).  a2 holds du at the event's local row and dv at
+        # local row + BAND — the same bf16(du) summands the two-dot path
+        # contracts, so the de-interleaved result is bit-identical.
+        xi = x_local.astype(jnp.int32)
+        grid2 = jax.lax.broadcasted_iota(jnp.int32, (2 * BAND, x.shape[-1]), 0)
+        a2 = jnp.where(grid2 == xi, du, 0.0) + jnp.where(grid2 == xi + BAND, dv, 0.0)
+        r0s = pl.multiple_of(band_row0 * 2, 2 * BAND)
+        if col_bands is None:
+            dflow_ref[pl.ds(r0s, 2 * BAND), :] += _dot(
+                a2, b_loc, ((1,), (1,)), use_bf16, dtype
+            )
+        else:
+            dflow_ref[pl.ds(r0s, 2 * BAND), pl.ds(col0, COLBAND)] += _dot(
+                a2, b_loc, ((1,), (1,)), use_bf16, dtype
+            )
+    elif col_bands is None:
         dflow_ref[0, pl.ds(band_row0, BAND), :] += _dot(
             a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
         )
@@ -640,41 +830,60 @@ def _group_chunks(x, y, dtf, wt, band_ids, k: int):
             wt.reshape(shape), rows, steps)
 
 
-def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None, chunks_per_step=1):
+def _flow_pad_rows(h: int, row_scale: int) -> int:
+    """Gather-table height: whole 64-row bands for the aligned packers;
+    for flex packing (row_scale=8) every 8-aligned band start up to
+    round_up(h,8)-8 must have a full BAND-row slice below it."""
+    if row_scale == BAND:
+        return _round_up(h, BAND)
+    return _round_up(h, row_scale) - row_scale + BAND
+
+
+def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None, chunks_per_step=1, stack_uv=False, row_scale=BAND):
+    assert not stack_uv or use_bf16, "stack_uv is the hi/lo-bf16 gather layout"
+    assert not stack_uv or row_scale == BAND, "stack_uv requires 64-aligned bands"
     h, w = image_size
     # votes only need one extra row; the flow (gather table) pads to whole
     # 64-row bands so dynamic band slices stay Mosaic-vectorizable
     hp = _round_up(max(h + 1, BAND), 8)
-    hp_flow = _round_up(h, BAND)
+    hp_flow = _flow_pad_rows(h, row_scale)
     wp = _round_up(w + 1, 128)
     k = chunks_per_step
     flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
     k_total = len(offsets) + (1 if include_orig else 0)
     xs, ys, ds, ws, rows, steps = _group_chunks(x, y, dtf, wt, band_ids, k)
+    if stack_uv:
+        flow_in = _stack_uv_hilo(flow_p)
+        flow_spec = pl.BlockSpec((4 * hp_flow, wp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        flow_in = flow_p
+        flow_spec = pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
             row_window=row_window, col_window=col_window, chunks_per_step=k,
+            stack_uv=stack_uv, row_scale=row_scale,
         ),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((None, k, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *[pl.BlockSpec((None, k, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 4,
-            pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            flow_spec,
         ],
         out_specs=pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_total, hp, wp), flow.dtype),
         interpret=_interpret(),
-    )(rows, xs, ys, ds, ws, flow_p)
+    )(rows, xs, ys, ds, ws, flow_in)
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
 def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
                            include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
-                           row_window=None, col_window=None, chunks_per_step=1):
+                           row_window=None, col_window=None, chunks_per_step=1,
+                           stack_uv=False, row_scale=BAND):
     """Banded fused rasterizer over pre-packed chunks (pack_events_by_band,
     or pack_events_by_tile with ``col_bands=n_col_bands(w)`` for the
     column-windowed gather fast path).
@@ -692,44 +901,72 @@ def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
     grid step so the scheduler can overlap one chunk's VPU one-hot
     builds with another's MXU dots; bit-identical (same per-chunk math,
     same accumulation order).
+
+    ``stack_uv`` (v6): the gather table ships pre-interleaved hi/lo-bf16
+    (u/v bands adjacent, _stack_uv_hilo) so the gather is ONE M=256 dot
+    and the backward scatter ONE M=128 dot instead of four/two M=64 dots;
+    bit-identical to ``use_bf16=True`` (same summands, f32 accumulation).
+
+    ``row_scale`` (v7): the units of a band id's row part.  64 for the
+    aligned packers; 8 for fill-balanced flex packing
+    (pack_events_by_tile_flex), whose 8-aligned variable-height row bands
+    pack chunks near-full — grid steps cost the same whether a chunk is
+    full or padding, so fewer, fuller chunks is a direct win.
     """
-    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step)
+    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale)
 
 
-def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step):
-    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step)
+def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale):
+    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale)
     return out, (flow, x, y, dtf, wt, band_ids)
 
 
-def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, res, g):
+def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
-    hp_flow = _round_up(h, BAND)
+    hp_flow = _flow_pad_rows(h, row_scale)
     wp = _round_up(w + 1, 128)
     k = chunks_per_step
     flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
     k_total = g.shape[0]
     g_p = jnp.zeros((k_total, hp, wp), g.dtype).at[:, :h, :w].set(g)
     xs, ys, ds, ws, rows, steps = _group_chunks(x, y, dtf, wt, band_ids, k)
+    if stack_uv:
+        flow_in = _stack_uv_hilo(flow_p)
+        flow_spec = pl.BlockSpec((4 * hp_flow, wp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((2 * hp_flow, wp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2 * hp_flow, wp), flow.dtype)
+    else:
+        flow_in = flow_p
+        flow_spec = pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2, hp_flow, wp), flow.dtype)
 
     dflow_p = pl.pallas_call(
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
             row_window=row_window, col_window=col_window, chunks_per_step=k,
+            stack_uv=stack_uv, row_scale=row_scale,
         ),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((None, k, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *[pl.BlockSpec((None, k, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 4,
-            pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            flow_spec,
             pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, hp_flow, wp), flow.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(rows, xs, ys, ds, ws, flow_p, g_p)
+    )(rows, xs, ys, ds, ws, flow_in, g_p)
+    if stack_uv:
+        # de-interleave [2*hp_flow, wp] (u band rows; v band rows) -> [2, hp_flow, wp]
+        nb = hp_flow // BAND
+        dflow_p = (
+            dflow_p.reshape(nb, 2, BAND, wp).transpose(1, 0, 2, 3).reshape(2, hp_flow, wp)
+        )
     dflow = dflow_p[:, :h, :w]
     z = jnp.zeros_like
     return dflow, z(x), z(y), z(dtf), z(wt), None
@@ -991,29 +1228,29 @@ fused_multi_iwe_banded_voxel_batched.defvjp(_vox_vjp_fwd_b, _vox_vjp_bwd_b)
 # Batched-banded: one launch rasterizes a fleet of frames (grid (B, chunks)).
 
 
-def _specs_batched(hp, hp_flow, wp, k_total):
+def _specs_batched(hp, hp_flow, wp, k_total, chunk=_CHUNK):
     band = pl.BlockSpec((None, None, 1, 128), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((None, None, 1, _CHUNK), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((None, None, 1, chunk), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
     flow = pl.BlockSpec((None, 2, hp_flow, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     out = pl.BlockSpec((None, k_total, hp, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     return band, row, flow, out
 
 
-def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None):
+def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, row_scale=BAND):
     bsz = x.shape[0]
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
-    hp_flow = _round_up(h, BAND)
+    hp_flow = _flow_pad_rows(h, row_scale)
     wp = _round_up(w + 1, 128)
     g_chunks = x.shape[1]
     flow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(flow)
     k_total = len(offsets) + (1 if include_orig else 0)
-    band, row, flow_spec, out_spec = _specs_batched(hp, hp_flow, wp, k_total)
+    band, row, flow_spec, out_spec = _specs_batched(hp, hp_flow, wp, k_total, x.shape[-1])
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
-            col_bands=col_bands, row_window=row_window,
+            col_bands=col_bands, row_window=row_window, row_scale=row_scale,
         ),
         grid=(bsz, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec],
@@ -1024,42 +1261,44 @@ def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, inclu
     return out[:, :, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def fused_multi_iwe_banded_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets,
                                    include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
-                                   row_window=None):
+                                   row_window=None, row_scale=BAND):
     """Fleet variant: flow [B,2,H,W]; x/y/dtf/wt [B,G,1,CHUNK];
     band_rows [B,G,1,128] int32 (see _band_rows).  One kernel launch for
     all B frames; differentiable w.r.t. flow.  With ``col_bands`` the
     chunks must be tile-packed (pack_events_by_tile / pack_fleet_banded
-    with ``image_width``): gathers use 128-column windows."""
-    return _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window)
+    with ``image_width``): gathers use 128-column windows.  With
+    ``row_scale=FLEX_ROW_SCALE`` the chunks come from the fill-balanced
+    flex packer (pack_events_by_tile_flex)."""
+    return _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale)
 
 
-def _vjp_fwd_b(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window):
-    out = _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window)
+def _vjp_fwd_b(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale):
+    out = _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale)
     return out, (flow, x, y, dtf, wt, band_rows)
 
 
-def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, res, g):
+def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale, res, g):
     flow, x, y, dtf, wt, band_rows = res
     bsz = x.shape[0]
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
-    hp_flow = _round_up(h, BAND)
+    hp_flow = _flow_pad_rows(h, row_scale)
     wp = _round_up(w + 1, 128)
     g_chunks = x.shape[1]
     flow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(flow)
     k_total = g.shape[1]
     g_p = jnp.zeros((bsz, k_total, hp, wp), g.dtype).at[:, :, :h, :w].set(g)
-    band, row, flow_spec, _ = _specs_batched(hp, hp_flow, wp, k_total)
+    band, row, flow_spec, _ = _specs_batched(hp, hp_flow, wp, k_total, x.shape[-1])
     g_spec = pl.BlockSpec((None, k_total, hp, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     dflow_spec = pl.BlockSpec((None, 2, hp_flow, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     dflow_p = pl.pallas_call(
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
-            col_bands=col_bands, row_window=row_window,
+            col_bands=col_bands, row_window=row_window, row_scale=row_scale,
         ),
         grid=(bsz, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec, g_spec],

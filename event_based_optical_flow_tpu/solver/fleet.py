@@ -100,8 +100,21 @@ def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
             for b in bs
         ]
     else:
+        # flex packing gives data-dependent per-frame chunk counts: pad
+        # every frame to the fleet max with inert sentinel chunks
+        g_max = max(a.shape[0] for a in xs)
+
+        def _pad0(a, fill):
+            out = np.full((g_max,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        xs = [_pad0(a, -10.0) for a in xs]
+        ys = [_pad0(a, -10.0) for a in ys]
+        ds = [_pad0(a, 0.0) for a in ds]
+        ws = [_pad0(a, 0.0) for a in ws]
         bs = [
-            np.broadcast_to(b.astype(np.int32)[:, None, None], (len(b), 1, 128))
+            np.broadcast_to(_pad0(b, 0).astype(np.int32)[:, None, None], (g_max, 1, 128))
             for b in bs
         ]
     return (
@@ -123,6 +136,7 @@ def build_orig_iwe_banded_batched(spec: ObjectiveSpec):
         fused_multi_iwe_banded_batched,
         fused_multi_iwe_banded_voxel_batched,
         objective_dense_col_bands,
+        objective_row_scale,
         objective_row_window,
     )
 
@@ -143,7 +157,7 @@ def build_orig_iwe_banded_batched(spec: ObjectiveSpec):
             imgs = fused_multi_iwe_banded_batched(
                 zeros, x, y, dtf, wt, band_rows, spec.image_shape, (), True,
                 1e-6, use_bf16, objective_dense_col_bands(w),
-                objective_row_window(h),
+                objective_row_window(h), objective_row_scale(w),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
@@ -163,6 +177,7 @@ def build_batched_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool =
         fused_multi_iwe_banded_batched,
         fused_multi_iwe_banded_voxel_batched,
         objective_dense_col_bands,
+        objective_row_scale,
         objective_row_window,
     )
 
@@ -194,12 +209,13 @@ def build_batched_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool =
             )
         else:
             # dense fleet chunks come from pack_fleet_banded(image_width=w)
-            # -> pack_events_dense; the flag matches the policy by design
+            # -> pack_events_dense; the flags match the policy by design
             imgs = fused_multi_iwe_banded_batched(
                 flows, x, y, dtf, wt, band_rows, spec.image_shape,
                 tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
                 objective_dense_col_bands(spec.image_shape[1]),
                 objective_row_window(spec.image_shape[0]),
+                objective_row_scale(spec.image_shape[1]),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)

@@ -367,6 +367,7 @@ def build_orig_iwe_banded(spec: ObjectiveSpec, mesh=None):
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
         objective_dense_col_bands,
+        objective_row_scale,
         objective_row_window,
     )
 
@@ -386,7 +387,7 @@ def build_orig_iwe_banded(spec: ObjectiveSpec, mesh=None):
         return fused_multi_iwe_banded(
             zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
             1e-6, use_bf16, objective_dense_col_bands(w),
-            objective_row_window(h), None,
+            objective_row_window(h), None, 1, False, objective_row_scale(w),
         )
 
     images = (
@@ -434,6 +435,7 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
         fused_multi_iwe_banded_voxel,
         objective_col_window,
         objective_dense_col_bands,
+        objective_row_scale,
         objective_row_window,
     )
 
@@ -468,13 +470,14 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
                 objective_row_window(spec.image_shape[0]),
             )
         # dense chunks come from pack_events_dense (policy switch:
-        # OBJECTIVE_DENSE_PACKING) — the flag here matches by design
+        # OBJECTIVE_DENSE_PACKING) — the flags here match by design
         return fused_multi_iwe_banded(
             flow, x, y, dtf, wt, bands, spec.image_shape,
             tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
             objective_dense_col_bands(spec.image_shape[1]),
             objective_row_window(spec.image_shape[0]),
             objective_col_window(*spec.image_shape),
+            1, False, objective_row_scale(spec.image_shape[1]),
         )
 
     images = (

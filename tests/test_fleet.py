@@ -101,12 +101,12 @@ def test_fleet_pyramidal_solver():
         np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
 
 
-@pytest.mark.parametrize("width", [W, 500])  # band policy / wide->tile policy
+@pytest.mark.parametrize("width", [W, 500])  # narrow / wide geometry
 @pytest.mark.slow
 def test_batched_banded_dense_objective_matches_single(width):
     """Fleet banded DENSE objective (pack_events_dense policy packing —
-    tile at every width since the round-2 calibrated probes) vs the
-    per-frame matmul objective, loss and motion-grad."""
+    FLEX fill-balanced bands since late round 2) vs the per-frame matmul
+    objective, loss and motion-grad."""
     from event_based_optical_flow_tpu.ops.pallas_objective_banded import (
         objective_dense_packing,
     )
@@ -115,7 +115,7 @@ def test_batched_banded_dense_objective_matches_single(width):
         pack_fleet_banded,
     )
 
-    assert objective_dense_packing(width) == "tile"
+    assert objective_dense_packing(width) == "flex"  # round-2 late policy
     spec = dataclasses.replace(
         _spec(False), iwe_backend="pallas",
         image_shape=(H, width),

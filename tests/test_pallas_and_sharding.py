@@ -147,7 +147,6 @@ def test_col_windowed_votes_match_full(flow_mag):
     from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
 
     Ht, Wt = 130, 500  # hp=136 > 128 row window; wp=512 > 384 col window
-    assert PB.objective_dense_packing(Wt) == "tile"  # wide frame -> tile
     assert PB.objective_col_window(Ht, Wt) is None  # disabled by default (A/B regression)
     rng = np.random.default_rng(31)
     n = 600
@@ -248,6 +247,85 @@ def test_tile_packed_kernel_matches_band_packed():
     gt_ = jax.grad(lambda f: jnp.sum(run_tile(f) ** 2))(fl)
     gb_ = jax.grad(lambda f: jnp.sum(run_band(f) ** 2))(fl)
     np.testing.assert_allclose(np.asarray(gt_), np.asarray(gb_), atol=1e-8)
+
+
+def test_flex_packed_kernel_matches_band_packed():
+    """Fill-balanced flex tile packing (v7: variable-height 8-aligned row
+    bands, row_scale=8) == band packing, forward and flow-grad, windowed
+    and not, plus the orig-only (hoisted) call."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt = 130, 200  # non-64-multiple height, 2 column bands
+    rng = np.random.default_rng(13)
+    n = 500
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=1024)
+    flow = rng.uniform(-4, 4, (2, Ht, Wt))
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+
+    xb, yb, db, wb, bandsb = PB.pack_events_by_band(padded, wgt, dtf, Ht)
+    pf = PB.pack_events_by_tile_flex(padded, wgt, dtf, Ht, Wt, chunk=256, g_round=4)
+    assert pf[0].shape[0] % 4 == 0  # g_round honored
+    assert pf[0].shape[0] <= xb.shape[0] + 4  # fill-balanced: no blow-up
+
+    def run_band(fl):
+        return PB.fused_multi_iwe_banded(
+            fl, jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(db),
+            jnp.asarray(wb), jnp.asarray(bandsb), (Ht, Wt), (0.0, 0.5), True, 1e-6, False,
+        )
+
+    def run_flex(fl, rw=None, offsets=(0.0, 0.5)):
+        return PB.fused_multi_iwe_banded(
+            fl, *(jnp.asarray(a) for a in pf), (Ht, Wt), offsets, True, 1e-6,
+            False, PB.n_col_bands(Wt), rw, None, 1, False, PB.FLEX_ROW_SCALE,
+        )
+
+    fl = jnp.asarray(flow)
+    ref = np.asarray(run_band(fl))
+    np.testing.assert_allclose(np.asarray(run_flex(fl)), ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(run_flex(fl, rw=96)), ref, atol=1e-9)
+    gf = jax.grad(lambda f: jnp.sum(run_flex(f, rw=96) ** 2))(fl)
+    gb_ = jax.grad(lambda f: jnp.sum(run_band(f) ** 2))(fl)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gb_), atol=1e-8)
+    # orig-only hoisted call with flex band ids
+    np.testing.assert_allclose(
+        np.asarray(run_flex(fl, rw=96, offsets=()))[0], ref[0], atol=1e-9
+    )
+
+
+def test_stack_uv_gather_bit_identical():
+    """v6 stacked hi/lo-bf16 gather/scatter layout is bit-identical to the
+    unstacked bf16 kernel (same summands, f32 accumulation), fwd + grad.
+    Kept as a tested capability; round-2 probes measured it SLOWER on the
+    bench shape (406 vs 452 Mev/s) so no policy uses it."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt = 130, 200
+    rng = np.random.default_rng(17)
+    n = 400
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=512)
+    flow = rng.uniform(-4, 4, (2, Ht, Wt))
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    pk = PB.pack_events_by_tile(padded, wgt, dtf, Ht, Wt, chunk=256)
+
+    def run(fl, stacked):
+        return PB.fused_multi_iwe_banded(
+            fl, *(jnp.asarray(a) for a in pk), (Ht, Wt), (0.0, 0.5), True,
+            1e-6, True, PB.n_col_bands(Wt), 96, None, 1, stacked,
+        )
+
+    fl = jnp.asarray(flow)
+    np.testing.assert_array_equal(np.asarray(run(fl, True)), np.asarray(run(fl, False)))
+    gs = jax.grad(lambda f: jnp.sum(run(f, True) ** 2))(fl)
+    gu = jax.grad(lambda f: jnp.sum(run(f, False) ** 2))(fl)
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(gu))
 
 
 @pytest.mark.parametrize("height", [H, 130])  # 1 band / 3 bands (non-64-multiple)

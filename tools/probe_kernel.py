@@ -20,10 +20,12 @@ def main():
     import jax.numpy as jnp
 
     from event_based_optical_flow_tpu.ops.pallas_objective_banded import (
+        FLEX_ROW_SCALE,
         fused_multi_iwe_banded,
         n_col_bands,
         pack_events_by_band,
         pack_events_by_tile,
+        pack_events_by_tile_flex,
     )
 
     H, W = 260, 346
@@ -44,7 +46,8 @@ def main():
     flow = jnp.asarray(rng.uniform(-30, 30, (2, H, W)), jnp.float32)
 
     def make_runner(packed, col_bands, row_window, use_bf16=True, k=1,
-                    offsets=(0.5,), include_orig=False):
+                    offsets=(0.5,), include_orig=False, stack_uv=False,
+                    row_scale=64):
         pk = tuple(
             jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
             for a in packed
@@ -53,7 +56,7 @@ def main():
         def body_fn(f):
             return fused_multi_iwe_banded(
                 f, *pk, (H, W), offsets, include_orig, 1e-6, use_bf16,
-                col_bands, row_window, None, k,
+                col_bands, row_window, None, k, stack_uv, row_scale,
             ).sum()
 
         @jax.jit
@@ -99,15 +102,26 @@ def main():
         (0.5, 1.0), False,
     )
 
-    # ad-hoc spec: "tileC[:RW]" e.g. tile1536:96
+    # ad-hoc spec: "tileC[:RW[:s]]" e.g. tile1536:96, tile1024:96:s
+    # (trailing ":s" = stack_uv: pre-interleaved hi/lo-bf16 gather table);
+    # "flexC[:RW]" = fill-balanced variable-height row bands (v7)
     for arg in sys.argv[1:]:
         if arg.startswith("tile") and arg not in variants:
             parts = arg[4:].split(":")
             chunk = int(parts[0])
             rw = int(parts[1]) if len(parts) > 1 else 128
+            stk = len(parts) > 2 and parts[2] == "s"
             variants[arg] = (
                 pack_events_by_tile(events, wt, dtf, H, W, chunk=chunk),
-                n_col_bands(W), rw, 1,
+                n_col_bands(W), rw, 1, (0.5,), False, stk, 64,
+            )
+        elif arg.startswith("flex") and arg not in variants:
+            parts = arg[4:].split(":")
+            chunk = int(parts[0])
+            rw = int(parts[1]) if len(parts) > 1 else 128
+            variants[arg] = (
+                pack_events_by_tile_flex(events, wt, dtf, H, W, chunk=chunk),
+                n_col_bands(W), rw, 1, (0.5,), False, False, FLEX_ROW_SCALE,
             )
 
     names = sys.argv[1:] or list(variants)
@@ -116,8 +130,11 @@ def main():
         spec = variants[name]
         packed, cb, rw, k = spec[:4]
         offs, orig = (spec[4], spec[5]) if len(spec) > 4 else ((0.5,), False)
+        stk = spec[6] if len(spec) > 6 else False
+        rs = spec[7] if len(spec) > 7 else 64
         g = packed[0].shape[0]
-        runners[name] = make_runner(packed, cb, rw, k=k, offsets=offs, include_orig=orig)
+        runners[name] = make_runner(packed, cb, rw, k=k, offsets=offs,
+                                    include_orig=orig, stack_uv=stk, row_scale=rs)
         print(f"{name}: G={g} chunks", flush=True)
 
     # compile + calibrate

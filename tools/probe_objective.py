@@ -19,11 +19,14 @@ def main():
     import jax.numpy as jnp
 
     from event_based_optical_flow_tpu.ops.pallas_objective_banded import (
+        BAND,
+        FLEX_ROW_SCALE,
         fused_multi_iwe_banded,
         n_col_bands,
         objective_row_window,
         pack_events_by_band,
         pack_events_by_tile,
+        pack_events_by_tile_flex,
     )
     from event_based_optical_flow_tpu.ops.blur import gaussian_blur3
     from event_based_optical_flow_tpu.costs import functional as F
@@ -53,7 +56,7 @@ def main():
 
     rw_default = objective_row_window(H)
 
-    def make_runner(packed, col_bands, rw):
+    def make_runner(packed, col_bands, rw, row_scale=BAND):
         pk = tuple(
             jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
             for a in packed
@@ -63,7 +66,7 @@ def main():
             # objective shape: orig hoisted out (3 warp votes), blur, MF-NGM
             imgs = fused_multi_iwe_banded(
                 f, *pk, (H, W), (0.0, 1.0, 0.5), False, 1e-6, True,
-                col_bands, rw, None,
+                col_bands, rw, None, 1, False, row_scale,
             )
             imgs = gaussian_blur3(imgs, 1.0)
             orig = jax.lax.stop_gradient(imgs[2])
@@ -89,6 +92,15 @@ def main():
     for spec in specs:
         if spec.startswith("band"):
             continue
+        if spec.startswith("flex"):
+            parts = spec[4:].split(":")
+            chunk = int(parts[0])
+            rw = int(parts[1]) if len(parts) > 1 else rw_default
+            variants[spec] = (
+                pack_events_by_tile_flex(events, wt, dtf, H, W, chunk=chunk),
+                n_col_bands(W), rw, FLEX_ROW_SCALE,
+            )
+            continue
         parts = spec.split(":")
         chunk = int(parts[0])
         rw = int(parts[1]) if len(parts) > 1 else rw_default
@@ -104,8 +116,10 @@ def main():
             variants["band512"] = (pack_events_by_band(events, wt, dtf, H), None, rw_default)
 
     runners = {}
-    for name, (packed, cb, rw) in variants.items():
-        runners[name] = make_runner(packed, cb, rw)
+    for name, spec in variants.items():
+        packed, cb, rw = spec[:3]
+        rs = spec[3] if len(spec) > 3 else BAND
+        runners[name] = make_runner(packed, cb, rw, rs)
         print(f"{name}: G={packed[0].shape[0]} chunks rw={rw}", flush=True)
 
     est = {}
