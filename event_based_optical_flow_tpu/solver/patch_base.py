@@ -177,6 +177,22 @@ class PatchContrastMaximization(SolverBase):
             self._fun_cache[key] = jax.jit(self._build_newton(spec, maxiter, gtol))
         return self._fun_cache[key]
 
+    def _banded_newton_args(self, events_np: np.ndarray):
+        """Packed banded args for this exact event array (identity-cached,
+        2 slots: the full frame and an optional coarse-scale subsample —
+        strong references, so ids cannot be reused while cached)."""
+        cache = getattr(self, "_banded_cache", None)
+        if cache is None:
+            cache = self._banded_cache = []
+        for ref, args in cache:
+            if ref is events_np:
+                return args
+        args = self._pack_banded(events_np)
+        cache.append((events_np, args))
+        if len(cache) > 2:
+            cache.pop(0)
+        return args
+
     def _pack_banded(self, events_np: np.ndarray):
         """Per-frame host packing for the banded kernel (cached per frame
         via the caller); returns device args + scalar t_scale.  On a mesh,
@@ -292,19 +308,21 @@ class PatchContrastMaximization(SolverBase):
         return self._fun_cache[key]
 
     def _run_fused_scale_device(self, spec, events_np, ev, w, motion0, n_candidates,
-                                maxiter, gtol, patch_size=None):
+                                maxiter, gtol, patch_size=None, newton_events_np=None):
         """Host glue for the fused scale step: gather per-patch events,
-        assemble Newton args (banded pack or padded events), one call."""
+        assemble Newton args (banded pack or padded events), one call.
+        ``newton_events_np`` (optional) substitutes a different event set
+        for the Newton solve only (coarse-scale subsampling); the init
+        search always sees the full frame."""
         patch_size = tuple(patch_size or self.patch_size)
         capacity = self._patch_capacity(len(events_np))
         patch_events, weights, counts = gather_patch_events(events_np, self.patches, capacity)
         search_key = (patch_size, int(n_candidates), capacity)
         fused = self._get_fused_scale_solver(spec, search_key, maxiter, gtol)
         if self._uses_banded(spec):
-            if getattr(self, "_banded_events_ref", None) is not events_np:
-                self._banded_args = self._pack_banded(events_np)
-                self._banded_events_ref = events_np
-            newton_args = self._banded_args
+            newton_args = self._banded_newton_args(
+                events_np if newton_events_np is None else newton_events_np
+            )
         else:
             newton_args = (ev, w)
         best_x, best_f, n_iter = fused(
@@ -327,12 +345,7 @@ class PatchContrastMaximization(SolverBase):
         solve = self._get_newton_solver(spec, maxiter, gtol)
         x0 = jnp.asarray(np.asarray(motion0, dtype=np.float64).reshape(-1), self.dtype)
         if self._uses_banded(spec):
-            # pack once per frame: keep the array reference so identity
-            # comparison can't alias across frames
-            if getattr(self, "_banded_events_ref", None) is not events_np:
-                self._banded_args = self._pack_banded(events_np)
-                self._banded_events_ref = events_np
-            best_x, best_f, n_iter = solve(x0, *self._banded_args)
+            best_x, best_f, n_iter = solve(x0, *self._banded_newton_args(events_np))
         else:
             best_x, best_f, n_iter = solve(x0, events_dev, weights_dev)
         best_f = float(best_f)

@@ -97,6 +97,32 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         self.patch_size = self.scaled_patch_size[n_scale]
 
     # ----------------------------------------------------------------- main
+    def _coarse_events(self, events_np: np.ndarray):
+        """Stride-subsampled events for the COARSE pyramid scales, or None.
+
+        ``optimizer.coarse_event_fraction: f`` (default 1.0 = off) solves
+        every scale but the finest on ~f of the events (stride k=round(1/f)
+        on the time-sorted stream, so temporal and spatial coverage are
+        kept).  Coarse scales estimate few parameters from the same event
+        set as the finest — at high event rates (DSEC: 300k/frame) that
+        makes every scale cost the same and the pyramid ~S× the price of
+        its finest scale.  DEVIATION from the reference (which uses all
+        events at all scales), opt-in per config; the finest scale — the
+        one whose motion becomes the output flow — always sees every
+        event.  Applies to the fused banded device path (the TPU
+        production path); other optimizer families ignore it."""
+        frac = float(self.opt_config.get("coarse_event_fraction", 1.0))
+        if frac >= 1.0:
+            return None
+        if getattr(self, "_coarse_ref", None) is events_np:
+            return self._coarse_sub
+        k = max(1, int(round(1.0 / max(frac, 1e-3))))
+        sub = np.ascontiguousarray(events_np[::k])
+        if len(sub) < 512:  # too few events to be statistically meaningful
+            sub = None
+        self._coarse_ref, self._coarse_sub = events_np, sub
+        return sub
+
     def optimize(self, events: np.ndarray) -> Dict[int, np.ndarray]:
         logger.info(f"Start optimization. DoF {self.motion_vector_size * self.total_n_patch}")
         events = np.asarray(events, dtype=np.float64)
@@ -106,11 +132,15 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             return self._optimize_chain(events, ev, w)
 
         best_motion_per_scale: Dict[int, np.ndarray] = {}
+        sub = self._coarse_events(events)
         for s in range(self.coarsest_scale, self.patch_scales):
             self.overload_patch_configuration(s)
             spec = self._current_spec()
             device_newton = self.opt_method == "Newton-CG" and self.opt_config.get("device", True)
             presearch = self._presearch_motion(s, best_motion_per_scale) if device_newton else None
+            # coarse scales may solve on a subsample (banded path only);
+            # the finest scale always sees the full frame
+            newton_ev = sub if (sub is not None and s < self.patch_scales - 1) else events
 
             if presearch is None:
                 motion0 = self._init_scale(s, events, best_motion_per_scale)
@@ -122,13 +152,14 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                 best = self._run_fused_scale_device(
                     spec, events, ev, w, motion0, n_cand,
                     maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
+                    newton_events_np=newton_ev,
                 )
             elif device_newton:
                 self.cost_func.enable_history_register()
                 best = self._run_newton_device(
                     spec, ev, w, motion0,
                     maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
-                    events_np=events,
+                    events_np=newton_ev,
                 )
             elif self.opt_method in SCIPY_OPTIMIZERS:
                 self.cost_func.enable_history_register()
@@ -221,6 +252,14 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         x0 = self._init_scale(self.coarsest_scale, events_np, {})
 
         maxiter = self.opt_config.get("max_iter", 25)
+        coarse_args = ()
+        if self._uses_banded(specs[scales[0]]):
+            newton_args = self._banded_newton_args(events_np)
+            sub = self._coarse_events(events_np)
+            if sub is not None:
+                coarse_args = self._banded_newton_args(sub)
+        else:
+            newton_args = (ev, w)
         fused = self._get_chain_solver(
             tuple(scales),
             specs,
@@ -230,14 +269,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             gtol=1e-5,
             use_warm=use_warm,
             metrics_body=metrics_body,
+            use_coarse=bool(coarse_args),
         )
-        if self._uses_banded(specs[scales[0]]):
-            if getattr(self, "_banded_events_ref", None) is not events_np:
-                self._banded_args = self._pack_banded(events_np)
-                self._banded_events_ref = events_np
-            newton_args = self._banded_args
-        else:
-            newton_args = (ev, w)
         warm_in = (
             tuple(
                 jnp.asarray(np.asarray(warm[s], dtype=np.float64), self.dtype)
@@ -254,7 +287,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             tuple(patch_inputs),
             keys,
             tuple(metric_in),
-            *newton_args,
+            newton_args,
+            coarse_args,
         )
         if metric_in:
             outs, fs, its, err = out_all
@@ -280,7 +314,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         return refined
 
     def _get_chain_solver(self, scales, specs, search_meta, grid_shapes, maxiter, gtol,
-                          use_warm, metrics_body=None):
+                          use_warm, metrics_body=None, use_coarse=False):
         import jax
 
         key = (
@@ -291,13 +325,15 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             gtol,
             use_warm,
             metrics_body is not None,
+            use_coarse,
         )
         if key not in self._fun_cache:
             solvers = {s: self._build_newton(specs[s], maxiter, gtol) for s in scales}
             searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
             dtype = self.dtype
+            finest = scales[-1]
 
-            def chain(x0, warm_fine, patch_inputs, keys, metric_in, *newton_args):
+            def chain(x0, warm_fine, patch_inputs, keys, metric_in, newton_args, coarse_args):
                 best_x, best_f, iters = [], [], []
                 x = x0
                 prev = None
@@ -311,7 +347,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                             pe, pw, pc, m0.reshape(2, -1).T.astype(dtype), keys[i - 1]
                         )
                         x = m1.T.reshape(-1).astype(dtype)
-                    bx, bf, it = solvers[s](x, *newton_args)
+                    args_s = coarse_args if (use_coarse and s != finest) else newton_args
+                    bx, bf, it = solvers[s](x, *args_s)
                     prev = bx.reshape((2,) + grid_shapes[s])
                     best_x.append(prev)
                     best_f.append(bf)

@@ -38,6 +38,9 @@ SCIPY_OPTIMIZERS = [
 _NEEDS_HVP = {"Newton-CG", "trust-ncg", "trust-krylov", "trust-constr"}
 _NEEDS_HESS = {"dogleg", "trust-exact"}
 _GRAD_FREE = {"Nelder-Mead", "Powell", "COBYLA"}
+# Methods whose scipy option set has no "gtol" (the reference passes gtol
+# unconditionally, ref src/solver/patch_contrast_mixed.py:150; scipy warns).
+_NO_GTOL = {"Nelder-Mead", "Powell", "COBYLA", "SLSQP", "dogleg", "trust-exact"}
 
 
 def minimize(
@@ -59,6 +62,8 @@ def minimize(
     """
     options = dict(options or {})
     options.pop("eps", None)  # finite-difference step: unused with exact grads
+    if method in _NO_GTOL:
+        options.pop("gtol", None)
     x0 = np.asarray(x0, dtype=np.float64).reshape(-1)
 
     def fun(x):

@@ -59,7 +59,7 @@ _KNOWN_SOLVER_KEYS = {
 _KNOWN_PARALLEL_KEYS = {"data", "event"}
 _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
-    "chain", "hvp_central",
+    "chain", "hvp_central", "coarse_event_fraction",
 }
 _KNOWN_DNN_KEYS = {
     "n_bin", "batch_size", "n_steps", "lr", "data_parallel",
@@ -189,6 +189,11 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
                 raise ConfigError(
                     f"'optimizer.parameters.{pname}': min ({box['min']}) > max ({box['max']})"
                 )
+    frac = opt.get("coarse_event_fraction", 1.0)
+    if not isinstance(frac, (int, float)) or not (0.0 < float(frac) <= 1.0):
+        raise ConfigError(
+            f"'optimizer.coarse_event_fraction' must be in (0, 1], got {frac!r}"
+        )
     for key in opt:
         if key not in _KNOWN_OPT_KEYS:
             warnings.append(f"unknown config key 'optimizer.{key}' (ignored?)")

@@ -418,3 +418,42 @@ def test_global_similarity_solver_recovers_rot_and_zoom():
         err = solv.calculate_flow_error(best, gt, timescale=ts[1] - ts[0], events=ev)
         assert err["EPE"] < 1.0, (scene, err)
 
+
+
+@pytest.mark.parametrize("chain", [True, False])
+def test_pyramid_coarse_event_fraction(chain):
+    """optimizer.coarse_event_fraction solves the coarse scales on a
+    stride subsample of the events (banded path; new capability for
+    DSEC-scale event rates, DEVIATION from the reference documented in
+    pyramid._coarse_events).  The finest scale sees every event, so the
+    recovered motion stays at full quality."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt, n=2600, h=20, w=28)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 16, "crop_width": 24, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",  # interpret-mode banded kernel on CPU
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 4, "method": "Newton-CG", "max_iter": 6,
+        "coarse_event_fraction": 0.5, "chain": chain,
+        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+    }
+    solv = solver.collections["pyramidal_patch_contrast_maximization"](
+        (20, 28), {}, slv_cfg, opt_cfg, {}, None
+    )
+    best = solv.optimize(ev)
+    # the subsample was actually built and used for the coarse scales
+    assert solv._coarse_sub is not None and len(solv._coarse_sub) < len(ev)
+    fin = best[max(best)]
+    assert np.abs(fin[0].mean() - gt[0]) < 1.5, fin[0].mean()
+    assert np.abs(fin[1].mean() - gt[1]) < 1.5, fin[1].mean()

@@ -6,6 +6,8 @@ cancels the tunnel's session drift (single-shot e2e numbers swing
 
     python tools/ab_policy.py [n_rounds]          # packing-policy A/B
     python tools/ab_policy.py [n_rounds] hvp      # one-sided vs central FD-HVP
+    python tools/ab_policy.py [n_rounds] flex     # flex vs tile packing (MVSEC)
+    python tools/ab_policy.py [n_rounds] flex-dsec  # same at 480x640/300k
 """
 import os
 import sys
@@ -25,11 +27,17 @@ from bench_e2e import GT, OPT_CFG, SLV_CFG, synth  # noqa: E402
 H, W = 260, 346
 
 
+N_EV = 30000
+
+
 def build_solver(opt_over=None):
     from event_based_optical_flow_tpu import solver as _s
 
+    slv = dict(SLV_CFG)
+    if (H, W) != (260, 346):
+        slv["patch"] = dict(slv["patch"], crop_height=H, crop_width=W)
     return _s.collections["pyramidal_patch_contrast_maximization"](
-        (H, W), {}, dict(SLV_CFG), dict(OPT_CFG, **(opt_over or {})), {}, None
+        (H, W), {}, slv, dict(OPT_CFG, **(opt_over or {})), {}, None
     )
 
 
@@ -39,7 +47,19 @@ def main():
     n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     mode = sys.argv[2] if len(sys.argv) > 2 else "packing"
 
-    if mode == "hvp":
+    if mode.startswith("flex"):
+        if mode == "flex-dsec":
+            global H, W, N_EV
+            import bench_e2e as _be
+
+            _be.H, _be.W = 480, 640  # synth() reads bench_e2e's globals
+            H, W, N_EV = 480, 640, 300000
+        POLICIES = {
+            "A(flex,rw96)": ("flex", 96),
+            "B(tile,rw96)": ("tile", 96),
+        }
+        OPT_OVER = {k: {} for k in POLICIES}
+    elif mode == "hvp":
         POLICIES = {
             "A(one-sided)": ("tile", 96),
             "B(central)": ("tile", 96),
@@ -52,6 +72,8 @@ def main():
         }
         OPT_OVER = {k: {} for k in POLICIES}
 
+    default_policy = (PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW)
+
     def with_policy(name, fn):
         # the host packer reads the policy constants at CALL time and the
         # kernel flags at BUILD time — both must see the same policy for
@@ -60,11 +82,11 @@ def main():
         try:
             return fn()
         finally:
-            PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW = "tile", 96
+            PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW = default_policy
 
     solvers = {name: build_solver(OPT_OVER[name]) for name in POLICIES}
 
-    frames = [synth(GT, seed=100 + f) for f in range(n_rounds + 1)]
+    frames = [synth(GT, seed=100 + f, n=N_EV) for f in range(n_rounds + 1)]
     # warm both (compiles + warm start state)
     for name, s in solvers.items():
         best = with_policy(name, lambda: s.optimize(frames[0]))
