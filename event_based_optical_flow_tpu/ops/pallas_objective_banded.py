@@ -250,16 +250,20 @@ def objective_dense_chunk(width: int) -> int:
 _FLEX_G_ROUND = 8
 
 
-def pack_events_dense(events, weights, dtf, height: int, width: int, chunk: int = 0):
+def pack_events_dense(events, weights, dtf, height: int, width: int, chunk: int = 0,
+                      g_round: int = 0):
     """Dense-path packing for the objective consumers; the matching kernel
     flags are ``objective_dense_col_bands`` / ``objective_row_window`` /
     ``objective_col_window`` / ``objective_row_scale`` (chunk defaults to
-    the width policy ``objective_dense_chunk``)."""
+    the width policy ``objective_dense_chunk``).  ``g_round`` overrides the
+    flex G bucket (callers whose event count varies call-to-call — e.g.
+    coarse-scale subsamples — pass a coarser bucket to bound retraces)."""
     chunk = chunk or objective_dense_chunk(width)
     packing = objective_dense_packing(width)
     if packing == "flex":
         return pack_events_by_tile_flex(
-            events, weights, dtf, height, width, chunk, g_round=_FLEX_G_ROUND
+            events, weights, dtf, height, width, chunk,
+            g_round=g_round or _FLEX_G_ROUND,
         )
     if packing == "tile":
         return pack_events_by_tile(events, weights, dtf, height, width, chunk)

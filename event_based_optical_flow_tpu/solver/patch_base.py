@@ -177,7 +177,7 @@ class PatchContrastMaximization(SolverBase):
             self._fun_cache[key] = jax.jit(self._build_newton(spec, maxiter, gtol))
         return self._fun_cache[key]
 
-    def _banded_newton_args(self, events_np: np.ndarray):
+    def _banded_newton_args(self, events_np: np.ndarray, g_round: int = 0):
         """Packed banded args for this exact event array (identity-cached,
         2 slots: the full frame and an optional coarse-scale subsample —
         strong references, so ids cannot be reused while cached)."""
@@ -187,13 +187,18 @@ class PatchContrastMaximization(SolverBase):
         for ref, args in cache:
             if ref is events_np:
                 return args
-        args = self._pack_banded(events_np)
+        if not g_round and events_np is getattr(self, "_coarse_sub", None):
+            # coarse-scale subsample: its chunk count varies frame to
+            # frame more than the full pack's, so bucket G coarser (each
+            # unseen bucket is a fresh jit of the whole Newton program)
+            g_round = 32
+        args = self._pack_banded(events_np, g_round=g_round)
         cache.append((events_np, args))
         if len(cache) > 2:
             cache.pop(0)
         return args
 
-    def _pack_banded(self, events_np: np.ndarray):
+    def _pack_banded(self, events_np: np.ndarray, g_round: int = 0):
         """Per-frame host packing for the banded kernel (cached per frame
         via the caller); returns device args + scalar t_scale.  On a mesh,
         the chunk axis is padded to a multiple of the event-shard count
@@ -217,7 +222,8 @@ class PatchContrastMaximization(SolverBase):
             )
         else:
             packed = pack_events_dense(
-                padded, wgt, dtf, self.image_shape[0], self.image_shape[1]
+                padded, wgt, dtf, self.image_shape[0], self.image_shape[1],
+                g_round=g_round,
             )
         if self.mesh is not None and self.n_event_shards > 1:
             from jax.sharding import NamedSharding

@@ -260,6 +260,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                 coarse_args = self._banded_newton_args(sub)
         else:
             newton_args = (ev, w)
+        split = bool(coarse_args)
         fused = self._get_chain_solver(
             tuple(scales),
             specs,
@@ -268,8 +269,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             maxiter=maxiter,
             gtol=1e-5,
             use_warm=use_warm,
-            metrics_body=metrics_body,
-            use_coarse=bool(coarse_args),
+            metrics_body=None if split else metrics_body,
+            split_coarse=split,
         )
         warm_in = (
             tuple(
@@ -287,10 +288,24 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             tuple(patch_inputs),
             keys,
             tuple(metric_in),
-            newton_args,
-            coarse_args,
+            coarse_args if split else newton_args,
         )
-        if metric_in:
+        if split:
+            outs_c, fs_c, its_c, x0_fin = out_all
+            fin_fn = self._get_finest_solver(
+                specs[scales[-1]], maxiter, 1e-5, bool(metric_in)
+            )
+            fin_all = fin_fn(x0_fin, tuple(metric_in), *newton_args)
+            if metric_in:
+                bx, bf, bit, err = fin_all
+                self._last_chain_metrics = {k: float(v) for k, v in err.items()}
+            else:
+                bx, bf, bit = fin_all
+                self._last_chain_metrics = None
+            outs = list(outs_c) + [bx.reshape((2,) + grid_shapes[scales[-1]])]
+            fs = list(np.asarray(fs_c)) + [float(bf)]
+            its = list(np.asarray(its_c)) + [int(bit)]
+        elif metric_in:
             outs, fs, its, err = out_all
             self._last_chain_metrics = {k: float(v) for k, v in err.items()}
         else:
@@ -314,7 +329,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         return refined
 
     def _get_chain_solver(self, scales, specs, search_meta, grid_shapes, maxiter, gtol,
-                          use_warm, metrics_body=None, use_coarse=False):
+                          use_warm, metrics_body=None, split_coarse=False):
         import jax
 
         key = (
@@ -325,15 +340,22 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             gtol,
             use_warm,
             metrics_body is not None,
-            use_coarse,
+            split_coarse,
         )
         if key not in self._fun_cache:
-            solvers = {s: self._build_newton(specs[s], maxiter, gtol) for s in scales}
+            # split_coarse: the chain covers the COARSE scales only (they
+            # solve on the subsampled pack) and ends by returning the
+            # finest scale's init vector; the finest solve runs as its own
+            # device program on the full pack (_get_finest_solver).  One
+            # program holding both packs and every per-shape solver proved
+            # too much for the TPU runtime at DSEC scale (480x640/300k:
+            # FailedPrecondition at execute); two dispatches cost ~50 ms.
+            solve_scales = scales[:-1] if split_coarse else scales
+            solvers = {s: self._build_newton(specs[s], maxiter, gtol) for s in solve_scales}
             searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
             dtype = self.dtype
-            finest = scales[-1]
 
-            def chain(x0, warm_fine, patch_inputs, keys, metric_in, newton_args, coarse_args):
+            def chain(x0, warm_fine, patch_inputs, keys, metric_in, newton_args):
                 best_x, best_f, iters = [], [], []
                 x = x0
                 prev = None
@@ -347,8 +369,9 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                             pe, pw, pc, m0.reshape(2, -1).T.astype(dtype), keys[i - 1]
                         )
                         x = m1.T.reshape(-1).astype(dtype)
-                    args_s = coarse_args if (use_coarse and s != finest) else newton_args
-                    bx, bf, it = solvers[s](x, *args_s)
+                    if split_coarse and s == scales[-1]:
+                        return tuple(best_x), jnp.stack(best_f), jnp.stack(iters), x
+                    bx, bf, it = solvers[s](x, *newton_args)
                     prev = bx.reshape((2,) + grid_shapes[s])
                     best_x.append(prev)
                     best_f.append(bf)
@@ -361,6 +384,27 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                 return tuple(best_x), jnp.stack(best_f), jnp.stack(iters), err
 
             self._fun_cache[key] = jax.jit(chain)
+        return self._fun_cache[key]
+
+    def _get_finest_solver(self, spec, maxiter, gtol, with_metrics):
+        """Finest-scale Newton solve (+ optional fused AEE/FWL metrics) as
+        one device program — the second dispatch of the split coarse
+        chain."""
+        import jax
+
+        key = (spec, "chain_finest", maxiter, gtol, with_metrics)
+        if key not in self._fun_cache:
+            solve = self._build_newton(spec, maxiter, gtol)
+            metrics_body = self._build_metrics_body() if with_metrics else None
+
+            def finest(x0, metric_in, *newton_args):
+                bx, bf, it = solve(x0, *newton_args)
+                if metrics_body is None:
+                    return bx, bf, it
+                gt, me, mw, ts = metric_in
+                return bx, bf, it, metrics_body(bx, gt, me, mw, ts)
+
+            self._fun_cache[key] = jax.jit(finest)
         return self._fun_cache[key]
 
     def optimize_with_metrics(self, events, gt_flow, timescale: float, metric_events):

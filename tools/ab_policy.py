@@ -8,6 +8,8 @@ cancels the tunnel's session drift (single-shot e2e numbers swing
     python tools/ab_policy.py [n_rounds] hvp      # one-sided vs central FD-HVP
     python tools/ab_policy.py [n_rounds] flex     # flex vs tile packing (MVSEC)
     python tools/ab_policy.py [n_rounds] flex-dsec  # same at 480x640/300k
+    python tools/ab_policy.py [n_rounds] coarse-dsec  # coarse_event_fraction
+        # accuracy+speed A/B on a 30%-clutter DSEC-geometry scene
 """
 import os
 import sys
@@ -47,18 +49,30 @@ def main():
     n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     mode = sys.argv[2] if len(sys.argv) > 2 else "packing"
 
-    if mode.startswith("flex"):
-        if mode == "flex-dsec":
+    noise_frac = 0.0
+    if mode.startswith(("flex", "coarse")):
+        if mode.endswith("-dsec"):
             global H, W, N_EV
             import bench_e2e as _be
 
             _be.H, _be.W = 480, 640  # synth() reads bench_e2e's globals
             H, W, N_EV = 480, 640, 300000
-        POLICIES = {
-            "A(flex,rw96)": ("flex", 96),
-            "B(tile,rw96)": ("tile", 96),
-        }
-        OPT_OVER = {k: {} for k in POLICIES}
+        if mode.startswith("coarse"):
+            noise_frac = 0.3
+            POLICIES = {
+                "A(full-events)": ("flex", 96),
+                "B(coarse 0.25)": ("flex", 96),
+            }
+            OPT_OVER = {
+                "A(full-events)": {},
+                "B(coarse 0.25)": {"coarse_event_fraction": 0.25},
+            }
+        else:
+            POLICIES = {
+                "A(flex,rw96)": ("flex", 96),
+                "B(tile,rw96)": ("tile", 96),
+            }
+            OPT_OVER = {k: {} for k in POLICIES}
     elif mode == "hvp":
         POLICIES = {
             "A(one-sided)": ("tile", 96),
@@ -86,7 +100,30 @@ def main():
 
     solvers = {name: build_solver(OPT_OVER[name]) for name in POLICIES}
 
-    frames = [synth(GT, seed=100 + f, n=N_EV) for f in range(n_rounds + 1)]
+    def make_frame(seed):
+        ev = synth(GT, seed=seed, n=N_EV)
+        if noise_frac:
+            # uniform clutter events over the same time span (the parity
+            # study's "noise" family at this geometry)
+            rng = np.random.default_rng(seed + 7)
+            n_noise = int(len(ev) * noise_frac)
+            t = rng.uniform(ev[:, 2].min(), ev[:, 2].max(), n_noise)
+            noise = np.stack(
+                [rng.uniform(0, H - 1, n_noise), rng.uniform(0, W - 1, n_noise),
+                 t, rng.integers(0, 2, n_noise)], 1)
+            ev = np.concatenate([ev, noise])
+            ev = ev[np.argsort(ev[:, 2], kind="stable")]
+        return ev
+
+    frames = [make_frame(100 + f) for f in range(n_rounds + 1)]
+    maes = {}
+
+    def grid_gt(wp):
+        # the solver's motion grid covers the crop uniformly: the GT
+        # half-split in width maps to the grid's width midpoint
+        gu = np.where(np.arange(wp)[None, :] >= wp / 2, GT[0], -GT[0])
+        gv = np.where(np.arange(wp)[None, :] >= wp / 2, GT[1], -GT[1])
+        return gu, gv
     # warm both (compiles + warm start state)
     for name, s in solvers.items():
         best = with_policy(name, lambda: s.optimize(frames[0]))
@@ -101,13 +138,22 @@ def main():
             s.set_previous_frame_best_estimation(best)
             fin = best[max(best)]
             half = fin.shape[2] // 2
+            extra = ""
+            if noise_frac:
+                gu, gv = grid_gt(fin.shape[2])
+                mae = 0.5 * (np.abs(fin[0] - gu).mean() + np.abs(fin[1] - gv).mean())
+                maes.setdefault(name, []).append(float(mae))
+                extra = f" flowMAE={mae:.2f} px/s"
             print(
                 f"round {r} {name}: {times[name][-1]:.2f}s "
-                f"u=({fin[0][:, :half].mean():.1f},{fin[0][:, half:].mean():.1f})",
+                f"u=({fin[0][:, :half].mean():.1f},{fin[0][:, half:].mean():.1f})" + extra,
                 flush=True,
             )
     for name, ts in times.items():
-        print(f"{name}: median {sorted(ts)[len(ts)//2]:.2f}s over {len(ts)} frames")
+        line = f"{name}: median {sorted(ts)[len(ts)//2]:.2f}s over {len(ts)} frames"
+        if name in maes:
+            line += f", mean flowMAE {np.mean(maes[name]):.3f} px/s"
+        print(line)
 
 
 if __name__ == "__main__":

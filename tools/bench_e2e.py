@@ -77,7 +77,7 @@ def main():
     for arg in sys.argv[2:]:
         if "=" in arg:
             k, v = arg.split("=", 1)
-            OPT_CFG[k] = int(v)
+            OPT_CFG[k] = float(v) if "." in v else int(v)
     if which == "fleet":
         return run_fleet()
     if which == "fleet-warm":
