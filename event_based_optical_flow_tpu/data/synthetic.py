@@ -14,6 +14,9 @@ tools/parity_study.py):
   * ``rot``: rigid rotation about the image center, rate ``omega`` rad/s
     (dense flow varies linearly with radius; closed-form advection)
   * ``zoom``: exponential expansion ``zoom_rate`` 1/s about the center
+  * ``rot3d``: calibrated 3-DoF camera rotation ``omega3`` rad/s
+    (exact ray rotation + pinhole projection, focal ``focal`` px; the
+    GT for the "3-rotation" global motion model)
 ``noise_fraction`` mixes in uniform random (scene-independent) events;
 ``event_rate`` controls density.  GT displacement is the exact particle
 displacement of each pixel over the window (not velocity x dt), so the
@@ -47,6 +50,10 @@ class SyntheticDataLoader(DataLoaderBase):
         self.scene = str(config.get("scene", "quadrants"))
         self.omega = float(config.get("omega", 0.2))  # rad/s (scene: rot)
         self.zoom_rate = float(config.get("zoom_rate", 0.15))  # 1/s (scene: zoom)
+        # scene "rot3d": calibrated camera rotation (rad/s, camera frame:
+        # x right=col, y down=row, z forward); "focal" in px
+        self.omega3 = np.asarray(config.get("omega3", [0.05, -0.05, 0.4]), np.float64)
+        self.focal = float(config.get("focal", (self._HEIGHT + self._WIDTH) / 2.0))
         self.noise_fraction = float(config.get("noise_fraction", 0.0))
         # "lattice" (default): jittered sparse-edge lattice.  "dots":
         # persistent random dots — APERIODIC; lattice patterns alias
@@ -105,6 +112,12 @@ class SyntheticDataLoader(DataLoaderBase):
             g = np.exp(self.zoom_rate * t)
             x = cx + g * (x0 - cx)
             y = cy + g * (y0 - cy)
+        elif self.scene == "rot3d":
+            # calibrated camera rotation: scene directions are fixed, the
+            # camera frame rotates with omega3, so each dot's ray evolves
+            # exactly as ray(t) = exp(-[omega3]x t) ray(0) (the projected
+            # small-motion limit is ops/warp.flow_from_rotation's field)
+            x, y = self._rotate_pixels(x0, y0, t)
         else:
             raise NotImplementedError(f"synthetic scene {self.scene!r} not implemented")
         if self.noise_fraction > 0:
@@ -121,6 +134,29 @@ class SyntheticDataLoader(DataLoaderBase):
         self.max_ts = self.duration
         self.data_duration = self.duration
         self.gray_ts = np.linspace(0.02, self.duration - 0.02, self.n_frames)
+
+    def _calib4(self):
+        """(f_row, f_col, c_row, c_col) of the synthetic pinhole."""
+        return self.focal, self.focal, (self._HEIGHT - 1) / 2.0, (self._WIDTH - 1) / 2.0
+
+    def _rotate_pixels(self, x_row, y_col, dt):
+        """Pixel positions after rotating the camera by omega3 for dt
+        (vectorized Rodrigues on the unprojected rays; dt may be
+        per-element)."""
+        fr, fc, cr, cc = self._calib4()
+        rays = np.stack(
+            [(y_col - cc) / fc, (x_row - cr) / fr, np.ones_like(x_row)], axis=-1
+        )
+        nw = float(np.linalg.norm(self.omega3))
+        if nw < 1e-12:
+            return x_row, y_col
+        k = -self.omega3 / nw  # exp(-[w]x t) = rotation by |w| t about -w
+        a = np.asarray(nw * dt)[..., None]
+        kxv = np.cross(np.broadcast_to(k, rays.shape), rays)
+        kdv = (rays @ k)[..., None]
+        r = rays * np.cos(a) + kxv * np.sin(a) + k * kdv * (1.0 - np.cos(a))
+        X, Y = r[..., 0] / r[..., 2], r[..., 1] / r[..., 2]
+        return cr + fr * Y, cc + fc * X
 
     def __len__(self):
         return len(self.events)
@@ -180,7 +216,17 @@ class SyntheticDataLoader(DataLoaderBase):
             flow[:, :, 0] = g * rx
             flow[:, :, 1] = g * ry
             return flow
+        if self.scene == "rot3d":
+            rows = np.broadcast_to(np.arange(H, dtype=np.float64)[:, None], (H, W))
+            cols = np.broadcast_to(np.arange(W, dtype=np.float64)[None, :], (H, W))
+            x2, y2 = self._rotate_pixels(rows.ravel(), cols.ravel(), dt)
+            flow[:, :, 0] = x2.reshape(H, W) - rows
+            flow[:, :, 1] = y2.reshape(H, W) - cols
+            return flow
         raise NotImplementedError(f"synthetic scene {self.scene!r} not implemented")
 
     def load_calib(self) -> dict:
-        return {}
+        """Synthetic pinhole intrinsics (OpenCV K; consumed by the
+        calibrated motion models, e.g. "3-rotation")."""
+        fr, fc, cr, cc = self._calib4()
+        return {"K": np.array([[fc, 0.0, cc], [0.0, fr, cr], [0.0, 0.0, 1.0]])}

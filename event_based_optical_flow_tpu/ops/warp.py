@@ -32,9 +32,24 @@ MOTION_MODELS = (
     "2d-translation",
     "rigid-optical-flow",
     "4-param-similarity",
+    "3-rotation",
     "dense-flow",
     "dense-flow-voxel",
 )
+
+
+def calib_tuple(image_size: Tuple[int, int], calib_param=None) -> Tuple[float, float, float, float]:
+    """(f_row, f_col, c_row, c_col) from a calibration dict with a 3x3
+    ``K`` (OpenCV convention: K[0,0]=f_col, K[0,2]=c_col, K[1,1]=f_row,
+    K[1,2]=c_row — our event x axis is the image ROW).  Without calib a
+    generic pinhole is assumed: f = (H+W)/2 (a ~60 deg FOV), principal
+    point at the image center."""
+    if calib_param and "K" in calib_param:
+        K = np.asarray(calib_param["K"], dtype=np.float64)
+        return float(K[1, 1]), float(K[0, 0]), float(K[1, 2]), float(K[0, 2])
+    h, w = image_size
+    f = (h + w) / 2.0
+    return f, f, (h - 1) / 2.0, (w - 1) / 2.0
 
 
 def _masked_min(x: Array, weights: Optional[Array]) -> Array:
@@ -385,6 +400,42 @@ def flow_from_similarity(motion: Array, image_size: Tuple[int, int]) -> Array:
                        jnp.broadcast_to(gy, shape[:-3] + (h, w))], axis=-3)
 
 
+def flow_from_rotation(
+    motion: Array,
+    image_size: Tuple[int, int],
+    calib: Tuple[float, float, float, float],
+) -> Array:
+    """Dense [2, H, W] flow of a calibrated 3-DoF camera rotation,
+    motion = (rot_x, rot_y, rot_z) [rad/s].
+
+    New capability for ego-rotation sequences (the classic CMax rotation
+    estimation problem, Gallego CVPR'18; the reference stripped every
+    rotational model from its public release — its "rigid-optical-flow"
+    aliases 2d-translation, ref warp.py:77,108).
+
+    Geometry: camera frame z forward, x right (= image column), y down
+    (= image row); the camera rotates with angular velocity omega, a
+    fixed scene direction ray satisfies ray' = -omega x ray, and the
+    induced pixel velocity is the rotational interaction matrix
+        udot = f_c [ X Y wx - (1 + X^2) wy + Y wz ]   (column px/s)
+        vdot = f_r [ (1 + Y^2) wx - X Y wy - X wz ]   (row px/s)
+    with X = (c - c_col)/f_col, Y = (r - c_row)/f_row.  As everywhere in
+    this framework, events advect with +g and the dense flow is -g (see
+    flow_from_2d_translation's sign note; ref warp.py:149-150)."""
+    h, w = image_size
+    f_r, f_c, c_r, c_c = calib
+    Y = (jnp.arange(h, dtype=motion.dtype)[:, None] - c_r) / f_r  # [H, 1]
+    X = (jnp.arange(w, dtype=motion.dtype)[None, :] - c_c) / f_c  # [1, W]
+    wx, wy, wz = motion[..., 0], motion[..., 1], motion[..., 2]
+    ex = lambda a: a[..., None, None]
+    g_col = f_c * (X * Y * ex(wx) - (1.0 + X * X) * ex(wy) + Y * ex(wz))
+    g_row = f_r * ((1.0 + Y * Y) * ex(wx) - X * Y * ex(wy) - X * ex(wz))
+    shape = motion.shape[:-1] + (2, h, w)
+    return -jnp.stack(
+        [jnp.broadcast_to(g_row, shape[:-3] + (h, w)),
+         jnp.broadcast_to(g_col, shape[:-3] + (h, w))], axis=-3)
+
+
 class Warp:
     """Facade mirroring the reference ``Warp`` class (ref warp.py:24-62)."""
 
@@ -404,6 +455,8 @@ class Warp:
             return ["trans_x", "trans_y"]
         if motion_model == "4-param-similarity":
             return ["trans_x", "trans_y", "rot", "zoom"]
+        if motion_model == "3-rotation":
+            return ["rot_x", "rot_y", "rot_z"]
         raise ValueError(f"motion model {motion_model!r} not supported")
 
     def get_motion_vector_size(self, motion_model: str) -> int:
@@ -417,6 +470,8 @@ class Warp:
             return np.array([params["trans_x"], params["trans_y"]])
         if motion_model == "4-param-similarity":
             return np.array([params["trans_x"], params["trans_y"], params["rot"], params["zoom"]])
+        if motion_model == "3-rotation":
+            return np.array([params["rot_x"], params["rot_y"], params["rot_z"]])
         raise ValueError(f"motion model {motion_model!r} not supported")
 
     def motion_model_from_motion(self, motion, motion_model: str) -> dict:
@@ -424,6 +479,8 @@ class Warp:
             return {"trans_x": motion[0], "trans_y": motion[1]}
         if motion_model == "4-param-similarity":
             return {"trans_x": motion[0], "trans_y": motion[1], "rot": motion[2], "zoom": motion[3]}
+        if motion_model == "3-rotation":
+            return {"rot_x": motion[0], "rot_y": motion[1], "rot_z": motion[2]}
         raise ValueError(f"motion model {motion_model!r} not supported")
 
     def get_flow_from_motion(self, motion, motion_model: str):
@@ -431,6 +488,10 @@ class Warp:
             return flow_from_2d_translation(jnp.asarray(motion), self.image_size)
         if motion_model == "4-param-similarity":
             return flow_from_similarity(jnp.asarray(motion), self.image_size)
+        if motion_model == "3-rotation":
+            return flow_from_rotation(
+                jnp.asarray(motion), self.image_size,
+                calib_tuple(self.image_size, self.calib_param))
         raise ValueError(f"motion model {motion_model!r} not supported")
 
     def warp_event(
@@ -454,5 +515,9 @@ class Warp:
             return warp_2dof(events, motion, ref_time, self.normalize_t, weights=weights)
         if motion_model == "4-param-similarity":
             flow = flow_from_similarity(motion, self.image_size)
+            return warp_dense_flow(events, flow, ref_time, self.image_size, self.normalize_t, weights)
+        if motion_model == "3-rotation":
+            flow = flow_from_rotation(
+                motion, self.image_size, calib_tuple(self.image_size, self.calib_param))
             return warp_dense_flow(events, flow, ref_time, self.image_size, self.normalize_t, weights)
         raise ValueError(f"motion model {motion_model!r} not supported")

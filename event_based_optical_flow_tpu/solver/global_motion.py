@@ -1,8 +1,10 @@
 """Global (whole-frame) motion-model CMax solver.
 
 Optimizes the motion model's parameter vector directly — 2-DoF
-translation or the 4-DoF similarity (translation + rotation + zoom about
-the image center, ops/warp.flow_from_similarity) — with the on-device
+translation, the 4-DoF similarity (translation + rotation + zoom about
+the image center, ops/warp.flow_from_similarity), or the calibrated
+3-DoF camera rotation ("3-rotation", ops/warp.flow_from_rotation; the
+classic CMax rotation-estimation problem) — with the on-device
 Newton-CG (or any scipy/optax family) through the same fused banded
 objective as the tile solvers (the kernel consumes a dense [2, H, W]
 flow regardless of how it was parameterized).
@@ -15,9 +17,12 @@ are the target.
 
 Config surface: ``solver.method: global_contrast_maximization`` with
 ``solver.motion_model`` one of 2d-translation / rigid-optical-flow /
-4-param-similarity; ``optimizer.parameters`` boxes keyed by the model's
-parameter names (trans_x/trans_y[/rot/zoom]) drive random init.  The
-cost must not include total_variation (no tile grid to regularize).
+4-param-similarity / 3-rotation; ``optimizer.parameters`` boxes keyed by
+the model's parameter names (trans_x/trans_y[/rot/zoom] or
+rot_x/rot_y/rot_z) drive random init.  3-rotation reads the camera
+intrinsics from ``calibration_parameter["K"]`` (generic pinhole assumed
+without one).  The cost must not include total_variation (no tile grid
+to regularize).
 """
 
 import logging
@@ -32,7 +37,10 @@ logger = logging.getLogger(__name__)
 
 # fallback random-init half-ranges per parameter kind (overridden by
 # optimizer.parameters boxes when present)
-_DEFAULT_BOX = {"trans_x": 50.0, "trans_y": 50.0, "rot": 1.0, "zoom": 1.0}
+_DEFAULT_BOX = {
+    "trans_x": 50.0, "trans_y": 50.0, "rot": 1.0, "zoom": 1.0,
+    "rot_x": 0.5, "rot_y": 0.5, "rot_z": 1.0,
+}
 
 
 class GlobalMotionContrastMaximization(PatchContrastMaximization):
@@ -67,8 +75,15 @@ class GlobalMotionContrastMaximization(PatchContrastMaximization):
         # probes of the Newton solve miss the basin (measured: the zoom
         # scene solve stalled at the zero init)
         r_char = (image_shape[0] + image_shape[1]) / 4.0
+        from ..ops.warp import calib_tuple
+
+        self._calib = calib_tuple(tuple(image_shape), self.calib_param)
+        # rot_x/rot_y move a pixel ~f px/s per rad/s, rot(_z)/zoom ~R px/s
+        f_char = (self._calib[0] + self._calib[1]) / 2.0
+        scale_of = {"trans_x": 1.0, "trans_y": 1.0, "rot_x": 1.0 / f_char,
+                    "rot_y": 1.0 / f_char}
         self._param_scale = np.array(
-            [1.0 if k in ("trans_x", "trans_y") else 1.0 / r_char for k in self.motion_model_keys]
+            [scale_of.get(k, 1.0 / r_char) for k in self.motion_model_keys]
         )
         if self.slv_config["cost"] == "hybrid" and "total_variation" in (
             self.slv_config.get("cost_with_weight") or {}
@@ -82,7 +97,9 @@ class GlobalMotionContrastMaximization(PatchContrastMaximization):
         import dataclasses
 
         spec = super()._current_spec(time_aware)
-        return dataclasses.replace(spec, param_scale=tuple(self._param_scale))
+        return dataclasses.replace(
+            spec, param_scale=tuple(self._param_scale), calib=tuple(self._calib)
+        )
 
     def motion_to_dense_flow(self, motion_array):
         """Analytic model field (PatchContrastMaximization overrides this

@@ -59,6 +59,8 @@ class ObjectiveSpec:
     # plateau-escape probes, tuned to pixel-scale washboards, miss the
     # basin entirely; see GlobalMotionContrastMaximization)
     param_scale: Optional[Tuple[float, ...]] = None
+    # (f_row, f_col, c_row, c_col) — calibrated models only ("3-rotation")
+    calib: Optional[Tuple[float, float, float, float]] = None
 
 
 def make_cost(spec: ObjectiveSpec):
@@ -75,12 +77,18 @@ def motion_to_dense_flow(spec: ObjectiveSpec, motion_flat: Array, t_scale) -> Ar
     (patch_contrast_pyramid.py:464-516); global motion models map their
     parameter vector to the analytic dense field instead."""
     if spec.motion_model != "tiles":
-        from ..ops.warp import flow_from_2d_translation, flow_from_similarity
+        from ..ops.warp import (
+            flow_from_2d_translation,
+            flow_from_rotation,
+            flow_from_similarity,
+        )
 
         if spec.param_scale is not None:
             motion_flat = motion_flat * jnp.asarray(spec.param_scale, motion_flat.dtype)
         if spec.motion_model == "4-param-similarity":
             dense = flow_from_similarity(motion_flat, spec.image_shape)
+        elif spec.motion_model == "3-rotation":
+            dense = flow_from_rotation(motion_flat, spec.image_shape, spec.calib)
         elif spec.motion_model in ("2d-translation", "rigid-optical-flow"):
             dense = flow_from_2d_translation(motion_flat, spec.image_shape)
         else:

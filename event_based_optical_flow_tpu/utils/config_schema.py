@@ -49,6 +49,7 @@ _KNOWN_DATA_KEYS = {
     # synthetic loader extras
     "duration", "event_rate", "n_frames", "flow_max", "seed",
     "scene", "omega", "zoom_rate", "noise_fraction", "pattern", "n_dots",
+    "omega3", "focal",
 }
 _KNOWN_SOLVER_KEYS = {
     "method", "time_aware", "time_bin", "flow_interpolation", "t0_flow_location",
@@ -112,7 +113,8 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
             _choice({"c": name}, "c", set(cost_functions) - {"hybrid"}, "solver.cost_with_weight")
     _choice(
         slv, "motion_model",
-        {"2d-translation", "rigid-optical-flow", "dense-flow", "4-param-similarity"},
+        {"2d-translation", "rigid-optical-flow", "dense-flow",
+         "4-param-similarity", "3-rotation"},
         "solver",
     )
     if slv.get("method") == "global_contrast_maximization":
@@ -121,9 +123,9 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
                 "solver.method global_contrast_maximization has no tile grid: "
                 "drop total_variation from solver.cost_with_weight"
             )
-    elif slv.get("motion_model") == "4-param-similarity":
+    elif slv.get("motion_model") in ("4-param-similarity", "3-rotation"):
         raise ConfigError(
-            "solver.motion_model 4-param-similarity requires "
+            f"solver.motion_model {slv['motion_model']} requires "
             "solver.method global_contrast_maximization (tile solvers "
             "parameterize per-tile translations)"
         )

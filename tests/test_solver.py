@@ -457,3 +457,49 @@ def test_pyramid_coarse_event_fraction(chain):
     fin = best[max(best)]
     assert np.abs(fin[0].mean() - gt[0]) < 1.5, fin[0].mean()
     assert np.abs(fin[1].mean() - gt[1]) < 1.5, fin[1].mean()
+
+
+def test_global_rotation3d_solver_recovers_omega():
+    """Calibrated 3-DoF rotation model ("3-rotation", new capability —
+    the classic CMax rotation-estimation problem; the reference stripped
+    every rotational model): recovers the camera angular velocity on the
+    synthetic rot3d scene.  Convention as in the similarity test: events
+    advect with +field, the solver's parameters are the negated field."""
+    from event_based_optical_flow_tpu import data as data_mod
+    from event_based_optical_flow_tpu import solver as solver_mod
+
+    H, W = 48, 56
+    omega = np.array([0.3, -0.25, 0.6])
+    cfg = {"height": H, "width": W, "duration": 1.0, "event_rate": 30000,
+           "n_frames": 5, "scene": "rot3d", "omega3": omega.tolist(),
+           "pattern": "dots", "n_dots": 500}
+    loader = data_mod.collections["synthetic"](config=cfg)
+    loader.set_sequence("g")
+    ts = loader.eval_frame_time_list()
+    i1, i2 = loader.time_to_index(ts[0]), loader.time_to_index(ts[1])
+    ev = loader.load_event(i1, i2)
+    ev[:, 2] -= ev[:, 2].min()
+
+    solv = solver_mod.collections["global_contrast_maximization"](
+        (H, W),
+        calibration_parameter=loader.load_calib(),
+        solver_config={
+            "method": "global_contrast_maximization",
+            "motion_model": "3-rotation",
+            "patch": {"initialize": "zero"},
+            "cost": "multi_focal_normalized_gradient_magnitude",
+            "outer_padding": 0,
+            "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+            "precision": "64",
+        },
+        optimizer_config={"method": "Newton-CG", "max_iter": 30, "n_iter": 32},
+    )
+    best = solv.optimize(ev)
+    assert best.shape == (3,)
+    expected = -omega
+    for i in range(3):
+        assert abs(best[i] - expected[i]) < 0.15 * abs(expected[i]) + 0.04, (i, best)
+
+    gt = loader.load_optical_flow(ts[0], ts[1])
+    err = solv.calculate_flow_error(best, gt, timescale=ts[1] - ts[0], events=ev)
+    assert err["EPE"] < 1.0, err

@@ -141,3 +141,30 @@ def test_streaming_voxel_warp_matches_materialized():
     voxel = jnp.stack(slices)
     want = warp_voxel_flow(jnp.asarray(ev), voxel, ref_time, (H, W), normalize_t=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-10)
+
+
+def test_flow_from_rotation_matches_exact_ray_rotation():
+    """The "3-rotation" analytic field (ops/warp.flow_from_rotation) must
+    be the small-motion limit of the exact calibrated ray rotation used
+    by the synthetic rot3d scene (data/synthetic._rotate_pixels): the
+    same geometry generates the GT and parameterizes the solver."""
+    from event_based_optical_flow_tpu.data.synthetic import SyntheticDataLoader
+    from event_based_optical_flow_tpu.ops.warp import calib_tuple, flow_from_rotation
+
+    H, W = 30, 40
+    omega = np.array([0.3, -0.2, 0.7])
+    loader = SyntheticDataLoader(
+        config={"height": H, "width": W, "scene": "rot3d", "omega3": omega.tolist()}
+    )
+    calib = calib_tuple((H, W), loader.load_calib())
+    flow = np.asarray(flow_from_rotation(jnp.asarray(omega, jnp.float64), (H, W), calib))
+
+    rows = np.broadcast_to(np.arange(H, dtype=np.float64)[:, None], (H, W)).ravel()
+    cols = np.broadcast_to(np.arange(W, dtype=np.float64)[None, :], (H, W)).ravel()
+    dt = 1e-6
+    x2, y2 = loader._rotate_pixels(rows, cols, dt)
+    g_row = ((x2 - rows) / dt).reshape(H, W)
+    g_col = ((y2 - cols) / dt).reshape(H, W)
+    # events advect with +g; the dense flow is -g (model convention)
+    np.testing.assert_allclose(flow[0], -g_row, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(flow[1], -g_col, atol=1e-4, rtol=1e-4)

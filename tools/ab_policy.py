@@ -103,17 +103,21 @@ def main():
     def make_frame(seed):
         ev = synth(GT, seed=seed, n=N_EV)
         if noise_frac:
-            # uniform clutter events over the same time span (the parity
-            # study's "noise" family at this geometry)
+            # uniform clutter REPLACING a fraction of the signal events
+            # (the parity study's "noise" family at this geometry).  The
+            # count stays fixed across frames on purpose: a varying count
+            # shifts the flex pack's G bucket and retraces the whole
+            # DSEC-scale Newton chain (~minutes) EVERY round — the
+            # production protocol (main.py n_events_per_batch) is
+            # fixed-count for the same reason.
             rng = np.random.default_rng(seed + 7)
-            n_noise = int(len(ev) * noise_frac)
-            t = rng.uniform(ev[:, 2].min(), ev[:, 2].max(), n_noise)
-            noise = np.stack(
-                [rng.uniform(0, H - 1, n_noise), rng.uniform(0, W - 1, n_noise),
-                 t, rng.integers(0, 2, n_noise)], 1)
-            ev = np.concatenate([ev, noise])
-            ev = ev[np.argsort(ev[:, 2], kind="stable")]
-        return ev
+            noisy = rng.random(len(ev)) < noise_frac
+            ev[noisy, 0] = rng.uniform(0, H - 1, int(noisy.sum()))
+            ev[noisy, 1] = rng.uniform(0, W - 1, int(noisy.sum()))
+        n_fix = int(N_EV * 0.9)
+        if len(ev) < n_fix:
+            raise RuntimeError(f"scene too sparse: {len(ev)} < {n_fix}")
+        return ev[:n_fix]
 
     frames = [make_frame(100 + f) for f in range(n_rounds + 1)]
     maes = {}
