@@ -22,10 +22,39 @@ publishes no numbers (its only perf artifact is a cProfile dump).
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+
+def _arm_watchdog(deadline_s: float):
+    """If the tunneled TPU stalls (device init or a dispatch hanging
+    indefinitely), still emit the one required JSON line and exit instead
+    of hanging the harness.  A value of 0 is an honest 'bench could not
+    run' record; a silent hang is not.  Override via BENCH_DEADLINE_S."""
+
+    def fire():
+        print(
+            f"bench watchdog: no result after {deadline_s:.0f}s "
+            "(TPU tunnel stalled?) — emitting failure record",
+            file=sys.stderr, flush=True,
+        )
+        print(json.dumps({
+            "metric": "warp_bilinear_iwe",
+            "value": 0.0,
+            "unit": "Mevents/s",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: no result after {deadline_s:.0f}s",
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _run_loop(iters, body_fn, ev, fl):  # body_fn(ev, flow)
@@ -55,6 +84,7 @@ def _run_loop(iters, body_fn, ev, fl):  # body_fn(ev, flow)
 
 
 def main():
+    watchdog = _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_S", 1500)))
     import jax
     import jax.numpy as jnp
 
@@ -183,6 +213,7 @@ def main():
         f"backend={jax.default_backend()})",
         file=sys.stderr,
     )
+    watchdog.cancel()
     print(json.dumps({
         "metric": "warp_bilinear_iwe",
         "value": round(meps, 1),

@@ -171,10 +171,12 @@ class PatchContrastMaximization(SolverBase):
     def _uses_banded(self, spec) -> bool:
         return objective_uses_banded(spec)
 
-    def _get_newton_solver(self, spec, maxiter: int, gtol: float):
-        key = (spec, "newton", maxiter, gtol, self._uses_banded(spec))
+    def _get_newton_solver(self, spec, maxiter: int, gtol: float, cg_maxiter=None):
+        key = (spec, "newton", maxiter, gtol, cg_maxiter, self._uses_banded(spec))
         if key not in self._fun_cache:
-            self._fun_cache[key] = jax.jit(self._build_newton(spec, maxiter, gtol))
+            self._fun_cache[key] = jax.jit(
+                self._build_newton(spec, maxiter, gtol, cg_maxiter=cg_maxiter)
+            )
         return self._fun_cache[key]
 
     def _banded_newton_args(self, events_np: np.ndarray, g_round: int = 0):
@@ -250,12 +252,15 @@ class PatchContrastMaximization(SolverBase):
             bands = jnp.asarray(bands)
         return (x2, y2, d2, w2, bands, jnp.asarray(t_max - t_min, self.dtype))
 
-    def _build_newton(self, spec, maxiter: int, gtol: float):
+    def _build_newton(self, spec, maxiter: int, gtol: float, cg_maxiter=None):
         """Newton-CG solve fn(x0, *banded_or_event_args).  On the banded
         path with an orig-dependent cost, the motion-independent orig IWE
         is computed ONCE up front (build_orig_iwe_banded) instead of as a
         4th vote inside every objective evaluation of the Newton loop
-        (~25% of the forward vote FLOPs)."""
+        (~25% of the forward vote FLOPs).
+
+        ``cg_maxiter`` overrides ``optimizer.cg_maxiter`` for this solver
+        instance (the pyramid's coarse-scale budget knob)."""
         from .newton_cg import build_newton_cg
 
         orig_fn = None
@@ -279,7 +284,10 @@ class PatchContrastMaximization(SolverBase):
         solve_inner = build_newton_cg(
             value_fn,
             maxiter=maxiter,
-            cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
+            cg_maxiter=int(
+                cg_maxiter if cg_maxiter is not None
+                else self.opt_config.get("cg_maxiter", 32)
+            ),
             xtol=1e-5,
             gtol=gtol,
             hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
@@ -293,17 +301,19 @@ class PatchContrastMaximization(SolverBase):
 
         return solve
 
-    def _get_fused_scale_solver(self, spec, search_key, maxiter: int, gtol: float):
+    def _get_fused_scale_solver(self, spec, search_key, maxiter: int, gtol: float,
+                                cg_maxiter=None):
         """Per-patch init sweep + Newton-CG as ONE jitted device program.
 
         Through a tunneled runtime every dispatch costs 25-120 ms; fusing
         the two per-scale calls halves that overhead.  Signature:
         fused(patch_events, weights, counts, motion0 [P,2], key, *newton_args)
           -> (best_x, best_f, n_iter)."""
-        key = (spec, "fused_scale", search_key, maxiter, gtol, self._uses_banded(spec))
+        key = (spec, "fused_scale", search_key, maxiter, gtol, cg_maxiter,
+               self._uses_banded(spec))
         if key not in self._fun_cache:
             search = self._get_patch_search(search_key)
-            solve = self._build_newton(spec, maxiter, gtol)
+            solve = self._build_newton(spec, maxiter, gtol, cg_maxiter=cg_maxiter)
 
             def fused(patch_events, weights, counts, motion0, key_, *newton_args):
                 m1 = search(patch_events, weights, counts, motion0, key_)
@@ -314,7 +324,8 @@ class PatchContrastMaximization(SolverBase):
         return self._fun_cache[key]
 
     def _run_fused_scale_device(self, spec, events_np, ev, w, motion0, n_candidates,
-                                maxiter, gtol, patch_size=None, newton_events_np=None):
+                                maxiter, gtol, patch_size=None, newton_events_np=None,
+                                cg_maxiter=None):
         """Host glue for the fused scale step: gather per-patch events,
         assemble Newton args (banded pack or padded events), one call.
         ``newton_events_np`` (optional) substitutes a different event set
@@ -324,7 +335,8 @@ class PatchContrastMaximization(SolverBase):
         capacity = self._patch_capacity(len(events_np))
         patch_events, weights, counts = gather_patch_events(events_np, self.patches, capacity)
         search_key = (patch_size, int(n_candidates), capacity)
-        fused = self._get_fused_scale_solver(spec, search_key, maxiter, gtol)
+        fused = self._get_fused_scale_solver(spec, search_key, maxiter, gtol,
+                                             cg_maxiter=cg_maxiter)
         if self._uses_banded(spec):
             newton_args = self._banded_newton_args(
                 events_np if newton_events_np is None else newton_events_np
@@ -345,10 +357,10 @@ class PatchContrastMaximization(SolverBase):
         return np.asarray(best_x, dtype=np.float64)
 
     def _run_newton_device(self, spec, events_dev, weights_dev, motion0, maxiter, gtol,
-                           events_np=None):
+                           events_np=None, cg_maxiter=None):
         """Whole Newton-CG solve as one device program (solver/newton_cg.py):
         replaces ~100 host round trips per scale with one."""
-        solve = self._get_newton_solver(spec, maxiter, gtol)
+        solve = self._get_newton_solver(spec, maxiter, gtol, cg_maxiter=cg_maxiter)
         x0 = jnp.asarray(np.asarray(motion0, dtype=np.float64).reshape(-1), self.dtype)
         if self._uses_banded(spec):
             best_x, best_f, n_iter = solve(x0, *self._banded_newton_args(events_np))

@@ -123,6 +123,24 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         self._coarse_ref, self._coarse_sub = events_np, sub
         return sub
 
+    def _scale_budget(self, s: int):
+        """(max_iter, cg_maxiter_override) for pyramid scale ``s``.
+
+        ``optimizer.coarse_max_iter`` / ``optimizer.coarse_cg_maxiter``
+        (defaults: the global budgets) apply to every scale but the
+        finest — coarse scales only seed the next scale's init, so their
+        Newton budget can be cut well below the finest's without moving
+        the output flow (A/B'd at DSEC geometry incl. a 30%-clutter
+        scene, BENCHMARKS.md).  Device Newton paths only, like
+        ``coarse_event_fraction``."""
+        mi = int(self.opt_config.get("max_iter", 25))
+        cg = None
+        if s < self.patch_scales - 1:
+            mi = int(self.opt_config.get("coarse_max_iter", mi))
+            if "coarse_cg_maxiter" in self.opt_config:
+                cg = int(self.opt_config["coarse_cg_maxiter"])
+        return mi, cg
+
     def optimize(self, events: np.ndarray) -> Dict[int, np.ndarray]:
         logger.info(f"Start optimization. DoF {self.motion_vector_size * self.total_n_patch}")
         events = np.asarray(events, dtype=np.float64)
@@ -145,21 +163,22 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             if presearch is None:
                 motion0 = self._init_scale(s, events, best_motion_per_scale)
 
+            scale_mi, scale_cg = self._scale_budget(s)
             if presearch is not None:
                 # fused path: per-patch init sweep + Newton in ONE device call
                 motion0, n_cand = presearch
                 self.cost_func.enable_history_register()
                 best = self._run_fused_scale_device(
                     spec, events, ev, w, motion0, n_cand,
-                    maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
-                    newton_events_np=newton_ev,
+                    maxiter=scale_mi, gtol=1e-5,
+                    newton_events_np=newton_ev, cg_maxiter=scale_cg,
                 )
             elif device_newton:
                 self.cost_func.enable_history_register()
                 best = self._run_newton_device(
                     spec, ev, w, motion0,
-                    maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
-                    events_np=newton_ev,
+                    maxiter=scale_mi, gtol=1e-5,
+                    events_np=newton_ev, cg_maxiter=scale_cg,
                 )
             elif self.opt_method in SCIPY_OPTIMIZERS:
                 self.cost_func.enable_history_register()
@@ -261,6 +280,9 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         else:
             newton_args = (ev, w)
         split = bool(coarse_args)
+        coarse_budget = self._scale_budget(scales[0]) if len(scales) >= 2 else None
+        if coarse_budget == (maxiter, None):
+            coarse_budget = None  # no override configured: keep cache keys stable
         fused = self._get_chain_solver(
             tuple(scales),
             specs,
@@ -271,6 +293,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             use_warm=use_warm,
             metrics_body=None if split else metrics_body,
             split_coarse=split,
+            coarse_budget=coarse_budget,
         )
         warm_in = (
             tuple(
@@ -329,7 +352,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         return refined
 
     def _get_chain_solver(self, scales, specs, search_meta, grid_shapes, maxiter, gtol,
-                          use_warm, metrics_body=None, split_coarse=False):
+                          use_warm, metrics_body=None, split_coarse=False,
+                          coarse_budget=None):
         import jax
 
         key = (
@@ -341,6 +365,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             use_warm,
             metrics_body is not None,
             split_coarse,
+            coarse_budget,
         )
         if key not in self._fun_cache:
             # split_coarse: the chain covers the COARSE scales only (they
@@ -351,7 +376,18 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             # too much for the TPU runtime at DSEC scale (480x640/300k:
             # FailedPrecondition at execute); two dispatches cost ~50 ms.
             solve_scales = scales[:-1] if split_coarse else scales
-            solvers = {s: self._build_newton(specs[s], maxiter, gtol) for s in solve_scales}
+
+            def _budget(s):
+                if coarse_budget is not None and s < scales[-1]:
+                    return coarse_budget
+                return (maxiter, None)
+
+            solvers = {
+                s: self._build_newton(
+                    specs[s], _budget(s)[0], gtol, cg_maxiter=_budget(s)[1]
+                )
+                for s in solve_scales
+            }
             searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
             dtype = self.dtype
 

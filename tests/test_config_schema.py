@@ -67,3 +67,16 @@ def test_unknown_key_warns_not_fails():
     cfg["solver"]["blur_sgima"] = 1
     warnings = validate_config(cfg)
     assert any("blur_sgima" in w for w in warnings)
+
+
+def test_coarse_budget_keys_validate():
+    cfg = _base()
+    cfg["optimizer"]["coarse_max_iter"] = 10
+    cfg["optimizer"]["coarse_cg_maxiter"] = 4
+    assert validate_config(cfg) == []
+    cfg["optimizer"]["coarse_max_iter"] = 0
+    with pytest.raises(ConfigError, match="coarse_max_iter"):
+        validate_config(cfg)
+    cfg["optimizer"]["coarse_max_iter"] = 2.5
+    with pytest.raises(ConfigError, match="coarse_max_iter"):
+        validate_config(cfg)

@@ -459,6 +459,66 @@ def test_pyramid_coarse_event_fraction(chain):
     assert np.abs(fin[1].mean() - gt[1]) < 1.5, fin[1].mean()
 
 
+@pytest.mark.parametrize("chain", [True, False])
+def test_pyramid_coarse_newton_budget(chain):
+    """optimizer.coarse_max_iter / coarse_cg_maxiter cut the Newton budget
+    of the coarse pyramid scales only (they just seed the next scale's
+    init); the finest scale keeps the full budget, so recovery holds."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt, n=2600, h=20, w=28)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 16, "crop_width": 24, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",  # interpret-mode banded kernel on CPU
+        "precision": "64",
+    }
+    opt_cfg = {
+        # coarse_max_iter only: on a scene this tight (global max_iter 6,
+        # CPU interpret kernel) a coarse CG cap visibly degrades recovery;
+        # coarse_cg_maxiter's plumbing is asserted structurally below and
+        # its speed/accuracy tradeoff belongs to the DSEC-geometry A/B
+        "n_iter": 4, "method": "Newton-CG", "max_iter": 6,
+        "coarse_max_iter": 4, "coarse_cg_maxiter": 32, "chain": chain,
+        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+    }
+    solv = solver.collections["pyramidal_patch_contrast_maximization"](
+        (20, 28), {}, slv_cfg, opt_cfg, {}, None
+    )
+    best = solv.optimize(ev)
+    fin = best[max(best)]
+    # recovery tolerance is looser than the default-budget tests: this
+    # scene's global max_iter (6) is already minimal, so any coarse cut
+    # costs some precision here (a no-op override is verified exactly
+    # equal to the default; the speed/accuracy tradeoff itself is A/B'd
+    # at DSEC geometry on the TPU — BENCHMARKS.md)
+    assert np.abs(fin[0].mean() - gt[0]) < 2.0, fin[0].mean()
+    assert np.abs(fin[1].mean() - gt[1]) < 2.0, fin[1].mean()
+    # the distinct budgets actually reached the solver builders
+    budgets = set()
+    for k in solv._fun_cache:
+        if not (isinstance(k, tuple) and len(k) >= 2):
+            continue
+        if k[0] == "chain":
+            assert k[-1] == (4, 32), k  # coarse_budget rode the cache key
+            budgets.add("chain")
+        elif k[1] == "newton":
+            budgets.add((k[2], k[4]))
+        elif k[1] == "fused_scale":
+            budgets.add((k[3], k[5]))
+    if chain:
+        assert "chain" in budgets, budgets
+    else:
+        assert (4, 32) in budgets and (6, None) in budgets, budgets
+
+
 def test_global_rotation3d_solver_recovers_omega():
     """Calibrated 3-DoF rotation model ("3-rotation", new capability —
     the classic CMax rotation-estimation problem; the reference stripped

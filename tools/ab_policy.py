@@ -10,6 +10,8 @@ cancels the tunnel's session drift (single-shot e2e numbers swing
     python tools/ab_policy.py [n_rounds] flex-dsec  # same at 480x640/300k
     python tools/ab_policy.py [n_rounds] coarse-dsec  # coarse_event_fraction
         # accuracy+speed A/B on a 30%-clutter DSEC-geometry scene
+    python tools/ab_policy.py [n_rounds] budget-dsec  # coarse-scale Newton
+        # budget (coarse_max_iter/coarse_cg_maxiter) on the same scene
 """
 import os
 import sys
@@ -50,14 +52,30 @@ def main():
     mode = sys.argv[2] if len(sys.argv) > 2 else "packing"
 
     noise_frac = 0.0
-    if mode.startswith(("flex", "coarse")):
+    if mode.startswith(("flex", "coarse", "budget")):
         if mode.endswith("-dsec"):
             global H, W, N_EV
             import bench_e2e as _be
 
             _be.H, _be.W = 480, 640  # synth() reads bench_e2e's globals
             H, W, N_EV = 480, 640, 300000
-        if mode.startswith("coarse"):
+        if mode.startswith("budget"):
+            # coarse-scale Newton budget on top of the shipped DSEC config
+            # (cg 8 + coarse_event_fraction 0.25): coarse scales only seed
+            # the next scale's init, so their budget may be cuttable
+            noise_frac = 0.3
+            base = {"cg_maxiter": 8, "coarse_event_fraction": 0.25}
+            POLICIES = {
+                "A(dsec-default)": ("flex", 96),
+                "B(coarse mi10/cg4)": ("flex", 96),
+            }
+            OPT_OVER = {
+                "A(dsec-default)": dict(base),
+                "B(coarse mi10/cg4)": dict(
+                    base, coarse_max_iter=10, coarse_cg_maxiter=4
+                ),
+            }
+        elif mode.startswith("coarse"):
             noise_frac = 0.3
             POLICIES = {
                 "A(full-events)": ("flex", 96),
