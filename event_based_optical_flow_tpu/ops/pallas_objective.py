@@ -69,6 +69,26 @@ def _corner_block(fl_i, frac, weight_row, size):
     return block
 
 
+def _corner_block_tent(fl_i, frac, weight_row, size):
+    """Bilinear corner-weight block as bf16 ARITHMETIC (v8 candidate):
+    w(i) = relu(1 - |i - z|) with z = fl + frac — the tent function is
+    exactly the bilinear weight, with no boolean selects, so Mosaic can
+    emit it natively in bf16 (the select-based block is blocked from
+    bf16 by the i1-mask relayout limitation and needs an f32 build +
+    convert).  d = i - z is formed in f32 (int-exact minus frac) and
+    converted once; the bf16 rounding of d (~2^-9) is the same order as
+    the select path's final bf16 weight cast, so this is a
+    numerically-equivalent-at-bf16 REPLACEMENT for the vote blocks of
+    the bf16 kernel, not a bit-identical one.  Out-of-range and sentinel
+    events get all-zero columns exactly as the select path."""
+    grid = jax.lax.broadcasted_iota(jnp.int32, (size, fl_i.shape[-1]), 0)
+    d = ((grid - fl_i).astype(frac.dtype) - frac).astype(jnp.bfloat16)
+    block = jnp.maximum(jnp.bfloat16(1.0) - jnp.abs(d), jnp.bfloat16(0.0))
+    if weight_row is not None:
+        block = block * weight_row.astype(jnp.bfloat16)
+    return block
+
+
 def _corner_deriv_block(fl_i, weight_row, size, dtype):
     """d(corner)/d(coord): -1 at floor, +1 at floor+1 (one-sided,
     reference autograd semantics), from a precomputed floor."""

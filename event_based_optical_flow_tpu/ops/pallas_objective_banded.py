@@ -50,6 +50,7 @@ from .pallas_objective import (
     _CHUNK,
     _corner,
     _corner_block,
+    _corner_block_tent,
     _corner_deriv,
     _corner_deriv_block,
     _dot,
@@ -535,7 +536,7 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
                 bands_mod=None, init_axes=None, col_bands=None, row_window=None,
                 col_window=None, chunks_per_step=1, stack_uv=False,
-                row_scale=BAND):
+                row_scale=BAND, tent=False):
     assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
     init = i == 0
@@ -558,14 +559,19 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
             hp=hp, wp=wp, eps=eps, offsets=offsets, include_orig=include_orig,
             use_bf16=use_bf16, bands_mod=bands_mod, col_bands=col_bands,
             row_window=row_window, col_window=col_window, stack_uv=stack_uv,
-            row_scale=row_scale,
+            row_scale=row_scale, tent=tent,
         )
 
 
 def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j, *,
                    hp, wp, eps, offsets, include_orig, use_bf16,
                    bands_mod=None, col_bands=None, row_window=None,
-                   col_window=None, stack_uv=False, row_scale=BAND):
+                   col_window=None, stack_uv=False, row_scale=BAND, tent=False):
+    # tent=True (v8, bf16 kernel only): vote corner blocks are built by
+    # bf16 tent arithmetic instead of f32 selects + convert (see
+    # _corner_block_tent); floors/predicates and the backward pass are
+    # unchanged, so windowed/full routing stays shared
+    cb = _corner_block_tent if (tent and use_bf16) else _corner_block
     x = x_ref[j : j + 1, :]
     y = y_ref[j : j + 1, :]
     dtf = dtf_ref[j : j + 1, :]
@@ -592,19 +598,19 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
         fl0, fr0 = _fl_frac(x, eps)
         cl0, cf0 = _fl_frac(y, eps)
         if row_window is None:
-            r0 = _corner_block(fl0, fr0, wt, hp)
-            c0 = _corner_block(cl0, cf0, None, wp)
+            r0 = cb(fl0, fr0, wt, hp)
+            c0 = cb(cl0, cf0, None, wp)
             out_ref[0] += _dot(r0, c0, ((1,), (1,)), use_bf16, dtype)
         else:
             # unwarped rows/cols are inside their band, hence in-window
-            r0 = _corner_block(fl0 - w0, fr0, wt, row_window)
+            r0 = cb(fl0 - w0, fr0, wt, row_window)
             if col_window is None:
-                c0 = _corner_block(cl0, cf0, None, wp)
+                c0 = cb(cl0, cf0, None, wp)
                 out_ref[0, _ds_aligned(w0, row_window), :] += _dot(
                     r0, c0, ((1,), (1,)), use_bf16, dtype
                 )
             else:
-                c0 = _corner_block(cl0 - c0w, cf0, None, col_window)
+                c0 = cb(cl0 - c0w, cf0, None, col_window)
                 out_ref[0, _ds_aligned(w0, row_window), _ds_lane_aligned(c0w, col_window)] += _dot(
                     r0, c0, ((1,), (1,)), use_bf16, dtype
                 )
@@ -617,8 +623,8 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
         warped.append((_fl_frac(xw, eps), _fl_frac(yw, eps)))
     if row_window is None or not warped:  # orig-only calls have no predicate
         for k, ((fl_i, frac), (cl_i, cfr)) in enumerate(warped):
-            r = _corner_block(fl_i, frac, wt, hp)
-            c = _corner_block(cl_i, cfr, None, wp)
+            r = cb(fl_i, frac, wt, hp)
+            c = cb(cl_i, cfr, None, wp)
             out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
     else:
         # ONE chunk-level predicate across every direction (scalar syncs
@@ -640,14 +646,14 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
         @pl.when(all_ok)
         def _():
             for k, ((fl_i, frac), (cl_i, cfr)) in enumerate(warped):
-                r = _corner_block(fl_i - w0, frac, wt, row_window)
+                r = cb(fl_i - w0, frac, wt, row_window)
                 if col_window is None:
-                    c = _corner_block(cl_i, cfr, None, wp)
+                    c = cb(cl_i, cfr, None, wp)
                     out_ref[k0 + k, _ds_aligned(w0, row_window), :] += _dot(
                         r, c, ((1,), (1,)), use_bf16, dtype
                     )
                 else:
-                    c = _corner_block(cl_i - c0w, cfr, None, col_window)
+                    c = cb(cl_i - c0w, cfr, None, col_window)
                     out_ref[k0 + k, _ds_aligned(w0, row_window), _ds_lane_aligned(c0w, col_window)] += _dot(
                         r, c, ((1,), (1,)), use_bf16, dtype
                     )
@@ -655,8 +661,8 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
         @pl.when(~all_ok)
         def _():
             for k, ((fl_i, frac), (cl_i, cfr)) in enumerate(warped):
-                r = _corner_block(fl_i, frac, wt, hp)
-                c = _corner_block(cl_i, cfr, None, wp)
+                r = cb(fl_i, frac, wt, hp)
+                c = cb(cl_i, cfr, None, wp)
                 out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
 
 
@@ -843,7 +849,7 @@ def _flow_pad_rows(h: int, row_scale: int) -> int:
     return _round_up(h, row_scale) - row_scale + BAND
 
 
-def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None, chunks_per_step=1, stack_uv=False, row_scale=BAND):
+def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None, chunks_per_step=1, stack_uv=False, row_scale=BAND, tent=False):
     assert not stack_uv or use_bf16, "stack_uv is the hi/lo-bf16 gather layout"
     assert not stack_uv or row_scale == BAND, "stack_uv requires 64-aligned bands"
     h, w = image_size
@@ -868,7 +874,7 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
             row_window=row_window, col_window=col_window, chunks_per_step=k,
-            stack_uv=stack_uv, row_scale=row_scale,
+            stack_uv=stack_uv, row_scale=row_scale, tent=tent,
         ),
         grid=(steps,),
         in_specs=[
@@ -883,11 +889,11 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
 def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
                            include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
                            row_window=None, col_window=None, chunks_per_step=1,
-                           stack_uv=False, row_scale=BAND):
+                           stack_uv=False, row_scale=BAND, tent=False):
     """Banded fused rasterizer over pre-packed chunks (pack_events_by_band,
     or pack_events_by_tile with ``col_bands=n_col_bands(w)`` for the
     column-windowed gather fast path).
@@ -916,16 +922,23 @@ def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
     (pack_events_by_tile_flex), whose 8-aligned variable-height row bands
     pack chunks near-full — grid steps cost the same whether a chunk is
     full or padding, so fewer, fuller chunks is a direct win.
+
+    ``tent`` (v8, bf16 kernel only): forward vote corner blocks are
+    built by bf16 tent arithmetic (relu(1-|i-z|), no boolean selects —
+    see _corner_block_tent) instead of f32 selects + bf16 convert.
+    NOT bit-identical to tent=False: the bf16 rounding enters on d
+    rather than on the final weight (same ~2^-9 magnitude).  The
+    backward pass is unchanged (select-based, f32 floors).
     """
-    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale)
+    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent)
 
 
-def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale):
-    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale)
+def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent):
+    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent)
     return out, (flow, x, y, dtf, wt, band_ids)
 
 
-def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, res, g):
+def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)

@@ -657,3 +657,45 @@ def test_sharded_banded_objective_matches_single(time_aware):
     g_s = jax.grad(lambda m: sharded(m, *args)[0])(motion)
     g_1 = jax.grad(lambda m: single(m, *args)[0])(motion)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1), atol=1e-8)
+
+
+def test_tent_corner_blocks_match_select_at_bf16():
+    """v8 candidate: tent-arithmetic vote corner blocks (bf16-native,
+    no boolean selects) agree with the select-based bf16 blocks to bf16
+    rounding, stay exactly windowed==full (shared floor routing), and
+    leave the backward pass untouched (select-based, bit-identical
+    gradients)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt = 200, 140
+    rng = np.random.default_rng(7)
+    n = 2000
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=2048)
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    pf = PB.pack_events_by_tile_flex(padded, wgt, dtf, Ht, Wt, chunk=256)
+    pk = tuple(
+        jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
+        for a in pf
+    )
+    flow = jnp.asarray(rng.uniform(-10, 10, (2, Ht, Wt)), jnp.float32)
+
+    def run(fl, tent, rw):
+        return PB.fused_multi_iwe_banded(
+            fl, *pk, (Ht, Wt), (0.0, 0.5, 1.0), True, 1e-6, True,
+            PB.n_col_bands(Wt), rw, None, 1, False, PB.FLEX_ROW_SCALE, tent,
+        )
+
+    sel = np.asarray(run(flow, False, 96))
+    tw = np.asarray(run(flow, True, 96))
+    tf = np.asarray(run(flow, True, None))
+    # bf16 rounding enters on d instead of the final weight: same order
+    np.testing.assert_allclose(tw, sel, atol=4e-2)
+    assert np.abs(tw - sel).max() > 0  # genuinely a different build
+    np.testing.assert_array_equal(tw, tf)  # windowed == full, exactly
+    g_sel = jax.grad(lambda f: run(f, False, 96).sum())(flow)
+    g_tent = jax.grad(lambda f: run(f, True, 96).sum())(flow)
+    np.testing.assert_array_equal(np.asarray(g_sel), np.asarray(g_tent))
