@@ -549,11 +549,13 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             if self.n_data_shards <= 1:
                 self.mesh = None
 
-    def _build_fleet_newton(self, spec, maxiter: int, gtol: float):
+    def _build_fleet_newton(self, spec, maxiter: int, gtol: float, cg_maxiter=None):
         """Batched lockstep Newton fn(x0 [B,M], *fleet_args); on the
         banded path with an orig-dependent cost, the per-frame
         motion-independent orig IWEs are hoisted out of the lockstep loop
-        (see patch_base._build_newton for the single-frame analog)."""
+        (see patch_base._build_newton for the single-frame analog).
+        ``cg_maxiter`` overrides optimizer.cg_maxiter (the pyramid's
+        coarse-scale budget knob)."""
         orig_fn = None
         if objective_uses_banded(spec):
             hoist = "orig_iwe" in make_cost(spec).required_keys
@@ -565,7 +567,10 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         solve_inner = build_newton_cg_batched(
             batched,
             maxiter=maxiter,
-            cg_maxiter=int(self.opt_config.get("cg_maxiter", 32)),
+            cg_maxiter=int(
+                cg_maxiter if cg_maxiter is not None
+                else self.opt_config.get("cg_maxiter", 32)
+            ),
             gtol=gtol,
             fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
             fd_central=bool(self.opt_config.get("hvp_central", True)),
@@ -578,10 +583,13 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
 
         return solve
 
-    def _get_fleet_solver(self, spec, bsz: int, maxiter: int, gtol: float):
-        key = (spec, "fleet", bsz, maxiter, gtol)
+    def _get_fleet_solver(self, spec, bsz: int, maxiter: int, gtol: float,
+                          cg_maxiter=None):
+        key = (spec, "fleet", bsz, maxiter, gtol, cg_maxiter)
         if key not in self._fun_cache:
-            self._fun_cache[key] = jax.jit(self._build_fleet_newton(spec, maxiter, gtol))
+            self._fun_cache[key] = jax.jit(
+                self._build_fleet_newton(spec, maxiter, gtol, cg_maxiter=cg_maxiter)
+            )
         return self._fun_cache[key]
 
     def optimize_batch(self, events_list: List[np.ndarray]):
@@ -637,7 +645,8 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             motion0 = np.stack(
                 [self._init_scale_single(s, events_list[b], best_per_scale, b) for b in range(bsz)]
             )
-            solve = self._get_fleet_solver(spec, bsz, self.opt_config.get("max_iter", 25), 1e-5)
+            scale_mi, scale_cg = self._scale_budget(s)
+            solve = self._get_fleet_solver(spec, bsz, scale_mi, 1e-5, cg_maxiter=scale_cg)
             bx, bf, _ = solve(jnp.asarray(motion0.reshape(bsz, -1), self.dtype), *solver_args)
             best_per_scale[s] = np.asarray(bx, np.float64).reshape(
                 (bsz, self.motion_vector_size) + tuple(self.patch_image_size)
@@ -708,10 +717,14 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 for _ in range(bsz)
             ]).reshape(bsz, -1)
 
+        maxiter = self.opt_config.get("max_iter", 25)
+        coarse_budget = self._scale_budget(scales[0]) if len(scales) >= 2 else None
+        if coarse_budget == (maxiter, None):
+            coarse_budget = None  # no override configured: keep cache keys stable
         fused = self._get_fleet_chain_solver(
             tuple(scales), specs, search_meta, grid_shapes, bsz,
-            maxiter=self.opt_config.get("max_iter", 25), gtol=1e-5,
-            use_warm=use_warm,
+            maxiter=maxiter, gtol=1e-5,
+            use_warm=use_warm, coarse_budget=coarse_budget,
         )
         keys = jnp.stack([self._next_key() for _ in scales[1:]]) if len(scales) > 1 else jnp.zeros((0, 2), jnp.uint32)
         warm_in = (
@@ -737,18 +750,28 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         return results
 
     def _get_fleet_chain_solver(self, scales, specs, search_meta, grid_shapes, bsz,
-                                maxiter, gtol, use_warm: bool = False):
+                                maxiter, gtol, use_warm: bool = False,
+                                coarse_budget=None):
         from ..ops.interp import pyramid_expand_jax
 
         key = (
             "fleet_chain",
             tuple(specs[s] for s in scales),
             tuple(sorted(search_meta.items())),
-            bsz, maxiter, gtol, use_warm,
+            bsz, maxiter, gtol, use_warm, coarse_budget,
         )
         if key not in self._fun_cache:
+
+            def _budget(s):
+                if coarse_budget is not None and s < scales[-1]:
+                    return coarse_budget
+                return (maxiter, None)
+
             solvers = {
-                s: self._build_fleet_newton(specs[s], maxiter, gtol) for s in scales
+                s: self._build_fleet_newton(
+                    specs[s], _budget(s)[0], gtol, cg_maxiter=_budget(s)[1]
+                )
+                for s in scales
             }
             searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
             dtype = self.dtype
