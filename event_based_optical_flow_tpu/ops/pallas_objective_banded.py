@@ -184,6 +184,10 @@ OBJECTIVE_DENSE_PACKING = "flex"  # "band" | "tile" | "flex"
 # bit-exactness tests remain for future hardware.
 OBJECTIVE_ROW_WINDOW = 96
 OBJECTIVE_COL_WINDOW = None
+# v8: bf16 tent-arithmetic vote corner blocks for the single-frame dense
+# objective kernels (fused_multi_iwe_banded(..., tent=True)); OFF until
+# the calibrated TPU probe decides (see _corner_block_tent)
+OBJECTIVE_TENT = False
 # wp threshold above which the dense objective packs 1024-event chunks
 # (DSEC-geometry probe: 4.66 vs 4.74 ms; at MVSEC width 512 wins)
 _WIDE_TILE_WP = 512
@@ -209,6 +213,12 @@ def objective_dense_packing(width: int) -> str:
 def objective_dense_col_bands(width: int) -> Optional[int]:
     """``col_bands`` kernel flag matching ``pack_events_dense``."""
     return n_col_bands(width) if objective_dense_packing(width) != "band" else None
+
+
+def objective_tent(use_bf16: bool) -> bool:
+    """``tent`` kernel flag for the single-frame dense objective path
+    (bf16 kernels only; the select path is the exact/parity build)."""
+    return bool(OBJECTIVE_TENT and use_bf16)
 
 
 def objective_row_scale(width: int) -> int:

@@ -238,6 +238,7 @@ def test_fleet_mesh_data_sharding_matches_single_device():
             )
 
 
+@pytest.mark.slow
 def test_fleet_coarse_newton_budget():
     """optimizer.coarse_max_iter / coarse_cg_maxiter apply to the fleet
     solver's coarse scales too (chain and loop paths share

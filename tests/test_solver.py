@@ -459,6 +459,7 @@ def test_pyramid_coarse_event_fraction(chain):
     assert np.abs(fin[1].mean() - gt[1]) < 1.5, fin[1].mean()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chain", [True, False])
 def test_pyramid_coarse_newton_budget(chain):
     """optimizer.coarse_max_iter / coarse_cg_maxiter cut the Newton budget

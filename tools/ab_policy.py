@@ -12,6 +12,8 @@ cancels the tunnel's session drift (single-shot e2e numbers swing
         # accuracy+speed A/B on a 30%-clutter DSEC-geometry scene
     python tools/ab_policy.py [n_rounds] budget-dsec  # coarse-scale Newton
         # budget (coarse_max_iter/coarse_cg_maxiter) on the same scene
+    python tools/ab_policy.py [n_rounds] tent  # v8 tent vote blocks vs
+        # select (speed + flowMAE, 30%-clutter MVSEC geometry)
 """
 import os
 import sys
@@ -97,6 +99,16 @@ def main():
             "B(central)": ("tile", 96),
         }
         OPT_OVER = {"A(one-sided)": {}, "B(central)": {"hvp_central": True}}
+    elif mode == "tent":
+        # v8 vote-block build (OBJECTIVE_TENT consumed at objective BUILD
+        # time; builds happen lazily under with_policy): speed + accuracy
+        # on the 30%-clutter scene at MVSEC geometry
+        noise_frac = 0.3
+        POLICIES = {
+            "A(select)": ("flex", 96, False),
+            "B(tent)": ("flex", 96, True),
+        }
+        OPT_OVER = {k: {} for k in POLICIES}
     else:
         POLICIES = {
             "A(tile,rw96)": ("tile", 96),
@@ -104,17 +116,20 @@ def main():
         }
         OPT_OVER = {k: {} for k in POLICIES}
 
-    default_policy = (PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW)
+    default_policy = (PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW,
+                      PB.OBJECTIVE_TENT)
 
     def with_policy(name, fn):
         # the host packer reads the policy constants at CALL time and the
         # kernel flags at BUILD time — both must see the same policy for
         # a given solver on every call
-        PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW = POLICIES[name]
+        pol = POLICIES[name] if len(POLICIES[name]) == 3 else POLICIES[name] + (PB.OBJECTIVE_TENT,)
+        PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW, PB.OBJECTIVE_TENT = pol
         try:
             return fn()
         finally:
-            PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW = default_policy
+            (PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW,
+             PB.OBJECTIVE_TENT) = default_policy
 
     solvers = {name: build_solver(OPT_OVER[name]) for name in POLICIES}
 
