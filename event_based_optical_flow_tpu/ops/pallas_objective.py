@@ -89,6 +89,19 @@ def _corner_block_tent(fl_i, frac, weight_row, size):
     return block
 
 
+def _onehot_int_tent_bf16(coords_row, size):
+    """Exact integer one-hot [size, C] built DIRECTLY in bf16 by tent
+    arithmetic: d = i - trunc(z) is integer-valued, so relu(1 - |d|) is
+    exactly {0, 1} even after bf16 rounding of d (|d| = 0 and 1 are
+    exact; |d| >= 2 can round but never below 1).  Bit-identical to
+    _onehot_int(...).astype(bfloat16) with no boolean select and no f32
+    build + convert."""
+    ci = coords_row.astype(jnp.int32)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (size, coords_row.shape[-1]), 0)
+    d = (grid - ci).astype(jnp.bfloat16)
+    return jnp.maximum(jnp.bfloat16(1.0) - jnp.abs(d), jnp.bfloat16(0.0))
+
+
 def _corner_deriv_block(fl_i, weight_row, size, dtype):
     """d(corner)/d(coord): -1 at floor, +1 at floor+1 (one-sided,
     reference autograd semantics), from a precomputed floor."""

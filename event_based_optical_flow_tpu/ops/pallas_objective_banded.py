@@ -57,6 +57,7 @@ from .pallas_objective import (
     _fl_frac,
     _gather_uv,
     _onehot_int,
+    _onehot_int_tent_bf16,
     _round_up,
 )
 
@@ -461,7 +462,8 @@ def pack_events_by_tile_flex(
     )
 
 
-def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None):
+def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None,
+                      tent=False):
     """(u, v) via a band-local gather matmul: A_band [BAND, C] against the
     64-row flow slice at table row ``band_row0``; ``x_base`` is the row
     the slice's first entry represents spatially (== band_row0 for a plain
@@ -477,12 +479,15 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None
     dtype = x.dtype
     x_local = x - x_base.astype(dtype)
     a_band = _onehot_int(x_local, BAND)
+    # tent (v8): build the column one-hot directly in bf16 (exact —
+    # see _onehot_int_tent_bf16), skipping the f32 select build + convert
+    onehot_b = _onehot_int_tent_bf16 if (tent and use_bf16) else _onehot_int
     if col0 is None:
-        b_loc = _onehot_int(y, wp)
+        b_loc = onehot_b(y, wp)
         flow_u = flow_ref[0, pl.ds(band_row0, BAND), :]
         flow_v = flow_ref[1, pl.ds(band_row0, BAND), :]
     else:
-        b_loc = _onehot_int(y - col0.astype(dtype), COLBAND)
+        b_loc = onehot_b(y - col0.astype(dtype), COLBAND)
         flow_u = flow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
         flow_v = flow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
     b_int = b_loc
@@ -599,7 +604,8 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
     if stack_uv:
         u, v, _, _ = _banded_gather_uv_stacked(flow_ref, band_row0, x_base, x, y, wp, col0)
     else:
-        u, v, _, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
+        u, v, _, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0,
+                                       tent=tent)
 
     w0 = None if row_window is None else _window_start(x_base, hp, row_window)
     c0w = None if col_window is None else _col_window_start(col0, wp, col_window)

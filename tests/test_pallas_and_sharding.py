@@ -699,3 +699,23 @@ def test_tent_corner_blocks_match_select_at_bf16():
     g_sel = jax.grad(lambda f: run(f, False, 96).sum())(flow)
     g_tent = jax.grad(lambda f: run(f, True, 96).sum())(flow)
     np.testing.assert_array_equal(np.asarray(g_sel), np.asarray(g_tent))
+
+
+def test_tent_int_onehot_bit_identical():
+    """_onehot_int_tent_bf16 == _onehot_int(...).astype(bf16) exactly, for
+    in-range, negative (sentinel -10), boundary and out-of-range coords —
+    integer-spaced tent distances survive bf16 rounding without crossing
+    the |d| < 1 support."""
+    from event_based_optical_flow_tpu.ops.pallas_objective import (
+        _onehot_int,
+        _onehot_int_tent_bf16,
+    )
+
+    coords = jnp.asarray(
+        [[-10.0, -1.0, 0.0, 1.0, 63.2, 255.0, 256.0, 700.7, 767.0, 800.0]],
+        jnp.float32,
+    )
+    for size in (64, 768):
+        ref = _onehot_int(coords, size).astype(jnp.bfloat16)
+        tent = _onehot_int_tent_bf16(coords, size)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(tent))
