@@ -685,7 +685,7 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
 def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
                 bands_mod=None, col_bands=None, row_window=None, col_window=None,
-                chunks_per_step=1, stack_uv=False, row_scale=BAND):
+                chunks_per_step=1, stack_uv=False, row_scale=BAND, tent=False):
     assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
 
@@ -699,14 +699,14 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
             hp=hp, wp=wp, eps=eps, offsets=offsets, include_orig=include_orig,
             use_bf16=use_bf16, bands_mod=bands_mod, col_bands=col_bands,
             row_window=row_window, col_window=col_window, stack_uv=stack_uv,
-            row_scale=row_scale,
+            row_scale=row_scale, tent=tent,
         )
 
 
 def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, j, *,
                    hp, wp, eps, offsets, include_orig, use_bf16,
                    bands_mod=None, col_bands=None, row_window=None,
-                   col_window=None, stack_uv=False, row_scale=BAND):
+                   col_window=None, stack_uv=False, row_scale=BAND, tent=False):
     x = x_ref[j : j + 1, :]
     y = y_ref[j : j + 1, :]
     dtf = dtf_ref[j : j + 1, :]
@@ -725,7 +725,10 @@ def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflo
         u, v, a_band, b_loc = _banded_gather_uv_stacked(flow_ref, band_row0, x_base, x, y, wp, col0)
         x_local = x - x_base.astype(dtype)
     else:
-        u, v, a_band, b_loc = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0)
+        # tent gathers are bit-identical (exact bf16 one-hot), so the
+        # backward may share the flag without changing gradients
+        u, v, a_band, b_loc = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp,
+                                                use_bf16, col0, tent=tent)
 
     w0 = None if row_window is None else _window_start(x_base, hp, row_window)
     c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
@@ -981,7 +984,7 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_wi
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
             row_window=row_window, col_window=col_window, chunks_per_step=k,
-            stack_uv=stack_uv, row_scale=row_scale,
+            stack_uv=stack_uv, row_scale=row_scale, tent=tent,
         ),
         grid=(steps,),
         in_specs=[
