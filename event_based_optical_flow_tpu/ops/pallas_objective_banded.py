@@ -1099,7 +1099,7 @@ def _vox_specs(hp, hp_flow, wp, k_total):
     return band, row, flow, out
 
 
-def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window=None):
+def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window=None, tent=False):
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
     hp_flow = _round_up(h, BAND)
@@ -1113,7 +1113,7 @@ def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_o
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16,
-            chunk_axis=1, init_axes=(0, 1), row_window=row_window,
+            chunk_axis=1, init_axes=(0, 1), row_window=row_window, tent=tent,
         ),
         grid=(t_bins, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec],
@@ -1124,26 +1124,27 @@ def _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_o
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_multi_iwe_banded_voxel(voxel, x, y, dtf, wt, band_ids, image_size, offsets,
                                  include_orig=True, eps=1e-6, use_bf16=True,
-                                 row_window=None):
+                                 row_window=None, tent=False):
     """Time-aware banded fused rasterizer over (bin, band)-packed chunks
     (pack_events_by_band_bin).
 
     voxel [T, 2, H, W]; x/y/dtf/wt [T, G, 1, CHUNK]; band_ids [T, G].
     Returns [(orig?) + len(offsets), H, W]; differentiable w.r.t. voxel
     (the custom-vjp backward emits per-bin slice gradients, and autodiff
-    carries them back through the Burgers/upwind lax.scan chain)."""
-    return _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window)
+    carries them back through the Burgers/upwind lax.scan chain).
+    ``tent`` as in fused_multi_iwe_banded (v8)."""
+    return _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window, tent)
 
 
-def _vox_vjp_fwd(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window):
-    out = _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window)
+def _vox_vjp_fwd(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window, tent):
+    out = _vox_fwd_impl(voxel, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, row_window, tent)
     return out, (voxel, x, y, dtf, wt, band_ids)
 
 
-def _vox_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, row_window, res, g):
+def _vox_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, row_window, tent, res, g):
     voxel, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -1161,7 +1162,7 @@ def _vox_vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, row_window, r
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
-            row_window=row_window,
+            row_window=row_window, tent=tent,
         ),
         grid=(t_bins, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec, g_spec],
@@ -1188,7 +1189,7 @@ def _vox_specs_batched(hp, hp_flow, wp, k_total):
     return band, row, flow, out
 
 
-def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window=None):
+def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window=None, tent=False):
     bsz, t_bins, g_chunks = x.shape[0], x.shape[1], x.shape[2]
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -1201,7 +1202,7 @@ def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, 
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16,
-            chunk_axis=2, init_axes=(1, 2), row_window=row_window,
+            chunk_axis=2, init_axes=(1, 2), row_window=row_window, tent=tent,
         ),
         grid=(bsz, t_bins, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec],
@@ -1212,22 +1213,23 @@ def _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, 
     return out[:, :, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_multi_iwe_banded_voxel_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets,
                                          include_orig=True, eps=1e-6, use_bf16=True,
-                                         row_window=None):
+                                         row_window=None, tent=False):
     """Fleet time-aware variant: voxel [B,T,2,H,W]; x/y/dtf/wt
     [B,T,G,1,CHUNK]; band_rows [B,T,G,1,128] int32.  One launch for all B
-    frames x T bins; differentiable w.r.t. voxel."""
-    return _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window)
+    frames x T bins; differentiable w.r.t. voxel.  ``tent`` as in
+    fused_multi_iwe_banded (v8)."""
+    return _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window, tent)
 
 
-def _vox_vjp_fwd_b(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window):
-    out = _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window)
+def _vox_vjp_fwd_b(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window, tent):
+    out = _vox_fwd_impl_batched(voxel, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, row_window, tent)
     return out, (voxel, x, y, dtf, wt, band_rows)
 
 
-def _vox_vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, row_window, res, g):
+def _vox_vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, row_window, tent, res, g):
     voxel, x, y, dtf, wt, band_rows = res
     bsz, t_bins, g_chunks = x.shape[0], x.shape[1], x.shape[2]
     h, w = image_size
@@ -1244,7 +1246,7 @@ def _vox_vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, row_window,
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=2,
-            row_window=row_window,
+            row_window=row_window, tent=tent,
         ),
         grid=(bsz, t_bins, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec, g_spec],
@@ -1272,7 +1274,7 @@ def _specs_batched(hp, hp_flow, wp, k_total, chunk=_CHUNK):
     return band, row, flow, out
 
 
-def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, row_scale=BAND):
+def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, row_scale=BAND, tent=False):
     bsz = x.shape[0]
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -1287,6 +1289,7 @@ def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, inclu
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
             col_bands=col_bands, row_window=row_window, row_scale=row_scale,
+            tent=tent,
         ),
         grid=(bsz, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec],
@@ -1297,26 +1300,27 @@ def _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, inclu
     return out[:, :, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def fused_multi_iwe_banded_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets,
                                    include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
-                                   row_window=None, row_scale=BAND):
+                                   row_window=None, row_scale=BAND, tent=False):
     """Fleet variant: flow [B,2,H,W]; x/y/dtf/wt [B,G,1,CHUNK];
     band_rows [B,G,1,128] int32 (see _band_rows).  One kernel launch for
     all B frames; differentiable w.r.t. flow.  With ``col_bands`` the
     chunks must be tile-packed (pack_events_by_tile / pack_fleet_banded
     with ``image_width``): gathers use 128-column windows.  With
     ``row_scale=FLEX_ROW_SCALE`` the chunks come from the fill-balanced
-    flex packer (pack_events_by_tile_flex)."""
-    return _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale)
+    flex packer (pack_events_by_tile_flex).  ``tent`` as in
+    fused_multi_iwe_banded (v8)."""
+    return _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale, tent)
 
 
-def _vjp_fwd_b(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale):
-    out = _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale)
+def _vjp_fwd_b(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale, tent):
+    out = _fwd_impl_batched(flow, x, y, dtf, wt, band_rows, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale, tent)
     return out, (flow, x, y, dtf, wt, band_rows)
 
 
-def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale, res, g):
+def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, row_scale, tent, res, g):
     flow, x, y, dtf, wt, band_rows = res
     bsz = x.shape[0]
     h, w = image_size
@@ -1335,6 +1339,7 @@ def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, chunk_axis=1,
             col_bands=col_bands, row_window=row_window, row_scale=row_scale,
+            tent=tent,
         ),
         grid=(bsz, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec, g_spec],

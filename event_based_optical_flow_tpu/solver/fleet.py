@@ -138,6 +138,7 @@ def build_orig_iwe_banded_batched(spec: ObjectiveSpec):
         objective_dense_col_bands,
         objective_row_scale,
         objective_row_window,
+        objective_tent,
     )
 
     backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
@@ -150,7 +151,7 @@ def build_orig_iwe_banded_batched(spec: ObjectiveSpec):
             zeros = jnp.zeros((bsz, x.shape[1], 2, h, w), x.dtype)
             imgs = fused_multi_iwe_banded_voxel_batched(
                 zeros, x, y, dtf, wt, band_rows, spec.image_shape, (), True,
-                1e-6, use_bf16, objective_row_window(h),
+                1e-6, use_bf16, objective_row_window(h), objective_tent(use_bf16),
             )
         else:
             zeros = jnp.zeros((bsz, 2, h, w), x.dtype)
@@ -158,6 +159,7 @@ def build_orig_iwe_banded_batched(spec: ObjectiveSpec):
                 zeros, x, y, dtf, wt, band_rows, spec.image_shape, (), True,
                 1e-6, use_bf16, objective_dense_col_bands(w),
                 objective_row_window(h), objective_row_scale(w),
+                objective_tent(use_bf16),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)
@@ -179,6 +181,7 @@ def build_batched_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool =
         objective_dense_col_bands,
         objective_row_scale,
         objective_row_window,
+        objective_tent,
     )
 
     cost = make_cost(spec)
@@ -206,6 +209,7 @@ def build_batched_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool =
                 flows, x, y, dtf, wt, band_rows, spec.image_shape,
                 tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
                 objective_row_window(spec.image_shape[0]),
+                objective_tent(use_bf16),
             )
         else:
             # dense fleet chunks come from pack_fleet_banded(image_width=w)
@@ -216,6 +220,7 @@ def build_batched_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool =
                 objective_dense_col_bands(spec.image_shape[1]),
                 objective_row_window(spec.image_shape[0]),
                 objective_row_scale(spec.image_shape[1]),
+                objective_tent(use_bf16),
             )
         if spec.blur_sigma > 0:
             imgs = gaussian_blur3(imgs, spec.blur_sigma)

@@ -390,7 +390,7 @@ def build_orig_iwe_banded(spec: ObjectiveSpec, mesh=None):
             zeros = jnp.zeros((t_bins, 2, h, w), x.dtype)
             return fused_multi_iwe_banded_voxel(
                 zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
-                1e-6, use_bf16, objective_row_window(h),
+                1e-6, use_bf16, objective_row_window(h), objective_tent(use_bf16),
             )
         zeros = jnp.zeros((2, h, w), x.dtype)
         return fused_multi_iwe_banded(
@@ -479,6 +479,7 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
                 flow, x, y, dtf, wt, bands, spec.image_shape,
                 tuple(d for _, d in directions), kernel_orig, 1e-6, use_bf16,
                 objective_row_window(spec.image_shape[0]),
+                objective_tent(use_bf16),
             )
         # dense chunks come from pack_events_dense (policy switch:
         # OBJECTIVE_DENSE_PACKING) — the flags here match by design
