@@ -4,6 +4,7 @@ full hybrid CMax cost through the banded kernel — the Newton-dominant
 shape) across packing/chunk variants and geometries.
 
     python tools/probe_objective.py [mvsec|dsec] [chunks...]
+        # variants: "512" "1024" "512:96" "flex1024:96" "tentflex1024:96"
 """
 import os
 import sys
@@ -56,7 +57,7 @@ def main():
 
     rw_default = objective_row_window(H)
 
-    def make_runner(packed, col_bands, rw, row_scale=BAND):
+    def make_runner(packed, col_bands, rw, row_scale=BAND, tent=False):
         pk = tuple(
             jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
             for a in packed
@@ -66,7 +67,7 @@ def main():
             # objective shape: orig hoisted out (3 warp votes), blur, MF-NGM
             imgs = fused_multi_iwe_banded(
                 f, *pk, (H, W), (0.0, 1.0, 0.5), False, 1e-6, True,
-                col_bands, rw, None, 1, False, row_scale,
+                col_bands, rw, None, 1, False, row_scale, tent,
             )
             imgs = gaussian_blur3(imgs, 1.0)
             orig = jax.lax.stop_gradient(imgs[2])
@@ -92,13 +93,14 @@ def main():
     for spec in specs:
         if spec.startswith("band"):
             continue
-        if spec.startswith("flex"):
-            parts = spec[4:].split(":")
+        if spec.startswith(("flex", "tentflex")):
+            tent = spec.startswith("tent")
+            parts = spec[8 if tent else 4:].split(":")
             chunk = int(parts[0])
             rw = int(parts[1]) if len(parts) > 1 else rw_default
             variants[spec] = (
                 pack_events_by_tile_flex(events, wt, dtf, H, W, chunk=chunk),
-                n_col_bands(W), rw, FLEX_ROW_SCALE,
+                n_col_bands(W), rw, FLEX_ROW_SCALE, tent,
             )
             continue
         parts = spec.split(":")
@@ -119,7 +121,8 @@ def main():
     for name, spec in variants.items():
         packed, cb, rw = spec[:3]
         rs = spec[3] if len(spec) > 3 else BAND
-        runners[name] = make_runner(packed, cb, rw, rs)
+        tnt = spec[4] if len(spec) > 4 else False
+        runners[name] = make_runner(packed, cb, rw, rs, tnt)
         print(f"{name}: G={packed[0].shape[0]} chunks rw={rw}", flush=True)
 
     est = {}
