@@ -26,6 +26,75 @@ Array = jax.Array
 _FD_EPS_SCALE = 0.1
 
 
+def _line_search(value_fn, x, f0, g, p, args, ls_maxiter, armijo_c1):
+    """Two-sided backtracking: at each level try x +- alpha*p and accept
+    the first strict improvement (largest such alpha).
+
+    CMax landscapes are non-convex washboards, and in negative-curvature
+    regions the search direction's *sign* is unreliable (scipy's Wolfe
+    search escapes the same situation only through its negative
+    initial-step heuristic); probing both signs with a
+    sufficient-decrease margin is the robust equivalent and costs two
+    objective evaluations per level."""
+    gtp_abs = jnp.abs(jnp.vdot(g, p))
+
+    def cond(state):
+        alpha, f_best, i = state
+        return (f_best >= f0 - armijo_c1 * jnp.abs(alpha) * gtp_abs) & (i < ls_maxiter)
+
+    def body(state):
+        alpha, _, i = state
+        alpha = jnp.where(i == 0, alpha, alpha * 0.5)
+        f_plus = value_fn(x + alpha * p, *args)
+        f_minus = value_fn(x - alpha * p, *args)
+        take_minus = f_minus < f_plus
+        f_best = jnp.where(take_minus, f_minus, f_plus)
+        alpha_signed = jnp.where(take_minus, -alpha, alpha)
+        return (alpha_signed, f_best, i + 1)
+
+    def body_abs(state):
+        alpha, f_best, i = state
+        return body((jnp.abs(alpha), f_best, i))
+
+    init = (jnp.asarray(1.0, x.dtype), jnp.asarray(jnp.inf, x.dtype), 0)
+    alpha, f_new, i = jax.lax.while_loop(cond, body_abs, init)
+    ok = f_new < f0 - armijo_c1 * jnp.abs(alpha) * gtp_abs
+    return jnp.where(ok, alpha, 0.0), jnp.where(ok, f_new, f0)
+
+
+def _escape_probe(value_fn, x, f0, p, args):
+    """Outward two-sided exponential search along p-hat when the
+    backtracking search failed: CMax plateaus can hide the descent basin
+    several pixels away (scipy reaches it only via its
+    negative-initial-step quirk).  Returns a signed step length (in
+    p-hat units) or 0."""
+    p_hat = p / (jnp.linalg.norm(p) + 1e-12)
+
+    def cond(state):
+        mag, best_a, best_f, i = state
+        return (best_f >= f0) & (i < 9)
+
+    def body(state):
+        mag, best_a, best_f, i = state
+        f_plus = value_fn(x + mag * p_hat, *args)
+        f_minus = value_fn(x - mag * p_hat, *args)
+        take_minus = f_minus < f_plus
+        f_cand = jnp.where(take_minus, f_minus, f_plus)
+        a_cand = jnp.where(take_minus, -mag, mag)
+        better = f_cand < best_f
+        return (
+            mag * 2.0,
+            jnp.where(better, a_cand, best_a),
+            jnp.where(better, f_cand, best_f),
+            i + 1,
+        )
+
+    init = (jnp.asarray(1.0, x.dtype), jnp.asarray(0.0, x.dtype), f0, 0)
+    _, a, f_new, _ = jax.lax.while_loop(cond, body, init)
+    ok = f_new < f0
+    return jnp.where(ok, a, 0.0), p_hat
+
+
 def build_newton_cg(
     value_fn: Callable,
     maxiter: int = 25,
@@ -118,71 +187,10 @@ def build_newton_cg(
         return p
 
     def line_search(x, f0, g, p, args):
-        """Two-sided backtracking: at each level try x +- alpha*p and
-        accept the first strict improvement (largest such alpha).
-
-        CMax landscapes are non-convex washboards, and in negative-
-        curvature regions the truncated-Newton direction's *sign* is
-        unreliable (scipy's Wolfe search escapes the same situation only
-        through its negative initial-step heuristic); probing both signs
-        with a sufficient-decrease margin is the robust equivalent and
-        costs two objective evaluations per level."""
-        gtp_abs = jnp.abs(jnp.vdot(g, p))
-
-        def cond(state):
-            alpha, f_best, i = state
-            return (f_best >= f0 - armijo_c1 * jnp.abs(alpha) * gtp_abs) & (i < ls_maxiter)
-
-        def body(state):
-            alpha, _, i = state
-            alpha = jnp.where(i == 0, alpha, alpha * 0.5)
-            f_plus = value_fn(x + alpha * p, *args)
-            f_minus = value_fn(x - alpha * p, *args)
-            take_minus = f_minus < f_plus
-            f_best = jnp.where(take_minus, f_minus, f_plus)
-            alpha_signed = jnp.where(take_minus, -alpha, alpha)
-            return (alpha_signed, f_best, i + 1)
-
-        def body_abs(state):
-            alpha, f_best, i = state
-            return body((jnp.abs(alpha), f_best, i))
-
-        init = (jnp.asarray(1.0, x.dtype), jnp.asarray(jnp.inf, x.dtype), 0)
-        alpha, f_new, i = jax.lax.while_loop(cond, body_abs, init)
-        ok = f_new < f0 - armijo_c1 * jnp.abs(alpha) * gtp_abs
-        return jnp.where(ok, alpha, 0.0), jnp.where(ok, f_new, f0)
+        return _line_search(value_fn, x, f0, g, p, args, ls_maxiter, armijo_c1)
 
     def escape_probe(x, f0, p, args):
-        """Outward two-sided exponential search along p-hat when the
-        backtracking search failed: CMax plateaus can hide the descent
-        basin several pixels away (scipy reaches it only via its
-        negative-initial-step quirk).  Returns a signed step length (in
-        p-hat units) or 0."""
-        p_hat = p / (jnp.linalg.norm(p) + 1e-12)
-
-        def cond(state):
-            mag, best_a, best_f, i = state
-            return (best_f >= f0) & (i < 9)
-
-        def body(state):
-            mag, best_a, best_f, i = state
-            f_plus = value_fn(x + mag * p_hat, *args)
-            f_minus = value_fn(x - mag * p_hat, *args)
-            take_minus = f_minus < f_plus
-            f_cand = jnp.where(take_minus, f_minus, f_plus)
-            a_cand = jnp.where(take_minus, -mag, mag)
-            better = f_cand < best_f
-            return (
-                mag * 2.0,
-                jnp.where(better, a_cand, best_a),
-                jnp.where(better, f_cand, best_f),
-                i + 1,
-            )
-
-        init = (jnp.asarray(1.0, x.dtype), jnp.asarray(0.0, x.dtype), f0, 0)
-        _, a, f_new, _ = jax.lax.while_loop(cond, body, init)
-        ok = f_new < f0
-        return jnp.where(ok, a, 0.0) , p_hat
+        return _escape_probe(value_fn, x, f0, p, args)
 
     def solve(x0, *args):
         f0, g0 = value_grad(x0, args)
@@ -226,6 +234,135 @@ def build_newton_cg(
         x, f, g, k, done, best_x, best_f = jax.lax.while_loop(
             cond, body, (x0, f0, g0, 0, False, x0, f0)
         )
+        return best_x, best_f, k
+
+    return solve
+
+
+def build_lbfgs(
+    value_fn: Callable,
+    maxiter: int = 100,
+    gtol: float = 1e-5,
+    xtol: float = 1e-5,
+    memory: int = 8,
+    ls_maxiter: int = 16,
+    armijo_c1: float = 1e-4,
+):
+    """On-device L-BFGS with the SAME washboard-tuned machinery as
+    build_newton_cg (two-sided Armijo backtracking, plateau-escape
+    probe, best-iterate tracking).  Same contract:
+    solve(x0, *args) -> (best_x, best_f, n_iters).
+
+    Why it exists: each truncated-Newton iteration costs 1 gradient +
+    cg_maxiter HVPs (2 gradients each with central differences) + a line
+    search — ~20 objective-gradient evaluations at the DSEC config.  An
+    L-BFGS iteration costs ONE fresh gradient + the line search, so at
+    very large event counts (DSEC: 300k events -> 3.3 ms/eval) many
+    cheap iterations can beat few expensive ones
+    (``optimizer.device_solver: lbfgs``; budget via ``max_iter``, which
+    counts L-BFGS iterations — expect to need ~2-4x the Newton value).
+
+    The two-loop recursion runs over a static ``memory``-slot circular
+    buffer (jit-friendly); pairs with non-positive curvature s.y are
+    skipped (standard safeguard — keeps the implicit Hessian SPD).
+    """
+    m = int(memory)
+
+    def value_grad(x, args):
+        return jax.value_and_grad(lambda xx: value_fn(xx, *args))(x)
+
+    def direction(g, S, Y, rho, nk):
+        """-H.g via the two-loop recursion; age j = 0 (newest) .. m-1,
+        slot (nk-1-j) mod m, valid while nk-1-j >= 0."""
+
+        def bwd(j, carry):
+            q, al = carry
+            idx = (nk - 1 - j) % m
+            valid = (nk - 1 - j) >= 0
+            a = jnp.where(valid, rho[idx] * jnp.vdot(S[idx], q), 0.0)
+            return q - a * Y[idx], al.at[j].set(a)
+
+        q, al = jax.lax.fori_loop(
+            0, m, bwd, (g, jnp.zeros((m,), g.dtype))
+        )
+        idx0 = (nk - 1) % m
+        ys = jnp.vdot(S[idx0], Y[idx0])
+        yy = jnp.vdot(Y[idx0], Y[idx0])
+        gamma = jnp.where(nk > 0, ys / jnp.where(yy > 0, yy, 1.0), 1.0)
+        r = gamma * q
+
+        def fwd(j, r):
+            jj = m - 1 - j  # oldest first
+            idx = (nk - 1 - jj) % m
+            valid = (nk - 1 - jj) >= 0
+            b = jnp.where(valid, rho[idx] * jnp.vdot(Y[idx], r), 0.0)
+            return r + jnp.where(valid, al[jj] - b, 0.0) * S[idx]
+
+        r = jax.lax.fori_loop(0, m, fwd, r)
+        return -r
+
+    def solve(x0, *args):
+        f0, g0 = value_grad(x0, args)
+        n = x0.shape[0]
+        S0 = jnp.zeros((m, n), x0.dtype)
+        Y0 = jnp.zeros((m, n), x0.dtype)
+        rho0 = jnp.zeros((m,), x0.dtype)
+
+        def cond(state):
+            x, f, g, S, Y, rho, nk, k, done, best_x, best_f = state
+            return (~done) & (k < maxiter)
+
+        def body(state):
+            x, f, g, S, Y, rho, nk, k, done, best_x, best_f = state
+            p = direction(g, S, Y, rho, nk)
+            alpha, f_new = _line_search(
+                value_fn, x, f, g, p, args, ls_maxiter, armijo_c1
+            )
+            # plateau escape mirrors build_newton_cg: probe outward when
+            # backtracking failed, or the first iteration found only a
+            # negligible decrease (flat/zero inits near a stationary
+            # point whose basin is several pixels away)
+            trigger = (alpha == 0.0) | (
+                (k == 0) & (f - f_new <= 1e-6 * (1.0 + jnp.abs(f)))
+            )
+            a_esc, p_hat = jax.lax.cond(
+                trigger,
+                lambda: _escape_probe(value_fn, x, f, p, args),
+                lambda: (jnp.asarray(0.0, x.dtype), p),
+            )
+            use_esc = trigger & (a_esc != 0.0)
+            step = jnp.where(use_esc, a_esc * p_hat, alpha * p)
+            alpha = jnp.where(use_esc, 1.0, alpha)
+            x_new = x + step
+            f_new2, g_new = value_grad(x_new, args)
+            improved = f_new2 < best_f
+            best_x = jnp.where(improved, x_new, best_x)
+            best_f = jnp.where(improved, f_new2, best_f)
+            # curvature-safeguarded pair update
+            s = step
+            y = g_new - g
+            sy = jnp.vdot(s, y)
+            good = sy > 1e-10 * (
+                jnp.linalg.norm(s) * jnp.linalg.norm(y) + 1e-30
+            )
+            slot = nk % m
+            S = S.at[slot].set(jnp.where(good, s, S[slot]))
+            Y = Y.at[slot].set(jnp.where(good, y, Y[slot]))
+            rho = rho.at[slot].set(
+                jnp.where(good, 1.0 / jnp.where(good, sy, 1.0), rho[slot])
+            )
+            nk = nk + good.astype(nk.dtype)
+            small_step = jnp.sum(jnp.abs(step)) <= xtol
+            small_grad = jnp.linalg.norm(g_new, ord=jnp.inf) <= gtol
+            done = small_step | small_grad | (alpha == 0.0)
+            return (x_new, f_new2, g_new, S, Y, rho, nk, k + 1, done, best_x, best_f)
+
+        state0 = (
+            x0, f0, g0, S0, Y0, rho0,
+            jnp.asarray(0, jnp.int32), 0, False, x0, f0,
+        )
+        out = jax.lax.while_loop(cond, body, state0)
+        x, f, g, S, Y, rho, nk, k, done, best_x, best_f = out
         return best_x, best_f, k
 
     return solve

@@ -281,18 +281,34 @@ class PatchContrastMaximization(SolverBase):
                 self._warned_mesh_unused = True
             obj = build_objective(spec)
         value_fn = lambda x, *a: obj(x, *a)[0]
-        solve_inner = build_newton_cg(
-            value_fn,
-            maxiter=maxiter,
-            cg_maxiter=int(
-                cg_maxiter if cg_maxiter is not None
-                else self.opt_config.get("cg_maxiter", 32)
-            ),
-            xtol=1e-5,
-            gtol=gtol,
-            hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
-            fd_central=bool(self.opt_config.get("hvp_central", True)),
-        )
+        kind = str(self.opt_config.get("device_solver", "newton-cg")).lower()
+        if kind == "lbfgs":
+            # cheap-iteration alternative (one gradient per iteration vs
+            # 1 + 2*cg_maxiter for central-FD truncated Newton) — the
+            # large-event-count (DSEC) lever; budget via max_iter (counts
+            # L-BFGS iterations: expect ~2-4x the Newton value)
+            from .newton_cg import build_lbfgs
+
+            solve_inner = build_lbfgs(
+                value_fn,
+                maxiter=maxiter,
+                xtol=1e-5,
+                gtol=gtol,
+                memory=int(self.opt_config.get("lbfgs_memory", 8)),
+            )
+        else:
+            solve_inner = build_newton_cg(
+                value_fn,
+                maxiter=maxiter,
+                cg_maxiter=int(
+                    cg_maxiter if cg_maxiter is not None
+                    else self.opt_config.get("cg_maxiter", 32)
+                ),
+                xtol=1e-5,
+                gtol=gtol,
+                hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
+                fd_central=bool(self.opt_config.get("hvp_central", True)),
+            )
         if orig_fn is None:
             return solve_inner
 

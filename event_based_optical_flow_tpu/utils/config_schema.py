@@ -61,7 +61,7 @@ _KNOWN_PARALLEL_KEYS = {"data", "event"}
 _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
     "chain", "hvp_central", "coarse_event_fraction", "coarse_max_iter",
-    "coarse_cg_maxiter",
+    "coarse_cg_maxiter", "device_solver", "lbfgs_memory",
 }
 _KNOWN_DNN_KEYS = {
     "n_bin", "batch_size", "n_steps", "lr", "data_parallel",
@@ -197,13 +197,18 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
         raise ConfigError(
             f"'optimizer.coarse_event_fraction' must be in (0, 1], got {frac!r}"
         )
-    for budget_key in ("coarse_max_iter", "coarse_cg_maxiter"):
+    for budget_key in ("coarse_max_iter", "coarse_cg_maxiter", "lbfgs_memory"):
         if budget_key in opt:
             val = opt[budget_key]
             if not isinstance(val, int) or val < 1:
                 raise ConfigError(
                     f"'optimizer.{budget_key}' must be a positive int, got {val!r}"
                 )
+    dev_solver = opt.get("device_solver", "newton-cg")
+    if str(dev_solver).lower() not in ("newton-cg", "lbfgs"):
+        raise ConfigError(
+            f"'optimizer.device_solver' must be 'newton-cg' or 'lbfgs', got {dev_solver!r}"
+        )
     for key in opt:
         if key not in _KNOWN_OPT_KEYS:
             warnings.append(f"unknown config key 'optimizer.{key}' (ignored?)")

@@ -50,3 +50,27 @@ def test_negative_curvature_escape():
     x0 = jnp.asarray([3.0, 2.9, 3.1])  # near the top of -cos ridge
     x, fv, k = solve(x0)
     assert float(fv) < float(f(x0)) - 0.5
+
+
+def test_lbfgs_quadratic_and_rosenbrock():
+    """build_lbfgs (optimizer.device_solver: lbfgs): exact on a quadratic
+    in few iterations; converges on Rosenbrock; threads extra args."""
+    from event_based_optical_flow_tpu.solver.newton_cg import build_lbfgs
+
+    A = jnp.asarray(np.diag([1.0, 4.0, 9.0, 16.0]))
+    b = jnp.asarray([1.0, -2.0, 3.0, -4.0])
+    f = lambda x: 0.5 * x @ A @ x - b @ x
+    solve = jax.jit(build_lbfgs(f, maxiter=60, gtol=1e-8))
+    x, fv, k = solve(jnp.zeros(4))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(b / jnp.diag(A)), atol=1e-5)
+    assert int(k) < 60  # converged by gtol, not budget
+
+    ros = lambda x: jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+    solve_r = jax.jit(build_lbfgs(ros, maxiter=200, gtol=1e-6))
+    xr, fr, kr = solve_r(jnp.zeros(4))
+    np.testing.assert_allclose(np.asarray(xr), 1.0, atol=1e-2)
+
+    ft = lambda x, t: jnp.sum((x - t) ** 2)
+    solve_t = jax.jit(build_lbfgs(ft, maxiter=30))
+    xt, _, _ = solve_t(jnp.zeros(3), jnp.asarray([3.0, -2.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(xt), [3.0, -2.0, 1.0], atol=1e-6)

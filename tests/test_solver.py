@@ -564,3 +564,40 @@ def test_global_rotation3d_solver_recovers_omega():
     gt = loader.load_optical_flow(ts[0], ts[1])
     err = solv.calculate_flow_error(best, gt, timescale=ts[1] - ts[0], events=ev)
     assert err["EPE"] < 1.0, err
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("chain", [True, False])
+def test_pyramid_device_lbfgs_recovers(chain):
+    """optimizer.device_solver: lbfgs — the cheap-iteration on-device
+    alternative to Newton-CG (one gradient per iteration; the DSEC-scale
+    lever) recovers the small scene through the same chain/per-scale
+    plumbing."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt, n=2600, h=20, w=28)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 16, "crop_width": 24, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",  # interpret-mode banded kernel on CPU
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 4, "method": "Newton-CG", "max_iter": 20,
+        "device_solver": "lbfgs", "chain": chain,
+        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+    }
+    solv = solver.collections["pyramidal_patch_contrast_maximization"](
+        (20, 28), {}, slv_cfg, opt_cfg, {}, None
+    )
+    best = solv.optimize(ev)
+    fin = best[max(best)]
+    assert np.abs(fin[0].mean() - gt[0]) < 1.5, fin[0].mean()
+    assert np.abs(fin[1].mean() - gt[1]) < 1.5, fin[1].mean()
