@@ -14,6 +14,8 @@ cancels the tunnel's session drift (single-shot e2e numbers swing
         # budget (coarse_max_iter/coarse_cg_maxiter) on the same scene
     python tools/ab_policy.py [n_rounds] tent  # v8 tent vote blocks vs
         # select (speed + flowMAE, 30%-clutter MVSEC geometry)
+    python tools/ab_policy.py [n_rounds] lbfgs-dsec  # device L-BFGS vs
+        # Newton-CG at DSEC geometry (same clutter scene)
 """
 import os
 import sys
@@ -54,14 +56,30 @@ def main():
     mode = sys.argv[2] if len(sys.argv) > 2 else "packing"
 
     noise_frac = 0.0
-    if mode.startswith(("flex", "coarse", "budget")):
+    if mode.startswith(("flex", "coarse", "budget", "lbfgs")):
         if mode.endswith("-dsec"):
             global H, W, N_EV
             import bench_e2e as _be
 
             _be.H, _be.W = 480, 640  # synth() reads bench_e2e's globals
             H, W, N_EV = 480, 640, 300000
-        if mode.startswith("budget"):
+        if mode.startswith("lbfgs"):
+            # device L-BFGS vs Newton-CG at DSEC geometry (speed + flowMAE
+            # on the 30%-clutter scene); both on the shipped coarse policy
+            noise_frac = 0.3
+            base = {"cg_maxiter": 8, "coarse_event_fraction": 0.25}
+            POLICIES = {
+                "A(newton cg8)": ("flex", 96),
+                "B(lbfgs mi80)": ("flex", 96),
+            }
+            OPT_OVER = {
+                "A(newton cg8)": dict(base),
+                "B(lbfgs mi80)": dict(
+                    base, device_solver="lbfgs", max_iter=80,
+                    coarse_max_iter=40,
+                ),
+            }
+        elif mode.startswith("budget"):
             # coarse-scale Newton budget on top of the shipped DSEC config
             # (cg 8 + coarse_event_fraction 0.25): coarse scales only seed
             # the next scale's init, so their budget may be cuttable
