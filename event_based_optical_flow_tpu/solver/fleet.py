@@ -561,6 +561,16 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         (see patch_base._build_newton for the single-frame analog).
         ``cg_maxiter`` overrides optimizer.cg_maxiter (the pyramid's
         coarse-scale budget knob)."""
+        if (
+            str(self.opt_config.get("device_solver", "newton-cg")).lower() != "newton-cg"
+            and not getattr(self, "_warned_device_solver", False)
+        ):
+            logger.warning(
+                "optimizer.device_solver is only implemented for the "
+                "sequential solvers; the fleet solver runs batched "
+                "Newton-CG"
+            )
+            self._warned_device_solver = True
         orig_fn = None
         if objective_uses_banded(spec):
             hoist = "orig_iwe" in make_cost(spec).required_keys
