@@ -331,6 +331,72 @@ def build_batched_objective(spec: ObjectiveSpec):
     return batched
 
 
+def _batched_line_search(batched_value_fn, x, f0, g, p, args, ls_maxiter,
+                         armijo_c1):
+    """Per-frame two-sided backtracking in lockstep — the batched analog
+    of newton_cg._line_search: each level tries x +- a*p, a frame exits
+    (freezes) once the Armijo-style sufficient decrease holds for its
+    current level."""
+    gtp_abs = jnp.abs(jnp.sum(g * p, axis=-1))  # [B]
+
+    def cond(state):
+        alpha, f_cur, accepted, i = state
+        return (i < ls_maxiter) & jnp.any(~accepted)
+
+    def body(state):
+        alpha, f_cur, accepted, i = state
+        a = jnp.where(i == 0, jnp.ones_like(alpha), jnp.abs(alpha) * 0.5)
+        f_plus = batched_value_fn(x + a[:, None] * p, *args)
+        f_minus = batched_value_fn(x - a[:, None] * p, *args)
+        take_minus = f_minus < f_plus
+        f_cand = jnp.where(take_minus, f_minus, f_plus)
+        a_signed = jnp.where(take_minus, -a, a)
+        new_alpha = jnp.where(accepted, alpha, a_signed)
+        new_f = jnp.where(accepted, f_cur, f_cand)
+        new_accepted = accepted | (new_f < f0 - armijo_c1 * jnp.abs(new_alpha) * gtp_abs)
+        return (new_alpha, new_f, new_accepted, i + 1)
+
+    bsz = f0.shape[0]
+    init = (
+        jnp.ones(bsz, x.dtype),
+        jnp.full(bsz, jnp.inf, x.dtype),
+        jnp.zeros(bsz, bool),
+        0,
+    )
+    alpha, f_new, accepted, _ = jax.lax.while_loop(cond, body, init)
+    return jnp.where(accepted, alpha, 0.0), jnp.where(accepted, f_new, f0)
+
+
+def _batched_escape_probe(batched_value_fn, x, f0, p, args):
+    """Per-frame outward two-sided exponential probe along p-hat for
+    frames whose backtracking failed (see newton_cg._escape_probe)."""
+    p_hat = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
+
+    def cond(state):
+        mag, best_a, best_f, i = state
+        return (i < 9) & jnp.any(best_f >= f0)
+
+    def body(state):
+        mag, best_a, best_f, i = state
+        f_plus = batched_value_fn(x + mag[:, None] * p_hat, *args)
+        f_minus = batched_value_fn(x - mag[:, None] * p_hat, *args)
+        take_minus = f_minus < f_plus
+        f_cand = jnp.where(take_minus, f_minus, f_plus)
+        a_cand = jnp.where(take_minus, -mag, mag)
+        better = f_cand < best_f
+        return (
+            mag * 2.0,
+            jnp.where(better, a_cand, best_a),
+            jnp.where(better, f_cand, best_f),
+            i + 1,
+        )
+
+    bsz = f0.shape[0]
+    init = (jnp.ones(bsz, x.dtype), jnp.zeros(bsz, x.dtype), f0, 0)
+    _, a, f_new, _ = jax.lax.while_loop(cond, body, init)
+    return jnp.where(f_new < f0, a, 0.0), p_hat
+
+
 def build_newton_cg_batched(
     batched_value_fn: Callable,
     maxiter: int = 25,
@@ -423,67 +489,12 @@ def build_newton_cg_batched(
         return p
 
     def line_search(x, f0, g, p, args):
-        """Per-frame two-sided backtracking in lockstep — the batched
-        analog of newton_cg.line_search: each level tries x +- a*p, a
-        frame exits (freezes) once the Armijo-style sufficient decrease
-        holds for its current level."""
-        gtp_abs = jnp.abs(rdot(g, p))  # [B]
-
-        def cond(state):
-            alpha, f_cur, accepted, i = state
-            return (i < ls_maxiter) & jnp.any(~accepted)
-
-        def body(state):
-            alpha, f_cur, accepted, i = state
-            a = jnp.where(i == 0, jnp.ones_like(alpha), jnp.abs(alpha) * 0.5)
-            f_plus = batched_value_fn(x + a[:, None] * p, *args)
-            f_minus = batched_value_fn(x - a[:, None] * p, *args)
-            take_minus = f_minus < f_plus
-            f_cand = jnp.where(take_minus, f_minus, f_plus)
-            a_signed = jnp.where(take_minus, -a, a)
-            new_alpha = jnp.where(accepted, alpha, a_signed)
-            new_f = jnp.where(accepted, f_cur, f_cand)
-            new_accepted = accepted | (new_f < f0 - armijo_c1 * jnp.abs(new_alpha) * gtp_abs)
-            return (new_alpha, new_f, new_accepted, i + 1)
-
-        bsz = f0.shape[0]
-        init = (
-            jnp.ones(bsz, x.dtype),
-            jnp.full(bsz, jnp.inf, x.dtype),
-            jnp.zeros(bsz, bool),
-            0,
+        return _batched_line_search(
+            batched_value_fn, x, f0, g, p, args, ls_maxiter, armijo_c1
         )
-        alpha, f_new, accepted, _ = jax.lax.while_loop(cond, body, init)
-        return jnp.where(accepted, alpha, 0.0), jnp.where(accepted, f_new, f0)
 
     def escape_probe(x, f0, p, args):
-        """Per-frame outward two-sided exponential probe along p-hat for
-        frames whose backtracking failed (see newton_cg.escape_probe)."""
-        p_hat = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
-
-        def cond(state):
-            mag, best_a, best_f, i = state
-            return (i < 9) & jnp.any(best_f >= f0)
-
-        def body(state):
-            mag, best_a, best_f, i = state
-            f_plus = batched_value_fn(x + mag[:, None] * p_hat, *args)
-            f_minus = batched_value_fn(x - mag[:, None] * p_hat, *args)
-            take_minus = f_minus < f_plus
-            f_cand = jnp.where(take_minus, f_minus, f_plus)
-            a_cand = jnp.where(take_minus, -mag, mag)
-            better = f_cand < best_f
-            return (
-                mag * 2.0,
-                jnp.where(better, a_cand, best_a),
-                jnp.where(better, f_cand, best_f),
-                i + 1,
-            )
-
-        bsz = f0.shape[0]
-        init = (jnp.ones(bsz, x.dtype), jnp.zeros(bsz, x.dtype), f0, 0)
-        _, a, f_new, _ = jax.lax.while_loop(cond, body, init)
-        return jnp.where(f_new < f0, a, 0.0), p_hat
+        return _batched_escape_probe(batched_value_fn, x, f0, p, args)
 
     def solve(x0, *args):
         f0, g0 = value_grad(x0, args)
@@ -528,6 +539,150 @@ def build_newton_cg_batched(
     return solve
 
 
+def build_lbfgs_batched(
+    batched_value_fn: Callable,
+    maxiter: int = 100,
+    gtol: float = 1e-5,
+    xtol: float = 1e-5,
+    memory: int = 8,
+    ls_maxiter: int = 16,
+    armijo_c1: float = 1e-4,
+):
+    """Lockstep per-frame L-BFGS (the fleet analog of
+    newton_cg.build_lbfgs): one fresh gradient per iteration per frame,
+    shared two-sided backtracking + plateau-escape machinery, per-frame
+    circular (s, y) buffers with curvature-safeguarded updates.  Same
+    contract as build_newton_cg_batched: solve(x0 [B, M], *args) ->
+    (best_x [B, M], best_f [B], iters)."""
+    m = int(memory)
+
+    def _sum_fn(x, args):
+        return jnp.sum(batched_value_fn(x, *args))
+
+    def value_grad(x, args):
+        f, g = jax.value_and_grad(_sum_fn)(x, args)
+        return batched_value_fn(x, *args), g
+
+    def _take(A, idx):
+        # A [B, m, ...], idx [B] -> [B, ...]
+        if A.ndim == 3:
+            return jnp.take_along_axis(A, idx[:, None, None], axis=1)[:, 0]
+        return jnp.take_along_axis(A, idx[:, None], axis=1)[:, 0]
+
+    def direction(g, S, Y, rho, nk):
+        """-H.g via the two-loop recursion, vectorized over frames; age
+        j = 0 (newest) .. m-1, slot (nk-1-j) mod m, valid while
+        nk-1-j >= 0 (numpy modulo keeps negative ages in range; the
+        validity mask zeroes their contribution)."""
+
+        def bwd(j, carry):
+            q, al = carry
+            age = nk - 1 - j  # [B]
+            idx = age % m
+            valid = age >= 0
+            Sj = _take(S, idx)
+            Yj = _take(Y, idx)
+            rj = _take(rho, idx)
+            a = jnp.where(valid, rj * jnp.sum(Sj * q, axis=-1), 0.0)
+            return q - a[:, None] * Yj, al.at[:, j].set(a)
+
+        bsz = g.shape[0]
+        q, al = jax.lax.fori_loop(
+            0, m, bwd, (g, jnp.zeros((bsz, m), g.dtype))
+        )
+        idx0 = (nk - 1) % m
+        S0 = _take(S, idx0)
+        Y0 = _take(Y, idx0)
+        ys = jnp.sum(S0 * Y0, axis=-1)
+        yy = jnp.sum(Y0 * Y0, axis=-1)
+        gamma = jnp.where(nk > 0, ys / jnp.where(yy > 0, yy, 1.0), 1.0)
+        r = gamma[:, None] * q
+
+        def fwd(j, r):
+            jj = m - 1 - j  # oldest first
+            age = nk - 1 - jj
+            idx = age % m
+            valid = age >= 0
+            Sj = _take(S, idx)
+            Yj = _take(Y, idx)
+            rj = _take(rho, idx)
+            b = jnp.where(valid, rj * jnp.sum(Yj * r, axis=-1), 0.0)
+            coef = jnp.where(valid, al[:, jj] - b, 0.0)
+            return r + coef[:, None] * Sj
+
+        r = jax.lax.fori_loop(0, m, fwd, r)
+        return -r
+
+    def solve(x0, *args):
+        f0, g0 = value_grad(x0, args)
+        bsz, n = x0.shape
+        S0 = jnp.zeros((bsz, m, n), x0.dtype)
+        Y0 = jnp.zeros((bsz, m, n), x0.dtype)
+        rho0 = jnp.zeros((bsz, m), x0.dtype)
+        nk0 = jnp.zeros((bsz,), jnp.int32)
+
+        def cond(state):
+            x, f, g, S, Y, rho, nk, k, done, bx, bf = state
+            return (k < maxiter) & jnp.any(~done)
+
+        def body(state):
+            x, f, g, S, Y, rho, nk, k, done, bx, bf = state
+            p = direction(g, S, Y, rho, nk)
+            alpha, f_ls = _batched_line_search(
+                batched_value_fn, x, f, g, p, args, ls_maxiter, armijo_c1
+            )
+            trigger = (alpha == 0.0) | (
+                (k == 0) & (f - f_ls <= 1e-6 * (1.0 + jnp.abs(f)))
+            )
+            a_esc, p_hat = jax.lax.cond(
+                jnp.any(trigger),
+                lambda: _batched_escape_probe(batched_value_fn, x, f, p, args),
+                lambda: (jnp.zeros_like(alpha), p),
+            )
+            use_esc = trigger & (a_esc != 0.0)
+            alpha = jnp.where(use_esc, 1.0, alpha)
+            step = jnp.where(
+                use_esc[:, None], a_esc[:, None] * p_hat, alpha[:, None] * p
+            )
+            step = jnp.where(done[:, None], 0.0, step)
+            x_new = x + step
+            f_new, g_new = value_grad(x_new, args)
+            improved = f_new < bf
+            bx = jnp.where(improved[:, None], x_new, bx)
+            bf = jnp.where(improved, f_new, bf)
+            # curvature-safeguarded pair update (frozen frames produce
+            # step = 0 -> y = 0 -> skipped)
+            y = g_new - g
+            sy = jnp.sum(step * y, axis=-1)
+            good = sy > 1e-10 * (
+                jnp.linalg.norm(step, axis=-1) * jnp.linalg.norm(y, axis=-1)
+                + 1e-30
+            )
+            slot_hot = (
+                jax.lax.broadcasted_iota(jnp.int32, (bsz, m), 1)
+                == (nk % m)[:, None]
+            ) & good[:, None]
+            S = jnp.where(slot_hot[:, :, None], step[:, None, :], S)
+            Y = jnp.where(slot_hot[:, :, None], y[:, None, :], Y)
+            rho = jnp.where(
+                slot_hot, (1.0 / jnp.where(sy == 0, 1.0, sy))[:, None], rho
+            )
+            nk = nk + good.astype(nk.dtype)
+            small_step = jnp.sum(jnp.abs(step), axis=-1) <= xtol
+            small_grad = jnp.max(jnp.abs(g_new), axis=-1) <= gtol
+            done_new = done | small_step | small_grad | (alpha == 0.0)
+            return (x_new, f_new, g_new, S, Y, rho, nk, k + 1, done_new, bx, bf)
+
+        state0 = (
+            x0, f0, g0, S0, Y0, rho0, nk0, 0,
+            jnp.zeros(bsz, bool), x0, f0,
+        )
+        out = jax.lax.while_loop(cond, body, state0)
+        return out[9], out[10], out[7]
+
+    return solve
+
+
 class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
     """Pyramidal CMax over a fleet of frames: per scale, one batched init
     sweep and one batched Newton solve.  Use when warm-start chaining is
@@ -561,16 +716,6 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         (see patch_base._build_newton for the single-frame analog).
         ``cg_maxiter`` overrides optimizer.cg_maxiter (the pyramid's
         coarse-scale budget knob)."""
-        if (
-            str(self.opt_config.get("device_solver", "newton-cg")).lower() != "newton-cg"
-            and not getattr(self, "_warned_device_solver", False)
-        ):
-            logger.warning(
-                "optimizer.device_solver is only implemented for the "
-                "sequential solvers; the fleet solver runs batched "
-                "Newton-CG"
-            )
-            self._warned_device_solver = True
         orig_fn = None
         if objective_uses_banded(spec):
             hoist = "orig_iwe" in make_cost(spec).required_keys
@@ -579,17 +724,25 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 orig_fn = build_orig_iwe_banded_batched(spec)
         else:
             batched = build_batched_objective(spec)
-        solve_inner = build_newton_cg_batched(
-            batched,
-            maxiter=maxiter,
-            cg_maxiter=int(
-                cg_maxiter if cg_maxiter is not None
-                else self.opt_config.get("cg_maxiter", 32)
-            ),
-            gtol=gtol,
-            fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
-            fd_central=bool(self.opt_config.get("hvp_central", True)),
-        )
+        if str(self.opt_config.get("device_solver", "newton-cg")).lower() == "lbfgs":
+            solve_inner = build_lbfgs_batched(
+                batched,
+                maxiter=maxiter,
+                gtol=gtol,
+                memory=int(self.opt_config.get("lbfgs_memory", 8)),
+            )
+        else:
+            solve_inner = build_newton_cg_batched(
+                batched,
+                maxiter=maxiter,
+                cg_maxiter=int(
+                    cg_maxiter if cg_maxiter is not None
+                    else self.opt_config.get("cg_maxiter", 32)
+                ),
+                gtol=gtol,
+                fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
+                fd_central=bool(self.opt_config.get("hvp_central", True)),
+            )
         if orig_fn is None:
             return solve_inner
 

@@ -275,3 +275,38 @@ def test_fleet_coarse_newton_budget():
         np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
     chain_keys = [k for k in solv._fun_cache if isinstance(k, tuple) and k and k[0] == "fleet_chain"]
     assert chain_keys and chain_keys[0][-1] == (6, 32), chain_keys
+
+
+@pytest.mark.slow
+def test_fleet_device_lbfgs_recovers():
+    """optimizer.device_solver: lbfgs on the fleet solver — lockstep
+    batched L-BFGS recovers both frames through the chain path."""
+    gts = [(10.0, -8.0), (-6.0, 9.0)]
+    slv_cfg = {
+        "method": "fleet_pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 20, "crop_width": 28, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 25,
+        "device_solver": "lbfgs",
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    solv = solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, opt_cfg, {}, None
+    )
+    events_list = [_synthetic_events(np.asarray(gt), n=2500, seed=20 + i) for i, gt in enumerate(gts)]
+    results = solv.optimize_batch(events_list)
+    for res, gt in zip(results, gts):
+        finest = res[max(res)]
+        np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
