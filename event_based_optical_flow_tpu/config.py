@@ -33,7 +33,20 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _platform_override() -> None:
+    """EVFLOW_PLATFORM=cpu|tpu forces the JAX platform before any device
+    op.  This must happen via jax.config (a PJRT plugin that
+    self-registers at interpreter startup ignores the JAX_PLATFORMS env
+    var), e.g. to run the CLI on CPU while the TPU tunnel is down."""
+    platform = os.environ.get("EVFLOW_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 _enable_compilation_cache()
+_platform_override()
 
 # "auto" | "matmul" | "scatter" | "pallas" | "pallas_bf16"
 _IWE_BACKEND = os.environ.get("EVFLOW_IWE_BACKEND", "auto")

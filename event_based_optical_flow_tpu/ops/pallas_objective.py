@@ -113,6 +113,25 @@ def _corner_deriv_block(fl_i, weight_row, size, dtype):
     return block
 
 
+def _corner_deriv_block_tent_bf16(fl_i, weight_row, size):
+    """d(corner)/d(coord) block built DIRECTLY in bf16 by tent arithmetic
+    (v8 backward candidate): onehot(floor+1) - onehot(floor), each term an
+    exact {0, 1} tent of an integer-valued distance (same argument as
+    _onehot_int_tent_bf16), so the difference is exactly {-1, 0, +1} —
+    bit-identical to _corner_deriv_block(...).astype(bfloat16) whenever
+    ``weight_row`` is a {0, 1} mask (the padded-event weights), with no
+    boolean selects and no f32 build + convert."""
+    grid = jax.lax.broadcasted_iota(jnp.int32, (size, fl_i.shape[-1]), 0)
+    one = jnp.bfloat16(1.0)
+    zero = jnp.bfloat16(0.0)
+    d0 = (grid - fl_i).astype(jnp.bfloat16)
+    d1 = (grid - (fl_i + 1)).astype(jnp.bfloat16)
+    block = jnp.maximum(one - jnp.abs(d1), zero) - jnp.maximum(one - jnp.abs(d0), zero)
+    if weight_row is not None:
+        block = block * weight_row.astype(jnp.bfloat16)
+    return block
+
+
 def _corner(coords_row, weight_row, size, eps):
     """Bilinear corner-weight block [size, C] (two nonzero rows/event)."""
     fl_i, frac = _fl_frac(coords_row, eps)

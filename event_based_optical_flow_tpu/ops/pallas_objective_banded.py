@@ -53,6 +53,7 @@ from .pallas_objective import (
     _corner_block_tent,
     _corner_deriv,
     _corner_deriv_block,
+    _corner_deriv_block_tent_bf16,
     _dot,
     _fl_frac,
     _gather_uv,
@@ -186,8 +187,10 @@ OBJECTIVE_DENSE_PACKING = "flex"  # "band" | "tile" | "flex"
 OBJECTIVE_ROW_WINDOW = 96
 OBJECTIVE_COL_WINDOW = None
 # v8: bf16 tent-arithmetic vote corner blocks for the single-frame dense
-# objective kernels (fused_multi_iwe_banded(..., tent=True)); OFF until
-# the calibrated TPU probe decides (see _corner_block_tent)
+# objective kernels — False (select builds), True (forward blocks only,
+# fused_multi_iwe_banded(..., tent=True)), or "all" (forward blocks AND
+# the backward's dot-consumed column blocks; see _bwd_one_chunk).  OFF
+# until the calibrated TPU probe decides (see _corner_block_tent)
 OBJECTIVE_TENT = False
 # wp threshold above which the dense objective packs 1024-event chunks
 # (DSEC-geometry probe: 4.66 vs 4.74 ms; at MVSEC width 512 wins)
@@ -216,10 +219,12 @@ def objective_dense_col_bands(width: int) -> Optional[int]:
     return n_col_bands(width) if objective_dense_packing(width) != "band" else None
 
 
-def objective_tent(use_bf16: bool) -> bool:
+def objective_tent(use_bf16: bool):
     """``tent`` kernel flag for the single-frame dense objective path
-    (bf16 kernels only; the select path is the exact/parity build)."""
-    return bool(OBJECTIVE_TENT and use_bf16)
+    (bf16 kernels only; the select path is the exact/parity build).
+    Returns False, True (forward tent) or "all" (forward + backward
+    tent) per the OBJECTIVE_TENT policy."""
+    return OBJECTIVE_TENT if use_bf16 else False
 
 
 def objective_row_scale(width: int) -> int:
@@ -740,6 +745,16 @@ def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflo
         yw = y - dt * v
         warped.append((dt, _fl_frac(xw, eps), _fl_frac(yw, eps)))
 
+    # tent == "all" (v8 backward): the DOT-consumed column blocks (c, cd —
+    # the full-lane-width [csize, C] builds, the big VPU work here) are
+    # built directly in bf16 by tent arithmetic: cd is bit-identical
+    # (_corner_deriv_block_tent_bf16), c carries the same ~2^-9 rounding
+    # shift as the forward tent blocks.  The row blocks r/rd stay
+    # select-based f32: they are consumed ELEMENTWISE against the f32 dot
+    # outputs (sum(rd * p)), where a bf16 build would just add converts.
+    tent_bwd = (tent == "all") and use_bf16
+    cb_b = _corner_block_tent if tent_bwd else _corner_block
+
     def accumulate(win: bool):
         """Sum per-direction du/dv; ``win`` selects the windowed or
         full-size cotangent slice.  Rows/cols outside the window only
@@ -751,8 +766,12 @@ def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflo
         csize = col_window if (win and col_window is not None) else wp
         for k, (dt, (fl_i, frac), (cl_i, cfr)) in enumerate(warped):
             cl_loc = cl_i - c0w if csize != wp else cl_i
-            c = _corner_block(cl_loc, cfr, None, csize)
-            cd = _corner_deriv_block(cl_loc, None, csize, dtype)
+            c = cb_b(cl_loc, cfr, None, csize)
+            cd = (
+                _corner_deriv_block_tent_bf16(cl_loc, None, csize)
+                if tent_bwd
+                else _corner_deriv_block(cl_loc, None, csize, dtype)
+            )
             fl_loc = fl_i - w0 if win else fl_i
             r = _corner_block(fl_loc, frac, wt, size)
             rd = _corner_deriv_block(fl_loc, wt, size, dtype)
@@ -946,8 +965,11 @@ def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
     built by bf16 tent arithmetic (relu(1-|i-z|), no boolean selects —
     see _corner_block_tent) instead of f32 selects + bf16 convert.
     NOT bit-identical to tent=False: the bf16 rounding enters on d
-    rather than on the final weight (same ~2^-9 magnitude).  The
-    backward pass is unchanged (select-based, f32 floors).
+    rather than on the final weight (same ~2^-9 magnitude).  With
+    tent=True the backward pass is unchanged (select-based, f32
+    floors); tent="all" additionally tent-builds the backward's
+    dot-consumed column blocks (deriv blocks bit-identical, corner
+    blocks within the same bf16 rounding — see _bwd_one_chunk).
     """
     return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent)
 

@@ -701,6 +701,71 @@ def test_tent_corner_blocks_match_select_at_bf16():
     np.testing.assert_array_equal(np.asarray(g_sel), np.asarray(g_tent))
 
 
+def test_tent_all_backward_blocks():
+    """v8 backward candidate (tent="all"): the backward's dot-consumed
+    column blocks are tent-built in bf16 — forward output bit-identical
+    to tent=True, gradients within bf16 rounding of the select build,
+    and windowed == full gradients exactly (shared floor routing)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt = 200, 140
+    rng = np.random.default_rng(11)
+    n = 2000
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=2048)
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    pf = PB.pack_events_by_tile_flex(padded, wgt, dtf, Ht, Wt, chunk=256)
+    pk = tuple(
+        jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
+        for a in pf
+    )
+    flow = jnp.asarray(rng.uniform(-10, 10, (2, Ht, Wt)), jnp.float32)
+
+    def run(fl, tent, rw):
+        return PB.fused_multi_iwe_banded(
+            fl, *pk, (Ht, Wt), (0.0, 0.5, 1.0), True, 1e-6, True,
+            PB.n_col_bands(Wt), rw, None, 1, False, PB.FLEX_ROW_SCALE, tent,
+        )
+
+    fwd_tent = np.asarray(run(flow, True, 96))
+    fwd_all = np.asarray(run(flow, "all", 96))
+    np.testing.assert_array_equal(fwd_tent, fwd_all)  # same forward build
+
+    # cotangent through a contrast-like cost so g varies over pixels
+    def loss(fl, tent, rw):
+        iwe = run(fl, tent, rw)
+        return jnp.sum(iwe * iwe)
+
+    g_sel = np.asarray(jax.grad(lambda f: loss(f, False, 96))(flow))
+    g_all = np.asarray(jax.grad(lambda f: loss(f, "all", 96))(flow))
+    g_all_full = np.asarray(jax.grad(lambda f: loss(f, "all", None))(flow))
+    scale = np.abs(g_sel).max()
+    assert np.abs(g_all - g_sel).max() > 0  # genuinely a different build
+    np.testing.assert_allclose(g_all, g_sel, atol=2e-2 * scale)
+    np.testing.assert_array_equal(g_all, g_all_full)  # windowed == full
+
+
+def test_tent_corner_deriv_block_bit_identical():
+    """_corner_deriv_block_tent_bf16 == _corner_deriv_block(...)
+    .astype(bf16) exactly, for in-range, sentinel, boundary and
+    out-of-range floors, with and without a {0, 1} weight row."""
+    from event_based_optical_flow_tpu.ops.pallas_objective import (
+        _corner_deriv_block,
+        _corner_deriv_block_tent_bf16,
+    )
+
+    fl = jnp.asarray([[-10, -2, -1, 0, 1, 62, 63, 254, 255, 700]], jnp.int32)
+    wt = jnp.asarray([[1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 1.0, 1.0, 0.0, 1.0]], jnp.float32)
+    for size in (64, 768):
+        for w in (None, wt):
+            ref = _corner_deriv_block(fl, w, size, jnp.float32).astype(jnp.bfloat16)
+            tent = _corner_deriv_block_tent_bf16(fl, w, size)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(tent))
+
+
 def test_tent_int_onehot_bit_identical():
     """_onehot_int_tent_bf16 == _onehot_int(...).astype(bf16) exactly, for
     in-range, negative (sentinel -10), boundary and out-of-range coords —

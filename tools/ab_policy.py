@@ -125,6 +125,7 @@ def main():
         POLICIES = {
             "A(select)": ("flex", 96, False),
             "B(tent)": ("flex", 96, True),
+            "C(tent-all)": ("flex", 96, "all"),
         }
         OPT_OVER = {k: {} for k in POLICIES}
     else:

@@ -5,6 +5,7 @@ shape) across packing/chunk variants and geometries.
 
     python tools/probe_objective.py [mvsec|dsec] [chunks...]
         # variants: "512" "1024" "512:96" "flex1024:96" "tentflex1024:96"
+        # "tentallflex1024:96" (v8 forward+backward tent)
 """
 import os
 import sys
@@ -93,9 +94,14 @@ def main():
     for spec in specs:
         if spec.startswith("band"):
             continue
-        if spec.startswith(("flex", "tentflex")):
-            tent = spec.startswith("tent")
-            parts = spec[8 if tent else 4:].split(":")
+        if spec.startswith(("flex", "tentflex", "tentallflex")):
+            if spec.startswith("tentallflex"):
+                tent, rest = "all", spec[11:]
+            elif spec.startswith("tentflex"):
+                tent, rest = True, spec[8:]
+            else:
+                tent, rest = False, spec[4:]
+            parts = rest.split(":")
             chunk = int(parts[0])
             rw = int(parts[1]) if len(parts) > 1 else rw_default
             variants[spec] = (

@@ -45,8 +45,8 @@ run() {
 }
 
 run probe_vote      python tools/probe_kernel.py flex1280:96 tentflex1280:96
-run probe_obj_mvsec python tools/probe_objective.py mvsec flex1024:96 tentflex1024:96
-run probe_obj_dsec  python tools/probe_objective.py dsec flex1024:96 tentflex1024:96
+run probe_obj_mvsec python tools/probe_objective.py mvsec flex1024:96 tentflex1024:96 tentallflex1024:96
+run probe_obj_dsec  python tools/probe_objective.py dsec flex1024:96 tentflex1024:96 tentallflex1024:96
 run ab_tent         python tools/ab_policy.py 3 tent
 run ab_budget_dsec  python tools/ab_policy.py 3 budget-dsec
 run ab_lbfgs_dsec   python tools/ab_policy.py 3 lbfgs-dsec
