@@ -12,8 +12,17 @@ pyramidal solver behind a push API:
                                            # over the window
 All device state (jitted whole-frame chain, compilation cache, warm
 start) lives inside; `reset()` drops the warm-start chain (e.g. on a
-scene cut).  Windows may have any event count — the solver's bucketed
-padding bounds recompiles.
+scene cut).
+
+Event-count discipline: the event BUFFER is bucket-padded (4096), but
+the fill-balanced flex packing's chunk count G is data-dependent — a
+drifting per-window event count walks G across its g_round bucket and
+retraces the jitted solve chain (minutes at DSEC scale; see
+CLAUDE/BENCHMARKS notes).  Fixed-count windows (the reference protocol)
+are stable.  For variable-rate live streams pass
+``fixed_event_count=N``: windows larger than N are uniformly
+subsampled to exactly N (temporal order kept), which pins both the
+buffer and (for stationary scene statistics) the G bucket.
 """
 
 import logging
@@ -46,6 +55,18 @@ _DEFAULT_OPT = {
 }
 
 
+def _subsample_fixed(events: np.ndarray, count: int) -> np.ndarray:
+    """Uniform-stride subsample to exactly ``count`` rows (t-sorted input
+    keeps temporal order; first and last events always kept).  Indices
+    are strictly increasing for count <= n (spacing >= 1), so no event
+    is duplicated."""
+    n = len(events)
+    if n <= count:
+        return events
+    idx = np.round(np.linspace(0, n - 1, count)).astype(np.int64)
+    return events[idx]
+
+
 def _deep_merge(base: dict, override: dict) -> dict:
     """Recursive dict merge (override wins; nested dicts merge instead of
     replace) — partial user configs keep the defaults' remaining keys."""
@@ -72,6 +93,9 @@ class StreamingFlowEstimator:
         keys warn like the CLI's schema validation.
     warm_start : chain each window's solution into the next one's
         initialization (the reference eval protocol).
+    fixed_event_count : if set, windows with more events are uniformly
+        subsampled to exactly this many before solving (see the module
+        docstring: bounds jit retraces under variable-rate streams).
     """
 
     def __init__(
@@ -80,6 +104,7 @@ class StreamingFlowEstimator:
         solver_config: Optional[dict] = None,
         optimizer_config: Optional[dict] = None,
         warm_start: bool = True,
+        fixed_event_count: Optional[int] = None,
     ):
         from . import solver as solver_mod
         from .utils.config_schema import _KNOWN_OPT_KEYS, _KNOWN_SOLVER_KEYS
@@ -110,6 +135,7 @@ class StreamingFlowEstimator:
                 logger.warning(f"unknown optimizer config key '{key}' (ignored?)")
         self.image_shape = (H, W)
         self.warm_start = warm_start
+        self.fixed_event_count = fixed_event_count
         self._solver = solver_mod.collections[slv["method"]](
             (H, W), {}, slv, opt, {}, None
         )
@@ -123,6 +149,8 @@ class StreamingFlowEstimator:
         events = np.asarray(events, dtype=np.float64)
         if events.ndim != 2 or events.shape[1] != 4 or not len(events):
             raise ValueError("push expects a non-empty [n, 4] event array")
+        if self.fixed_event_count:
+            events = _subsample_fixed(events, int(self.fixed_event_count))
         t = events[:, 2]
         span = float(t.max() - t.min()) or 1.0
         best = self._solver.optimize(events)

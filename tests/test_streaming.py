@@ -96,3 +96,33 @@ def test_push_rejects_bad_input(estimator):
         estimator.push(np.zeros((0, 4)))
     with pytest.raises(ValueError):
         estimator.push(np.zeros((10, 3)))
+
+
+def test_fixed_event_count_subsamples():
+    """fixed_event_count: oversize windows are uniformly subsampled to
+    exactly N (temporal order + endpoints kept, no duplicates); smaller
+    windows pass through untouched."""
+    from event_based_optical_flow_tpu.streaming import _subsample_fixed
+
+    ev = _window(t0=0.0, seed=3)
+    n = len(ev)
+    sub = _subsample_fixed(ev, n // 3)
+    assert len(sub) == n // 3
+    assert (np.diff(sub[:, 2]) >= 0).all()  # t-sorted preserved
+    np.testing.assert_array_equal(sub[0], ev[0])
+    np.testing.assert_array_equal(sub[-1], ev[-1])
+    # strictly increasing indices -> all rows distinct rows of ev
+    assert len(np.unique(sub[:, 2])) >= len(sub) - np.sum(np.diff(ev[:, 2]) == 0) - 1
+    np.testing.assert_array_equal(_subsample_fixed(ev, n), ev)
+    np.testing.assert_array_equal(_subsample_fixed(ev, n + 50), ev)
+
+    est = StreamingFlowEstimator(
+        (H, W),
+        solver_config={"patch": {"initialize": "zero", "scale": 3,
+                                 "crop_height": 20, "crop_width": 28}},
+        optimizer_config={"n_iter": 6, "max_iter": 6},
+        fixed_event_count=800,
+    )
+    flow = est.push(ev)  # len(ev) > 800 -> subsampled internally
+    assert flow.shape == (2, H, W)
+    assert est.n_windows == 1
