@@ -397,6 +397,21 @@ def _batched_escape_probe(batched_value_fn, x, f0, p, args):
     return jnp.where(f_new < f0, a, 0.0), p_hat
 
 
+def _batched_value_grad(batched_value_fn, x, args):
+    """Per-frame losses [B] + gradient of the sum [B, M] from ONE forward
+    evaluation: frames are independent, so grad of the sum is the
+    per-frame grads, and ``has_aux`` returns the per-frame losses from
+    the same evaluation instead of re-running the batched objective
+    (which XLA does not reliably CSE across pallas custom calls)."""
+
+    def _sum_aux(xx):
+        fv = batched_value_fn(xx, *args)
+        return jnp.sum(fv), fv
+
+    (_, fv), g = jax.value_and_grad(_sum_aux, has_aux=True)(x)
+    return fv, g
+
+
 def build_newton_cg_batched(
     batched_value_fn: Callable,
     maxiter: int = 25,
@@ -421,9 +436,7 @@ def build_newton_cg_batched(
         return jnp.sum(batched_value_fn(x, *args))
 
     def value_grad(x, args):
-        # frames are independent: grad of the sum = per-frame grads
-        f, g = jax.value_and_grad(_sum_fn)(x, args)
-        return batched_value_fn(x, *args), g
+        return _batched_value_grad(batched_value_fn, x, args)
 
     def grad_only(x, args):
         return jax.grad(_sum_fn)(x, args)
@@ -509,9 +522,13 @@ def build_newton_cg_batched(
             alpha, f_ls = line_search(x, f, g, p, args)
             # plateau escape per frame: backtracking failed OR the first
             # iteration only found a negligible decrease (flat/zero inits
-            # near a stationary point; see newton_cg.build_newton_cg)
-            trigger = (alpha == 0.0) | (
-                (k == 0) & (f - f_ls <= 1e-6 * (1.0 + jnp.abs(f)))
+            # near a stationary point; see newton_cg.build_newton_cg).
+            # Masked by ~done: a frozen frame's step is discarded anyway,
+            # but its alpha==0 would otherwise re-fire the (up to 18
+            # batched evals) probe on EVERY remaining lockstep iteration.
+            trigger = ~done & (
+                (alpha == 0.0)
+                | ((k == 0) & (f - f_ls <= 1e-6 * (1.0 + jnp.abs(f))))
             )
             a_esc, p_hat = jax.lax.cond(
                 jnp.any(trigger),
@@ -556,12 +573,8 @@ def build_lbfgs_batched(
     (best_x [B, M], best_f [B], iters)."""
     m = int(memory)
 
-    def _sum_fn(x, args):
-        return jnp.sum(batched_value_fn(x, *args))
-
     def value_grad(x, args):
-        f, g = jax.value_and_grad(_sum_fn)(x, args)
-        return batched_value_fn(x, *args), g
+        return _batched_value_grad(batched_value_fn, x, args)
 
     def _take(A, idx):
         # A [B, m, ...], idx [B] -> [B, ...]
@@ -631,8 +644,11 @@ def build_lbfgs_batched(
             alpha, f_ls = _batched_line_search(
                 batched_value_fn, x, f, g, p, args, ls_maxiter, armijo_c1
             )
-            trigger = (alpha == 0.0) | (
-                (k == 0) & (f - f_ls <= 1e-6 * (1.0 + jnp.abs(f)))
+            # ~done mask: see build_newton_cg_batched — a frozen frame's
+            # alpha==0 must not re-fire the escape probe every iteration
+            trigger = ~done & (
+                (alpha == 0.0)
+                | ((k == 0) & (f - f_ls <= 1e-6 * (1.0 + jnp.abs(f))))
             )
             a_esc, p_hat = jax.lax.cond(
                 jnp.any(trigger),
@@ -725,6 +741,16 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         else:
             batched = build_batched_objective(spec)
         if str(self.opt_config.get("device_solver", "newton-cg")).lower() == "lbfgs":
+            ignored = [
+                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central")
+                if k in self.opt_config
+            ]
+            if ignored and not getattr(self, "_warned_lbfgs_ignored", False):
+                logger.warning(
+                    f"optimizer keys {ignored} have no effect under "
+                    "device_solver: lbfgs (no CG inner loop / no HVPs)"
+                )
+                self._warned_lbfgs_ignored = True
             solve_inner = build_lbfgs_batched(
                 batched,
                 maxiter=maxiter,

@@ -289,6 +289,17 @@ class PatchContrastMaximization(SolverBase):
             # L-BFGS iterations: expect ~2-4x the Newton value)
             from .newton_cg import build_lbfgs
 
+            ignored = [
+                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central")
+                if k in self.opt_config
+            ]
+            if ignored and not getattr(self, "_warned_lbfgs_ignored", False):
+                logger.warning(
+                    f"optimizer keys {ignored} have no effect under "
+                    "device_solver: lbfgs (no CG inner loop / no HVPs)"
+                )
+                self._warned_lbfgs_ignored = True
+
             solve_inner = build_lbfgs(
                 value_fn,
                 maxiter=maxiter,

@@ -18,11 +18,14 @@ Event-count discipline: the event BUFFER is bucket-padded (4096), but
 the fill-balanced flex packing's chunk count G is data-dependent — a
 drifting per-window event count walks G across its g_round bucket and
 retraces the jitted solve chain (minutes at DSEC scale; see
-CLAUDE/BENCHMARKS notes).  Fixed-count windows (the reference protocol)
-are stable.  For variable-rate live streams pass
-``fixed_event_count=N``: windows larger than N are uniformly
-subsampled to exactly N (temporal order kept), which pins both the
-buffer and (for stationary scene statistics) the G bucket.
+CLAUDE/BENCHMARKS notes).  Fixed-count windows (the reference protocol,
+``n_events_per_batch``) are stable.  For variable-rate live streams
+pass ``fixed_event_count=N``: windows larger than N are uniformly
+subsampled to exactly N (temporal order kept), and windows SMALLER
+than N borrow the most recent events from the previous window's tail
+(the sliding fixed-count window every event pipeline uses; assumes
+consecutive non-overlapping pushes).  Until enough history exists the
+window is solved as-is — a bounded number of startup-only retraces.
 """
 
 import logging
@@ -93,9 +96,11 @@ class StreamingFlowEstimator:
         keys warn like the CLI's schema validation.
     warm_start : chain each window's solution into the next one's
         initialization (the reference eval protocol).
-    fixed_event_count : if set, windows with more events are uniformly
-        subsampled to exactly this many before solving (see the module
-        docstring: bounds jit retraces under variable-rate streams).
+    fixed_event_count : if set, every solved window has exactly this
+        many events once history allows: oversize windows are uniformly
+        subsampled, undersized ones are topped up from the previous
+        window's tail (see the module docstring: bounds jit retraces
+        under variable-rate streams).
     """
 
     def __init__(
@@ -136,6 +141,7 @@ class StreamingFlowEstimator:
         self.image_shape = (H, W)
         self.warm_start = warm_start
         self.fixed_event_count = fixed_event_count
+        self._tail: Optional[np.ndarray] = None
         self._solver = solver_mod.collections[slv["method"]](
             (H, W), {}, slv, opt, {}, None
         )
@@ -150,7 +156,15 @@ class StreamingFlowEstimator:
         if events.ndim != 2 or events.shape[1] != 4 or not len(events):
             raise ValueError("push expects a non-empty [n, 4] event array")
         if self.fixed_event_count:
-            events = _subsample_fixed(events, int(self.fixed_event_count))
+            n_fix = int(self.fixed_event_count)
+            if len(events) < n_fix and self._tail is not None:
+                # top up from the previous window's most recent events
+                # (sliding fixed-count window; keeps t order for
+                # consecutive pushes)
+                borrow = self._tail[-(n_fix - len(events)):]
+                events = np.concatenate([borrow, events], axis=0)
+            events = _subsample_fixed(events, n_fix)
+            self._tail = events
         t = events[:, 2]
         span = float(t.max() - t.min()) or 1.0
         best = self._solver.optimize(events)
@@ -161,8 +175,10 @@ class StreamingFlowEstimator:
         return np.asarray(flow, dtype=np.float64)
 
     def reset(self) -> None:
-        """Drop the warm-start chain (keeps compiled device programs)."""
+        """Drop the warm-start chain and the fixed-count borrow tail
+        (keeps compiled device programs)."""
         self._solver.previous_frame_best_estimation = None
+        self._tail = None
 
     def metrics(self, flow: np.ndarray, gt_flow: np.ndarray,
                 events: np.ndarray) -> Dict[str, float]:

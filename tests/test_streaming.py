@@ -126,3 +126,16 @@ def test_fixed_event_count_subsamples():
     flow = est.push(ev)  # len(ev) > 800 -> subsampled internally
     assert flow.shape == (2, H, W)
     assert est.n_windows == 1
+    assert len(est._tail) == 800
+
+    # undersized window: topped up to exactly N from the previous tail
+    small = _window(t0=0.5, seed=4)[:300]
+    est.push(small)
+    assert len(est._tail) == 800
+    # the tail's newest rows are the small window itself
+    np.testing.assert_array_equal(est._tail[-300:], small)
+    est.reset()
+    assert est._tail is None
+    # no history after reset: solved as-is
+    est.push(small)
+    assert len(est._tail) == 300
