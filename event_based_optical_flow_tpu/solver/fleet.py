@@ -793,6 +793,20 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         path; the batch pads to a shard multiple with copies of the last
         frame, dropped from the results)."""
         orig_bsz = len(events_list)
+        if (
+            float(self.opt_config.get("coarse_event_fraction", 1.0)) < 1.0
+            and not getattr(self, "_warned_coarse_frac", False)
+        ):
+            # implementing it here needs a second fleet pack + the same
+            # coarse/finest two-program split the sequential chain uses
+            # (one program holding both packs fails at DSEC scale) —
+            # deferred until it can be validated on hardware
+            logger.warning(
+                "optimizer.coarse_event_fraction is not applied by the "
+                "fleet solver (sequential pyramid only); coarse scales "
+                "solve on all events"
+            )
+            self._warned_coarse_frac = True
         if self.mesh is not None and orig_bsz % self.n_data_shards:
             pad_n = -(-orig_bsz // self.n_data_shards) * self.n_data_shards - orig_bsz
             events_list = list(events_list) + [events_list[-1]] * pad_n
