@@ -199,16 +199,30 @@ class SolverBase:
             self.previous_frame_best_estimation = {
                 k: np.copy(np.asarray(v)) for k, v in previous_best.items()
             }
+        elif isinstance(previous_best, (list, tuple)) and all(
+            isinstance(d, dict) for d in previous_best
+        ):
+            # per-frame warm motions (fleet chain per-frame mode /
+            # multi-stream serving): one per-scale dict per frame
+            self.previous_frame_best_estimation = [
+                {k: np.copy(np.asarray(v)) for k, v in d.items()}
+                for d in previous_best
+            ]
         else:
             self.previous_frame_best_estimation = np.copy(np.asarray(previous_best))
 
     def update_time_scale_for_previous_frame_best_estimation(self, scale: float):
-        if isinstance(self.previous_frame_best_estimation, dict):
+        prev = self.previous_frame_best_estimation
+        if isinstance(prev, dict):
             self.previous_frame_best_estimation = {
-                k: v * scale for k, v in self.previous_frame_best_estimation.items()
+                k: v * scale for k, v in prev.items()
             }
-        elif self.previous_frame_best_estimation is not None:
-            self.previous_frame_best_estimation = self.previous_frame_best_estimation * scale
+        elif isinstance(prev, list):
+            self.previous_frame_best_estimation = [
+                {k: v * scale for k, v in d.items()} for d in prev
+            ]
+        elif prev is not None:
+            self.previous_frame_best_estimation = prev * scale
 
     # --- initialization ----------------------------------------------------
     def initialize_random(self):

@@ -911,9 +911,27 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 ))
 
         warm = self.previous_frame_best_estimation
-        use_warm = isinstance(warm, dict) and all(s in warm for s in scales)
+        # warm modes: a single per-scale motion dict (every frame starts
+        # from it — consecutive batches of ONE sequence), or a LIST of
+        # per-frame dicts (frame b starts from its own motion — the
+        # multi-stream serving case, one independent stream per slot)
+        per_frame_warm = (
+            isinstance(warm, (list, tuple))
+            and len(warm) > 0
+            and all(isinstance(w, dict) and all(s in w for s in scales) for w in warm)
+        )
+        if per_frame_warm and len(warm) < bsz:  # mesh padding pads frames
+            warm = list(warm) + [warm[-1]] * (bsz - len(warm))
+        use_warm = per_frame_warm or (
+            isinstance(warm, dict) and all(s in warm for s in scales)
+        )
+        warm_mode = ("per_frame" if per_frame_warm else "shared") if use_warm else None
         self.overload_patch_configuration(self.coarsest_scale)
-        if use_warm:
+        if per_frame_warm:
+            x0 = np.stack([
+                np.asarray(w[scales[0]], dtype=np.float64).reshape(-1) for w in warm
+            ])
+        elif use_warm:
             x0 = np.tile(
                 np.asarray(warm[scales[0]], dtype=np.float64).reshape(1, -1),
                 (bsz, 1),
@@ -932,17 +950,24 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         fused = self._get_fleet_chain_solver(
             tuple(scales), specs, search_meta, grid_shapes, bsz,
             maxiter=maxiter, gtol=1e-5,
-            use_warm=use_warm, coarse_budget=coarse_budget,
+            warm_mode=warm_mode, coarse_budget=coarse_budget,
         )
         keys = jnp.stack([self._next_key() for _ in scales[1:]]) if len(scales) > 1 else jnp.zeros((0, 2), jnp.uint32)
-        warm_in = (
-            tuple(
+        if per_frame_warm:
+            warm_in = tuple(
+                jnp.asarray(
+                    np.stack([np.asarray(w[s], dtype=np.float64) for w in warm]),
+                    self.dtype,
+                )
+                for s in scales[1:]
+            )
+        elif use_warm:
+            warm_in = tuple(
                 jnp.asarray(np.asarray(warm[s], dtype=np.float64), self.dtype)
                 for s in scales[1:]
             )
-            if use_warm
-            else ()
-        )
+        else:
+            warm_in = ()
         outs, fs = fused(jnp.asarray(x0, self.dtype), warm_in, tuple(patch_inputs), keys, *solver_args)
         self.overload_patch_configuration(scales[-1])
 
@@ -958,15 +983,16 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         return results
 
     def _get_fleet_chain_solver(self, scales, specs, search_meta, grid_shapes, bsz,
-                                maxiter, gtol, use_warm: bool = False,
+                                maxiter, gtol, warm_mode=None,
                                 coarse_budget=None):
         from ..ops.interp import pyramid_expand_jax
 
+        use_warm = warm_mode is not None
         key = (
             "fleet_chain",
             tuple(specs[s] for s in scales),
             tuple(sorted(search_meta.items())),
-            bsz, maxiter, gtol, use_warm, coarse_budget,
+            bsz, maxiter, gtol, warm_mode, coarse_budget,
         )
         if key not in self._fun_cache:
 
@@ -994,7 +1020,12 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                         if use_warm:
                             # sequential-chain semantics: average the
                             # expanded coarser motion with the warm one
-                            m0 = (m0 + warm_fine[i - 1][None]) / 2.0
+                            # (shared warm [2,h,w] broadcasts over B;
+                            # per-frame warm is already [B,2,h,w])
+                            w_i = warm_fine[i - 1]
+                            if warm_mode == "shared":
+                                w_i = w_i[None]
+                            m0 = (m0 + w_i) / 2.0
                         pe, pw, pc = patch_inputs[i - 1]  # [B, P, C, 4] / [B, P, C] / [B, P]
                         B, P = pe.shape[0], pe.shape[1]
                         m0_flat = (
@@ -1027,10 +1058,13 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 # *newton_args tail: banded = (x, y, dtf, wt, band_rows,
                 # t_scales); unfused = (events, weights) — all [B, ...]
                 n_args = 6 if objective_uses_banded(specs[scales[0]]) else 2
+                # shared warm motions replicate; per-frame warm shards
+                # with its frames
+                warm_spec = P("data") if warm_mode == "per_frame" else P()
                 chain_sharded = jax.shard_map(
                     chain,
                     mesh=self.mesh,
-                    in_specs=(P("data"), P(), P("data"), P()) + (P("data"),) * n_args,
+                    in_specs=(P("data"), warm_spec, P("data"), P()) + (P("data"),) * n_args,
                     out_specs=(tuple(P("data") for _ in scales), P("data")),
                     check_vma=False,
                 )

@@ -82,6 +82,38 @@ def _deep_merge(base: dict, override: dict) -> dict:
     return out
 
 
+def _prepare_configs(image_shape, solver_config, optimizer_config):
+    """Deep-merge user configs over the MVSEC-protocol defaults and fit
+    the pyramid crop to the sensor (largest multiple of 2^(scales-1):
+    each pyramid level halves the patch size).  Unknown keys warn like
+    the CLI's schema validation."""
+    from .utils.config_schema import _KNOWN_OPT_KEYS, _KNOWN_SOLVER_KEYS
+
+    H, W = image_shape
+    slv = _deep_merge(_DEFAULT_SOLVER, solver_config or {})
+    user_patch = (solver_config or {}).get("patch", {})
+    if "crop_height" not in user_patch or "crop_width" not in user_patch:
+        scales = int(slv["patch"]["scale"]) - 1
+        unit = 2 ** max(1, scales)
+        if (H // unit) * unit == 0 or (W // unit) * unit == 0:
+            raise ValueError(
+                f"image_shape {image_shape} too small for "
+                f"patch.scale={slv['patch']['scale']} (needs >= {unit} px)"
+            )
+        slv["patch"].setdefault("crop_height", (H // unit) * unit)
+        slv["patch"].setdefault("crop_width", (W // unit) * unit)
+        slv["patch"]["crop_height"] = min(slv["patch"]["crop_height"], (H // unit) * unit)
+        slv["patch"]["crop_width"] = min(slv["patch"]["crop_width"], (W // unit) * unit)
+    opt = _deep_merge(_DEFAULT_OPT, optimizer_config or {})
+    for key in slv:
+        if key not in _KNOWN_SOLVER_KEYS:
+            logger.warning(f"unknown solver config key '{key}' (ignored?)")
+    for key in opt:
+        if key not in _KNOWN_OPT_KEYS:
+            logger.warning(f"unknown optimizer config key '{key}' (ignored?)")
+    return slv, opt
+
+
 class StreamingFlowEstimator:
     """Warm-start-chained per-window dense flow over a live event stream.
 
@@ -112,32 +144,9 @@ class StreamingFlowEstimator:
         fixed_event_count: Optional[int] = None,
     ):
         from . import solver as solver_mod
-        from .utils.config_schema import _KNOWN_OPT_KEYS, _KNOWN_SOLVER_KEYS
 
         H, W = image_shape
-        slv = _deep_merge(_DEFAULT_SOLVER, solver_config or {})
-        user_patch = (solver_config or {}).get("patch", {})
-        if "crop_height" not in user_patch or "crop_width" not in user_patch:
-            # fit the crop to the sensor: largest multiple of
-            # 2^(scales-1) (each pyramid level halves the patch size)
-            scales = int(slv["patch"]["scale"]) - 1
-            unit = 2 ** max(1, scales)
-            if (H // unit) * unit == 0 or (W // unit) * unit == 0:
-                raise ValueError(
-                    f"image_shape {image_shape} too small for "
-                    f"patch.scale={slv['patch']['scale']} (needs >= {unit} px)"
-                )
-            slv["patch"].setdefault("crop_height", (H // unit) * unit)
-            slv["patch"].setdefault("crop_width", (W // unit) * unit)
-            slv["patch"]["crop_height"] = min(slv["patch"]["crop_height"], (H // unit) * unit)
-            slv["patch"]["crop_width"] = min(slv["patch"]["crop_width"], (W // unit) * unit)
-        opt = _deep_merge(_DEFAULT_OPT, optimizer_config or {})
-        for key in slv:
-            if key not in _KNOWN_SOLVER_KEYS:
-                logger.warning(f"unknown solver config key '{key}' (ignored?)")
-        for key in opt:
-            if key not in _KNOWN_OPT_KEYS:
-                logger.warning(f"unknown optimizer config key '{key}' (ignored?)")
+        slv, opt = _prepare_configs(image_shape, solver_config, optimizer_config)
         self.image_shape = (H, W)
         self.warm_start = warm_start
         self.fixed_event_count = fixed_event_count
@@ -196,3 +205,93 @@ class StreamingFlowEstimator:
         return calculate_flow_error_numpy(
             gt_2hw[None], np.asarray(flow)[None], event_mask=mask[None, None]
         )
+
+
+class MultiStreamFlowEstimator:
+    """Lockstep dense flow for several INDEPENDENT event streams
+    (multi-sensor / multi-client serving): each ``push`` takes one window
+    per stream and solves the whole batch in ONE device program via the
+    fleet solver's batched chain, with PER-STREAM warm-start chaining
+    (the fleet chain's per-frame warm mode — each stream's window
+    initializes from that stream's own previous solution, not a shared
+    one).  With a top-level ``parallel: {data: N}`` mesh the streams
+    shard over devices.
+
+    Same config surface as :class:`StreamingFlowEstimator`; all streams
+    share one sensor geometry and solver configuration (that is what
+    makes the lockstep batch a single compiled program).
+    """
+
+    def __init__(
+        self,
+        image_shape: Tuple[int, int],
+        n_streams: int,
+        solver_config: Optional[dict] = None,
+        optimizer_config: Optional[dict] = None,
+        warm_start: bool = True,
+        fixed_event_count: Optional[int] = None,
+        parallel_config: Optional[dict] = None,
+    ):
+        from . import solver as solver_mod
+
+        if n_streams < 1:
+            raise ValueError("n_streams must be >= 1")
+        H, W = image_shape
+        slv, opt = _prepare_configs(image_shape, solver_config, optimizer_config)
+        if parallel_config:
+            slv = dict(slv, parallel=dict(parallel_config))
+        self.image_shape = (H, W)
+        self.n_streams = int(n_streams)
+        self.warm_start = warm_start
+        self.fixed_event_count = fixed_event_count
+        self._tails = [None] * self.n_streams
+        self._solver = solver_mod.collections[
+            "fleet_pyramidal_patch_contrast_maximization"
+        ]((H, W), {}, slv, opt, {}, None)
+        self.n_batches = 0
+
+    def push(self, windows) -> np.ndarray:
+        """Solve one event window per stream (list of ``n_streams``
+        [n, 4] arrays, any per-stream length); returns [n_streams, 2, H,
+        W] pixel displacements over each stream's window span."""
+        if len(windows) != self.n_streams:
+            raise ValueError(
+                f"push expects {self.n_streams} windows, got {len(windows)}"
+            )
+        prepped = []
+        for k, ev in enumerate(windows):
+            ev = np.asarray(ev, dtype=np.float64)
+            if ev.ndim != 2 or ev.shape[1] != 4 or not len(ev):
+                raise ValueError(f"stream {k}: non-empty [n, 4] array required")
+            if self.fixed_event_count:
+                n_fix = int(self.fixed_event_count)
+                if len(ev) < n_fix and self._tails[k] is not None:
+                    borrow = self._tails[k][-(n_fix - len(ev)):]
+                    ev = np.concatenate([borrow, ev], axis=0)
+                ev = _subsample_fixed(ev, n_fix)
+                self._tails[k] = ev
+            prepped.append(ev)
+        results = self._solver.optimize_batch(prepped)
+        if self.warm_start:
+            # list of per-frame motion dicts -> per-stream warm chaining
+            self._solver.set_previous_frame_best_estimation(results)
+        self.n_batches += 1
+        flows = []
+        for k, (ev, best) in enumerate(zip(prepped, results)):
+            t = ev[:, 2]
+            span = float(t.max() - t.min()) or 1.0
+            flows.append(
+                np.asarray(self._solver.motion_to_dense_flow(best, span)) * span
+            )
+        return np.stack(flows).astype(np.float64)
+
+    def reset(self, stream: Optional[int] = None) -> None:
+        """Drop warm-start state and borrow tails — all streams, or one
+        stream's tail (per-stream warm entries cannot be dropped
+        individually once set; a scene cut on one stream is handled by
+        that stream's next window simply re-initializing worse)."""
+        if stream is None:
+            self._solver.previous_frame_best_estimation = None
+            self._tails = [None] * self.n_streams
+        else:
+            self._tails[stream] = None

@@ -310,3 +310,51 @@ def test_fleet_device_lbfgs_recovers():
     for res, gt in zip(results, gts):
         finest = res[max(res)]
         np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
+
+
+@pytest.mark.slow
+def test_multistream_estimator_per_stream_warm():
+    """MultiStreamFlowEstimator: two independent streams with different
+    motions solve as one fleet batch; the second push warm-starts each
+    stream from its OWN previous solution (fleet chain per-frame warm
+    mode) and both keep recovering their own motions."""
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    gts = [np.array([10.0, -8.0]), np.array([-6.0, 9.0])]
+    est = MultiStreamFlowEstimator(
+        (H, W), 2,
+        solver_config={"patch": {"initialize": "zero", "scale": 3,
+                                 "crop_height": 20, "crop_width": 28},
+                       "precision": "64"},
+        optimizer_config={"n_iter": 8, "max_iter": 10,
+                          "parameters": {"trans_x": {"min": -25, "max": 25},
+                                         "trans_y": {"min": -25, "max": 25}}},
+        fixed_event_count=2000,
+    )
+    for step in range(2):
+        # _synthetic_events(g) recovers MOTION g, whose dense flow is -g
+        # (get_flow_from_motion sign flip) — generate with -gt so the
+        # pushed flow is +gt * span
+        windows = [
+            _synthetic_events(-gt, n=2600, seed=40 + 10 * step + k)
+            for k, gt in enumerate(gts)
+        ]
+        flows = est.push(windows)
+        assert flows.shape == (2, 2, H, W)
+        for k, gt in enumerate(gts):
+            ev = windows[k]
+            span = ev[:, 2].max() - ev[:, 2].min()
+            interior = flows[k][:, 4:-4, 4:-4]
+            np.testing.assert_allclose(
+                [interior[0].mean(), interior[1].mean()], gt * span, atol=1.6
+            )
+    # per-stream warm state: a list of per-scale dicts, one per stream
+    warm = est._solver.previous_frame_best_estimation
+    assert isinstance(warm, list) and len(warm) == 2
+    assert all(isinstance(d, dict) for d in warm)
+    # per-stream tails pinned to the fixed count
+    assert all(len(t) == 2000 for t in est._tails)
+    est.reset(stream=1)
+    assert est._tails[1] is None and est._tails[0] is not None
+    est.reset()
+    assert est._solver.previous_frame_best_estimation is None
