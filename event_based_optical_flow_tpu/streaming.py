@@ -189,6 +189,30 @@ class StreamingFlowEstimator:
         self._solver.previous_frame_best_estimation = None
         self._tail = None
 
+    def save_state(self, path) -> None:
+        """Persist the serving state (warm-start motions + borrow tail +
+        window counter) so a restarted process resumes chaining instead
+        of re-initializing cold.  Compiled programs are NOT persisted
+        here — the jit compilation cache (config.py) covers those."""
+        state: Dict[str, np.ndarray] = {"n_windows": np.asarray(self.n_windows)}
+        warm = self._solver.previous_frame_best_estimation
+        if isinstance(warm, dict):
+            for s, v in warm.items():
+                state[f"warm_{s}"] = np.asarray(v)
+        if self._tail is not None:
+            state["tail"] = self._tail
+        np.savez(path, **state)
+
+    def load_state(self, path) -> None:
+        """Restore state written by :meth:`save_state`."""
+        data = np.load(path)
+        warm = {
+            int(k[5:]): data[k] for k in data.files if k.startswith("warm_")
+        }
+        self._solver.previous_frame_best_estimation = warm or None
+        self._tail = data["tail"] if "tail" in data.files else None
+        self.n_windows = int(data["n_windows"])
+
     def metrics(self, flow: np.ndarray, gt_flow: np.ndarray,
                 events: np.ndarray) -> Dict[str, float]:
         """AEE/NPE/AE of a pushed flow against a GT displacement field
@@ -295,3 +319,34 @@ class MultiStreamFlowEstimator:
             self._tails = [None] * self.n_streams
         else:
             self._tails[stream] = None
+
+    def save_state(self, path) -> None:
+        """Persist per-stream serving state (warm motions + tails); see
+        :meth:`StreamingFlowEstimator.save_state`."""
+        state: Dict[str, np.ndarray] = {"n_batches": np.asarray(self.n_batches)}
+        warm = self._solver.previous_frame_best_estimation
+        if isinstance(warm, list):
+            for k, d in enumerate(warm):
+                for s, v in d.items():
+                    state[f"warm_{k}_{s}"] = np.asarray(v)
+        for k, t in enumerate(self._tails):
+            if t is not None:
+                state[f"tail_{k}"] = t
+        np.savez(path, **state)
+
+    def load_state(self, path) -> None:
+        """Restore state written by :meth:`save_state`."""
+        data = np.load(path)
+        warm = [dict() for _ in range(self.n_streams)]
+        any_warm = False
+        for key in data.files:
+            if key.startswith("warm_"):
+                _, k, s = key.split("_")
+                warm[int(k)][int(s)] = data[key]
+                any_warm = True
+        self._solver.previous_frame_best_estimation = warm if any_warm else None
+        self._tails = [
+            data[f"tail_{k}"] if f"tail_{k}" in data.files else None
+            for k in range(self.n_streams)
+        ]
+        self.n_batches = int(data["n_batches"])

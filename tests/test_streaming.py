@@ -139,3 +139,45 @@ def test_fixed_event_count_subsamples():
     # no history after reset: solved as-is
     est.push(small)
     assert len(est._tail) == 300
+
+
+def test_save_load_state_roundtrip(tmp_path):
+    """Serving restart: warm-start motions, borrow tail, and the window
+    counter round-trip through save_state/load_state for both the
+    single-stream and multi-stream estimators."""
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    cfg = {"patch": {"initialize": "zero", "scale": 3,
+                     "crop_height": 20, "crop_width": 28}}
+    opt = {"n_iter": 6, "max_iter": 6}
+    est = StreamingFlowEstimator((H, W), solver_config=cfg,
+                                 optimizer_config=opt, fixed_event_count=900)
+    est.push(_window(t0=0.0, seed=21))
+    est.save_state(tmp_path / "state.npz")
+    est2 = StreamingFlowEstimator((H, W), solver_config=cfg,
+                                  optimizer_config=opt, fixed_event_count=900)
+    est2.load_state(tmp_path / "state.npz")
+    assert est2.n_windows == 1
+    np.testing.assert_array_equal(est2._tail, est._tail)
+    w1 = est._solver.previous_frame_best_estimation
+    w2 = est2._solver.previous_frame_best_estimation
+    assert sorted(w1) == sorted(w2)
+    for s in w1:
+        np.testing.assert_array_equal(w1[s], w2[s])
+
+    ms = MultiStreamFlowEstimator((H, W), 2, solver_config=cfg,
+                                  optimizer_config=opt, fixed_event_count=900)
+    ms.push([_window(t0=0.0, seed=22), _window(t0=0.0, seed=23)])
+    ms.save_state(tmp_path / "ms.npz")
+    ms2 = MultiStreamFlowEstimator((H, W), 2, solver_config=cfg,
+                                   optimizer_config=opt, fixed_event_count=900)
+    ms2.load_state(tmp_path / "ms.npz")
+    assert ms2.n_batches == 1
+    warm1 = ms._solver.previous_frame_best_estimation
+    warm2 = ms2._solver.previous_frame_best_estimation
+    assert isinstance(warm2, list) and len(warm2) == 2
+    for d1, d2 in zip(warm1, warm2):
+        for s in d1:
+            np.testing.assert_array_equal(np.asarray(d1[s]), d2[s])
+    for t1, t2 in zip(ms._tails, ms2._tails):
+        np.testing.assert_array_equal(t1, t2)
