@@ -14,6 +14,7 @@ DATASET_ROOT_DIR = os.path.join(
 from .base import DataLoaderBase
 from .dsec import DsecDataLoader
 from .ecd import EcdDataLoader
+from .evt2 import Evt2DataLoader
 from .mvsec import MvsecDataLoader
 from .synthetic import SyntheticDataLoader
 
@@ -22,6 +23,7 @@ collections = {
     SyntheticDataLoader.NAME: SyntheticDataLoader,
     DsecDataLoader.NAME: DsecDataLoader,
     EcdDataLoader.NAME: EcdDataLoader,
+    Evt2DataLoader.NAME: Evt2DataLoader,
 }
 
-__all__ = ["DataLoaderBase", "MvsecDataLoader", "SyntheticDataLoader", "DsecDataLoader", "EcdDataLoader", "collections", "DATASET_ROOT_DIR"]
+__all__ = ["DataLoaderBase", "MvsecDataLoader", "SyntheticDataLoader", "DsecDataLoader", "EcdDataLoader", "Evt2DataLoader", "collections", "DATASET_ROOT_DIR"]

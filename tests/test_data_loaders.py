@@ -145,3 +145,74 @@ def test_synthetic_scene_families_gt_consistency():
             )
         )
         assert 1.0 / ratio < 0.75, (scene, extra, 1.0 / ratio)
+
+
+def test_evt2_decoder_and_loader(tmp_path, monkeypatch):
+    """EVT2 (Prophesee RAW) ingestion: the native C++ decoder and the
+    vectorized numpy fallback produce identical events from a synthetic
+    word stream (TIME_HIGH rollover, pre-TIME_HIGH events, skipped
+    EXT_TRIGGER words), and the loader maps sensor (column, row) to the
+    framework (x=height, y=width) convention with seconds + ±1 polarity."""
+    from event_based_optical_flow_tpu import native
+    from event_based_optical_flow_tpu.data import collections
+    from event_based_optical_flow_tpu.data.evt2 import decode_evt2_numpy
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    t_us = np.sort(rng.integers(0, 500_000, n)).astype(np.uint64)
+    x_col = rng.integers(0, 640, n)
+    y_row = rng.integers(0, 480, n)
+    pol = rng.integers(0, 2, n)
+
+    words = []
+    th_prev = -1
+    for i in range(n):
+        th = int(t_us[i]) >> 6
+        if th != th_prev:
+            words.append((0x8 << 28) | th)
+            th_prev = th
+        if i == 1000:
+            words.append(0xA << 28)  # EXT_TRIGGER: must be skipped
+        words.append(
+            (int(pol[i]) << 28)
+            | ((int(t_us[i]) & 0x3F) << 22)
+            | (int(x_col[i]) << 11)
+            | int(y_row[i])
+        )
+    # a CD event BEFORE any TIME_HIGH decodes with time_high = 0
+    words = [(1 << 28) | (5 << 22) | (3 << 11) | 7] + words
+    words = np.asarray(words, np.uint32)
+
+    xp, yp, tp, pp = decode_evt2_numpy(words)
+    assert len(xp) == n + 1
+    np.testing.assert_array_equal(xp[1:], x_col)
+    np.testing.assert_array_equal(yp[1:], y_row)
+    np.testing.assert_array_equal(tp[1:], t_us.astype(np.float64))
+    np.testing.assert_array_equal(pp[1:], pol)
+    assert (xp[0], yp[0], tp[0], pp[0]) == (3.0, 7.0, 5.0, 1.0)
+
+    if native._get_evt2_lib() is not None:  # toolchain present
+        xn, yn, tn, pn = native.decode_evt2(words)
+        np.testing.assert_array_equal(xn, xp)
+        np.testing.assert_array_equal(yn, yp)
+        np.testing.assert_array_equal(tn, tp)
+        np.testing.assert_array_equal(pn, pp)
+
+    raw = tmp_path / "seq1.raw"
+    header = b"% format EVT2;height=480;width=640\n% end\n"
+    raw.write_bytes(header + words.tobytes())
+
+    loader = collections["EVT2"](
+        config={"height": 480, "width": 640, "root": str(tmp_path)}
+    )
+    loader.set_sequence("seq1")
+    ev = loader.load_event(0, len(loader))
+    assert ev.shape == (n + 1, 4)
+    np.testing.assert_array_equal(ev[1:, 0], y_row)   # x = height = sensor row
+    np.testing.assert_array_equal(ev[1:, 1], x_col)   # y = width = sensor col
+    np.testing.assert_allclose(ev[1:, 2], t_us * 1e-6)
+    assert set(np.unique(ev[:, 3])) <= {-1.0, 1.0}
+    assert not loader.gt_flow_available
+    clock = loader.eval_frame_time_list()
+    assert clock[0] == ev[0, 2] and clock[-1] == ev[-1, 2]
+    assert loader.time_to_index(ev[100, 2] + 1e-9) >= 99
