@@ -238,3 +238,58 @@ def test_visualizer_async_save_flush(tmp_path):
     viz2 = Visualizer((8, 12), show=False, save=True, save_dir=str(tmp_path), async_save=False)
     viz2.visualize_image(img, file_prefix="sync")
     assert os.path.exists(tmp_path / "sync0.png")
+
+
+def test_eval_pipeline_fwl_only_evt2_raw(tmp_path):
+    """GT-free (FWL-only) evaluation from a Prophesee RAW (EVT2.0)
+    fixture through the same pipeline as ECD: header + word stream on
+    disk -> native/numpy decode -> per-frame PRED_FWL outputs."""
+    raw_dir = tmp_path / "prophesee"
+    raw_dir.mkdir(parents=True)
+    rng = np.random.default_rng(9)
+    n = 6000
+    t_us = np.sort(rng.integers(0, 1_000_000, n))
+    x_col = rng.integers(0, 44, n)  # sensor column = width coord
+    y_row = rng.integers(0, 36, n)  # sensor row = height coord
+    pol = rng.integers(0, 2, n)
+    words, th_prev = [], -1
+    for i in range(n):
+        th = int(t_us[i]) >> 6
+        if th != th_prev:
+            words.append((0x8 << 28) | th)
+            th_prev = th
+        words.append(
+            (int(pol[i]) << 28) | ((int(t_us[i]) & 0x3F) << 22)
+            | (int(x_col[i]) << 11) | int(y_row[i])
+        )
+    payload = np.asarray(words, np.uint32).tobytes()
+    (raw_dir / "drive1.raw").write_bytes(
+        b"% format EVT2;height=36;width=44\n% end\n" + payload
+    )
+
+    config = _tiny_config(tmp_path / "out")
+    os.makedirs(config["output"]["output_dir"], exist_ok=True)
+    config["data"].update(
+        {
+            "dataset": "EVT2",
+            "root": str(raw_dir),
+            "sequence": "drive1",
+            "load_gt_flow": False,
+            "gt": "",
+            "eval_n_frames": 4,
+            "n_events_per_batch": 2000,
+        }
+    )
+    loader, solv = _build(config)
+    assert not loader.gt_flow_available
+    eval_ts = loader.eval_frame_time_list()
+    assert len(eval_ts) == 4
+
+    cli.evaluate_dataset_fwl_only(eval_ts, config["data"], loader, solv)
+
+    out_dir = config["output"]["output_dir"]
+    metrics_txt = os.path.join(out_dir, "flow_error_per_frame_with_mask.txt")
+    lines = open(metrics_txt).read().strip().splitlines()
+    assert len(lines) == 3 and all("PRED_FWL" in l for l in lines)
+    summary = ckpt.summarize_metrics(out_dir)
+    assert summary and np.isfinite(summary["PRED_FWL"])
