@@ -15,6 +15,7 @@ from .base import DataLoaderBase
 from .dsec import DsecDataLoader
 from .ecd import EcdDataLoader
 from .evt2 import Evt2DataLoader
+from .evt3 import Evt3DataLoader
 from .mvsec import MvsecDataLoader
 from .synthetic import SyntheticDataLoader
 
@@ -24,6 +25,7 @@ collections = {
     DsecDataLoader.NAME: DsecDataLoader,
     EcdDataLoader.NAME: EcdDataLoader,
     Evt2DataLoader.NAME: Evt2DataLoader,
+    Evt3DataLoader.NAME: Evt3DataLoader,
 }
 
-__all__ = ["DataLoaderBase", "MvsecDataLoader", "SyntheticDataLoader", "DsecDataLoader", "EcdDataLoader", "Evt2DataLoader", "collections", "DATASET_ROOT_DIR"]
+__all__ = ["DataLoaderBase", "MvsecDataLoader", "SyntheticDataLoader", "DsecDataLoader", "EcdDataLoader", "Evt2DataLoader", "Evt3DataLoader", "collections", "DATASET_ROOT_DIR"]

@@ -56,9 +56,10 @@ def decode_evt2_numpy(words: np.ndarray):
     return x_col, y_row, t_us, pol
 
 
-def read_raw_evt2(path: str):
-    """Read a Prophesee .raw file: skip the ``%`` ASCII header, decode
-    the EVT2 payload (native decoder when available)."""
+def read_raw_header(path: str, fmt_tag: str):
+    """Skip a Prophesee .raw file's ``%`` ASCII header (warning when the
+    ``format`` line disagrees with ``fmt_tag``); returns the binary
+    payload bytes."""
     with open(path, "rb") as f:
         data = f.read()
     offset = 0
@@ -67,10 +68,18 @@ def read_raw_evt2(path: str):
         if nl < 0:
             raise ValueError(f"{path}: unterminated header line")
         line = data[offset:nl].decode("latin-1")
-        if "format" in line and "EVT2" not in line.upper().replace(" ", ""):
-            logger.warning(f"{path}: header says {line.strip()!r}; only EVT2.0 is supported")
+        if "format" in line and fmt_tag not in line.upper().replace(" ", ""):
+            logger.warning(
+                f"{path}: header says {line.strip()!r}; this loader decodes {fmt_tag}"
+            )
         offset = nl + 1
-    payload = data[offset:]
+    return data[offset:]
+
+
+def read_raw_evt2(path: str):
+    """Read a Prophesee .raw file: skip the ``%`` ASCII header, decode
+    the EVT2 payload (native decoder when available)."""
+    payload = read_raw_header(path, "EVT2")
     if len(payload) % 4:
         payload = payload[: len(payload) - len(payload) % 4]
     words = np.frombuffer(payload, dtype="<u4")

@@ -24,6 +24,7 @@ logger = logging.getLogger(__name__)
 
 _SRC = os.path.join(os.path.dirname(__file__), "packer.cpp")
 _SRC_EVT2 = os.path.join(os.path.dirname(__file__), "evt2.cpp")
+_SRC_EVT3 = os.path.join(os.path.dirname(__file__), "evt3.cpp")
 _CACHE_DIR = os.path.join(
     os.environ.get("EVFLOW_CACHE_DIR", os.path.expanduser("~/.cache/evflow_jax")),
     "native",
@@ -31,6 +32,7 @@ _CACHE_DIR = os.path.join(
 
 _lib = None  # None = not tried, False = unavailable, else the CDLL
 _lib_evt2 = None
+_lib_evt3 = None
 
 
 def _build(src: str, name: str) -> str:
@@ -183,3 +185,56 @@ def decode_evt2(words: np.ndarray):
     if n_out < 0:
         raise RuntimeError("evf_decode_evt2: bad arguments")
     return x[:n_out], y[:n_out], t[:n_out], p[:n_out]
+
+
+def _get_evt3_lib():
+    global _lib_evt3
+    if _lib_evt3 is None:
+        if os.environ.get("EVFLOW_DISABLE_NATIVE"):
+            _lib_evt3 = False
+            return None
+        try:
+            lib = ctypes.CDLL(_build(_SRC_EVT3, "evt3"))
+            lib.evf_decode_evt3.restype = ctypes.c_int64
+            lib.evf_decode_evt3.argtypes = [
+                ctypes.POINTER(ctypes.c_uint16),  # words
+                ctypes.c_int64,                   # n_words
+                ctypes.POINTER(ctypes.c_double),  # x (sensor column)
+                ctypes.POINTER(ctypes.c_double),  # y (sensor row)
+                ctypes.POINTER(ctypes.c_double),  # t (µs)
+                ctypes.POINTER(ctypes.c_double),  # polarity {0, 1}
+            ]
+            _lib_evt3 = lib
+        except Exception as e:
+            logger.info("native EVT3 decoder unavailable (%s); using Python", e)
+            _lib_evt3 = False
+    return _lib_evt3 or None
+
+
+def decode_evt3(words: np.ndarray):
+    """Decode an EVT3 word stream (uint16 array) into
+    (x_col, y_row, t_us, polarity) float64 arrays (see evt3.cpp for the
+    stateful layout), or ``None`` when the native library is unavailable
+    (callers fall back to the vectorized Python decoder in
+    data/evt3.py)."""
+    lib = _get_evt3_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint16)
+    n = len(words)
+    cap = 12 * n  # VECT_12 can emit up to 12 events per word
+    x = np.empty(cap, np.float64)
+    y = np.empty(cap, np.float64)
+    t = np.empty(cap, np.float64)
+    p = np.empty(cap, np.float64)
+
+    def d(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    n_out = lib.evf_decode_evt3(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n,
+        d(x), d(y), d(t), d(p),
+    )
+    if n_out < 0:
+        raise RuntimeError("evf_decode_evt3: bad arguments")
+    return x[:n_out].copy(), y[:n_out].copy(), t[:n_out].copy(), p[:n_out].copy()

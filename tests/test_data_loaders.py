@@ -216,3 +216,85 @@ def test_evt2_decoder_and_loader(tmp_path, monkeypatch):
     clock = loader.eval_frame_time_list()
     assert clock[0] == ev[0, 2] and clock[-1] == ev[-1, 2]
     assert loader.time_to_index(ev[100, 2] + 1e-9) >= 99
+
+
+def test_evt3_decoder_and_loader(tmp_path):
+    """EVT3 (stateful 16-bit stream): the native C++ decoder and the
+    vectorized numpy fallback agree with a plain sequential model on a
+    random op stream covering single events, VECT_12/VECT_8 runs with
+    sparse masks, multiple vectors per base, TIME_HIGH rollover, and
+    skipped trigger words; the loader applies the framework conventions."""
+    from event_based_optical_flow_tpu import native
+    from event_based_optical_flow_tpu.data import collections
+    from event_based_optical_flow_tpu.data.evt3 import decode_evt3_numpy
+
+    rng = np.random.default_rng(11)
+    words, expected = [], []
+    # sequential model state (mirrors evt3.cpp)
+    row = base = vpol = tl = th = epoch = 0
+
+    def t_now():
+        return float((epoch << 24) | (th << 12) | tl)
+
+    # start with an event before ANY register writes (all-zero state)
+    words.append((0x1 << 12) | (1 << 11) | 17)
+    expected.append((17.0, 0.0, 0.0, 1.0))
+
+    for _ in range(4000):
+        op = rng.integers(0, 8)
+        if op == 0:  # EVT_ADDR_Y
+            row = int(rng.integers(0, 480))
+            words.append((0x0 << 12) | row)
+        elif op == 1:  # EVT_TIME_LOW
+            tl = int(rng.integers(0, 4096))
+            words.append((0x6 << 12) | tl)
+        elif op == 2:  # EVT_TIME_HIGH (occasionally backward -> rollover)
+            new_th = int(rng.integers(0, 4096))
+            if new_th < th:
+                epoch += 1
+            th = new_th
+            words.append((0x8 << 12) | th)
+        elif op == 3:  # single CD event
+            x = int(rng.integers(0, 640))
+            p = int(rng.integers(0, 2))
+            words.append((0x1 << 12) | (p << 11) | x)
+            expected.append((float(x), float(row), t_now(), float(p)))
+        elif op == 4:  # VECT_BASE_X
+            base = int(rng.integers(0, 600))
+            vpol = int(rng.integers(0, 2))
+            words.append((0x2 << 12) | (vpol << 11) | base)
+        elif op in (5, 6):  # VECT_12 / VECT_8
+            nbits = 12 if op == 5 else 8
+            mask = int(rng.integers(0, 1 << nbits))
+            words.append(((0x3 if nbits == 12 else 0x4) << 12) | mask)
+            for b in range(nbits):
+                if mask & (1 << b):
+                    expected.append((float(base + b), float(row), t_now(), float(vpol)))
+            base += nbits
+        else:  # EXT_TRIGGER: skipped
+            words.append(0xA << 12)
+
+    words = np.asarray(words, np.uint16)
+    exp = np.asarray(expected, np.float64)
+    assert len(exp) > 3000  # the stream genuinely emits vector runs
+
+    xp, yp, tp, pp = decode_evt3_numpy(words)
+    got = np.stack([xp, yp, tp, pp], axis=1)
+    np.testing.assert_array_equal(got, exp)
+
+    if native._get_evt3_lib() is not None:
+        xn, yn, tn, pn = native.decode_evt3(words)
+        np.testing.assert_array_equal(np.stack([xn, yn, tn, pn], 1), exp)
+
+    raw = tmp_path / "gen4.raw"
+    raw.write_bytes(b"% format EVT3;height=480;width=640\n% end\n" + words.tobytes())
+    loader = collections["EVT3"](
+        config={"height": 480, "width": 640, "root": str(tmp_path)}
+    )
+    loader.set_sequence("gen4")
+    ev = loader.load_event(0, len(loader))
+    np.testing.assert_array_equal(ev[:, 0], exp[:, 1])  # x = sensor row
+    np.testing.assert_array_equal(ev[:, 1], exp[:, 0])  # y = sensor col
+    np.testing.assert_allclose(ev[:, 2], exp[:, 2] * 1e-6)
+    assert set(np.unique(ev[:, 3])) <= {-1.0, 1.0}
+    assert not loader.gt_flow_available
