@@ -47,19 +47,45 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--multistream", type=int, default=0, metavar="K",
+                    help="serve K independent streams as one fleet batch "
+                         "(per-stream warm starts) instead of one stream")
     args = ap.parse_args()
+
+    H, W = 68, 84
+    slv = {"patch": {"scale": 3, "crop_height": 64, "crop_width": 80}}
+    opt = {
+        "n_iter": 24, "max_iter": 15,
+        "parameters": {"trans_x": {"min": -20, "max": 20},
+                       "trans_y": {"min": -20, "max": 20}},
+    }
+
+    if args.multistream:
+        from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+        k = args.multistream
+        est = MultiStreamFlowEstimator(
+            (H, W), k, solver_config=slv, optimizer_config=opt,
+            fixed_event_count=16384,
+        )
+        gts = [(6.0 - 2 * s, -4.0 + 2 * s) for s in range(k)]
+        for i in range(args.windows):
+            windows = [
+                synthetic_window(H, W, seed=100 * s + i, flow_px=gts[s])
+                for s in range(k)
+            ]
+            flows = est.push(windows)  # [K, 2, H, W]
+            for s in range(k):
+                u, v = float(flows[s, 0].mean()), float(flows[s, 1].mean())
+                print(f"window {i} stream {s}: mean flow ({u:+.1f}, {v:+.1f}) "
+                      f"px  vs GT ({gts[s][0]:+.1f}, {gts[s][1]:+.1f})")
+        est.save_state("/tmp/evflow_multistream_state.npz")  # serving restart
+        return
 
     from event_based_optical_flow_tpu.streaming import StreamingFlowEstimator
 
-    H, W = 68, 84
     est = StreamingFlowEstimator(
-        image_shape=(H, W),
-        solver_config={"patch": {"scale": 3, "crop_height": 64, "crop_width": 80}},
-        optimizer_config={
-            "n_iter": 24, "max_iter": 15,
-            "parameters": {"trans_x": {"min": -20, "max": 20},
-                           "trans_y": {"min": -20, "max": 20}},
-        },
+        image_shape=(H, W), solver_config=slv, optimizer_config=opt,
     )
     gt = (6.0, -4.0)
     for i in range(args.windows):
