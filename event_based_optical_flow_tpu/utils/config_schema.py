@@ -102,6 +102,8 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     out = config["output"]
     _require(out, "output_dir", str, "output")
     _require(out, "show_interactive_result", bool, "output")
+    if "save_flow" in out:
+        _choice(out, "save_flow", {"dsec_png", "npz"}, "output")
 
     slv = config["solver"]
     _choice(slv, "method", set(solver_collections), "solver")

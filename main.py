@@ -80,6 +80,25 @@ def _gather_frame(loader, data_config, t1, t2):
     return batch_for_optimization, batch_for_gt_slice, gt_flow, t2 - t1
 
 
+def _maybe_save_flow(solv, frame_index, best_motion, flow_time):
+    """Per-frame flow dump when ``output.save_flow`` is configured
+    (dsec_png = DSEC benchmark submission layout, or npz): the dense
+    PIXEL DISPLACEMENT over the window, written next to the metrics."""
+    fmt = (solv.out_config or {}).get("save_flow")
+    if not fmt:
+        return
+    from event_based_optical_flow_tpu.flow.io import save_flow_frame
+
+    out_dir = solv.visualizer.save_dir if solv.visualizer else "."
+    try:
+        flow = np.asarray(solv.motion_to_dense_flow(best_motion, flow_time))
+    except TypeError:  # non-pyramidal solvers take only the motion
+        flow = np.asarray(solv.motion_to_dense_flow(best_motion))
+    if flow.ndim == 4:  # time-aware voxel [T, 2, H, W]: submit the t0 slice
+        flow = flow[0]
+    save_flow_frame(out_dir, frame_index, flow * flow_time, fmt)
+
+
 def evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch: int):
     """Batched evaluation: fleet_batch frames per device solve (requires
     warm_start: false — frames are independent).  New capability; the
@@ -110,6 +129,7 @@ def evaluate_dataset_fleet(eval_ts, data_config, loader, solv, fleet_batch: int)
             flow_error = solv.calculate_flow_error(best, gt_flow, timescale=flow_time, events=gt_b)
             solv.save_flow_error_as_text(i1, flow_error, "flow_error_per_frame_with_mask.txt")
             ckpt.append_frame_metrics(out_dir, i1, flow_error)
+            _maybe_save_flow(solv, i1, best, flow_time)
         ckpt.save_eval_state(
             out_dir, chunk[-1] + 1, motions[-1] if batch_warm else None
         )
@@ -145,6 +165,7 @@ def evaluate_dataset_fwl_only(eval_frame_time_stamp_list, data_config, loader, s
             solv.set_previous_frame_best_estimation(best_motion)
         solv.save_flow_error_as_text(i1, fwl, "flow_error_per_frame_with_mask.txt")
         ckpt.append_frame_metrics(out_dir, i1, fwl)
+        _maybe_save_flow(solv, i1, best_motion, flow_time)
         ckpt.save_eval_state(out_dir, i1 + 1, best_motion if warm_start else None)
         viz_every = int(data_config.get("visualize_every", 1))
         if viz_every and i1 % viz_every == 0:
@@ -210,6 +231,7 @@ def evaluate_dataset_with_gt(eval_frame_time_stamp_list, data_config, loader, so
             solv.set_previous_frame_best_estimation(best_motion)
         solv.save_flow_error_as_text(i1, flow_error, "flow_error_per_frame_with_mask.txt")
         ckpt.append_frame_metrics(out_dir, i1, flow_error)
+        _maybe_save_flow(solv, i1, best_motion, flow_time)
         ckpt.save_eval_state(out_dir, i1 + 1, best_motion if warm_start else None)
 
         viz_every = int(data_config.get("visualize_every", 1))

@@ -293,3 +293,35 @@ def test_eval_pipeline_fwl_only_evt2_raw(tmp_path):
     assert len(lines) == 3 and all("PRED_FWL" in l for l in lines)
     summary = ckpt.summarize_metrics(out_dir)
     assert summary and np.isfinite(summary["PRED_FWL"])
+
+
+def test_save_flow_dsec_png_roundtrip_and_eval(tmp_path):
+    """output.save_flow: per-frame flow dumps in the DSEC benchmark
+    submission format — the writer is the exact inverse of the DSEC
+    loader's decode (1/128 px quantization), and the eval pipeline
+    produces one file per frame."""
+    from event_based_optical_flow_tpu.data.dsec import DsecDataLoader
+    from event_based_optical_flow_tpu.flow.io import write_flow_dsec_png
+
+    rng = np.random.default_rng(2)
+    flow = rng.uniform(-40, 40, (2, 20, 30))
+    p = tmp_path / "f.png"
+    write_flow_dsec_png(p, flow, valid=np.ones((20, 30)))
+    img = DsecDataLoader._read_png16(str(p))
+    u = (img[..., 0] - 2**15) / 128.0  # width direction
+    v = (img[..., 1] - 2**15) / 128.0  # height direction
+    np.testing.assert_allclose(u, flow[1], atol=1 / 128 + 1e-9)
+    np.testing.assert_allclose(v, flow[0], atol=1 / 128 + 1e-9)
+    assert (img[..., 2] > 0).all()
+
+    config = _tiny_config(tmp_path / "out")
+    os.makedirs(config["output"]["output_dir"], exist_ok=True)
+    config["output"]["save_flow"] = "dsec_png"
+    loader, solv = _build(config)
+    eval_ts = loader.eval_frame_time_list()
+    cli.evaluate_dataset_with_gt(eval_ts, config["data"], loader, solv)
+    sub = os.path.join(config["output"]["output_dir"], "flow_submission")
+    files = sorted(os.listdir(sub))
+    assert files == [f"{i:06d}.png" for i in range(len(files))] and files
+    img0 = DsecDataLoader._read_png16(os.path.join(sub, files[0]))
+    assert img0.shape == (36, 44, 3) and np.isfinite(img0).all()
