@@ -94,6 +94,18 @@ def multi_scale_cmax_loss(
     return total / max(1, n)
 
 
+def supervised_epe_loss(flow, gt_flow):
+    """Mean endpoint error of a dense [2, H, W] flow against GT of the
+    same shape/units (px displacement over the window), masked to pixels
+    with finite GT (MVSEC marks invalid GT with inf).  The supervised
+    alternative to the CMax loss when the training set carries dense GT
+    (e.g. the DSEC train split)."""
+    err = jnp.sqrt(jnp.sum((flow - gt_flow) ** 2, axis=0) + 1e-12)
+    valid = jnp.all(jnp.isfinite(gt_flow), axis=0)
+    err = jnp.where(valid, err, 0.0)
+    return jnp.sum(err) / jnp.maximum(jnp.sum(valid), 1)
+
+
 def make_dnn_train_state(
     image_size: Tuple[int, int],
     n_bin: int = 4,
@@ -111,17 +123,21 @@ def make_dnn_train_state(
 
 
 def make_loss_fn(model, image_size: Tuple[int, int], n_bin: int = 4,
-                 multi_scale: bool = False):
+                 multi_scale: bool = False, supervised: bool = False):
     """Batch loss fn(params, events [B, N, 4], weights [B, N]) -> scalar,
     shared by the single-device and data-parallel train steps.  Flow head
     3 (full resolution) drives the CMax loss per batch item; with
     ``multi_scale`` every decoder head is supervised at its native
-    resolution (multi_scale_cmax_loss)."""
+    resolution (multi_scale_cmax_loss).  With ``supervised`` the loss fn
+    takes an extra gt batch [B, 2, H, W] and trains on masked mean EPE
+    (supervised_epe_loss) instead of the contrast objective."""
 
-    def loss_fn(params, events, weights):
+    def loss_fn(params, events, weights, *gt):
         voxels = jax.vmap(lambda e, w: events_to_voxel_grid(e, image_size, n_bin, w))(events, weights)
         flows = model.apply(params, voxels)
-        if multi_scale:
+        if supervised:
+            per_item = jax.vmap(supervised_epe_loss)(flows["flow3"], gt[0])
+        elif multi_scale:
             per_item = jax.vmap(
                 lambda f0, f1, f2, f3, e, w: multi_scale_cmax_loss(
                     {"flow0": f0, "flow1": f1, "flow2": f2, "flow3": f3},
@@ -139,15 +155,16 @@ def make_loss_fn(model, image_size: Tuple[int, int], n_bin: int = 4,
 
 
 def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4,
-                   multi_scale: bool = False):
+                   multi_scale: bool = False, supervised: bool = False):
     """Build the jitted training step:
-    step(params, opt_state, events [B, N, 4], weights [B, N])
-      -> (params, opt_state, loss)  (loss: see make_loss_fn)."""
-    loss_fn = make_loss_fn(model, image_size, n_bin, multi_scale)
+    step(params, opt_state, events [B, N, 4], weights [B, N][, gt])
+      -> (params, opt_state, loss)  (loss: see make_loss_fn; the gt
+      batch [B, 2, H, W] is required iff ``supervised``)."""
+    loss_fn = make_loss_fn(model, image_size, n_bin, multi_scale, supervised)
 
     @jax.jit
-    def step(params, opt_state, events, weights):
-        loss, grads = jax.value_and_grad(loss_fn)(params, events, weights)
+    def step(params, opt_state, events, weights, *gt):
+        loss, grads = jax.value_and_grad(loss_fn)(params, events, weights, *gt)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -156,7 +173,7 @@ def dnn_train_step(model, tx, image_size: Tuple[int, int], n_bin: int = 4,
 
 
 def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin: int = 4,
-                            multi_scale: bool = False):
+                            multi_scale: bool = False, supervised: bool = False):
     """Data-parallel variant of dnn_train_step under ``shard_map``: the
     batch shards over the mesh's 'data' axis, params/opt state replicate,
     gradients are combined with ``pmean`` over ICI.  Per-step results are
@@ -164,20 +181,21 @@ def dnn_train_step_parallel(model, tx, image_size: Tuple[int, int], mesh, n_bin:
     shard means == global mean); verified in tests on an 8-device mesh."""
     from jax.sharding import PartitionSpec as P
 
-    loss_fn = make_loss_fn(model, image_size, n_bin, multi_scale)
+    loss_fn = make_loss_fn(model, image_size, n_bin, multi_scale, supervised)
 
-    def local_step(params, opt_state, events, weights):
-        loss, grads = jax.value_and_grad(loss_fn)(params, events, weights)
+    def local_step(params, opt_state, events, weights, *gt):
+        loss, grads = jax.value_and_grad(loss_fn)(params, events, weights, *gt)
         grads = jax.lax.pmean(grads, "data")
         loss = jax.lax.pmean(loss, "data")
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    n_in = 3 if supervised else 2
     step = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P("data"), P("data")),
+        in_specs=(P(), P()) + (P("data"),) * n_in,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
@@ -272,6 +290,16 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
             + (" (dnn.resume is false)" if not dnn_cfg.get("resume", True) else "")
         )
 
+    supervised = bool(dnn_cfg.get("supervised"))
+    if supervised and not getattr(loader, "gt_flow_available", False):
+        raise ValueError(
+            "dnn.supervised requires a loader with dense GT flow "
+            "(data.load_gt_flow); use the unsupervised CMax loss otherwise"
+        )
+    if supervised and dnn_cfg.get("multi_scale"):
+        logger.warning("dnn.supervised trains the full-resolution head only; "
+                       "dnn.multi_scale is ignored")
+
     n_dev = len(jax.devices())
     if dnn_cfg.get("data_parallel") and n_dev > 1 and batch % n_dev == 0:
         from jax.sharding import Mesh
@@ -280,12 +308,14 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
         step, loss_fn = dnn_train_step_parallel(
             model, tx, image_size, mesh, n_bin,
             multi_scale=bool(dnn_cfg.get("multi_scale")),
+            supervised=supervised,
         )
         logger.info(f"data-parallel DNN training over {n_dev} devices")
     else:
         step, loss_fn = dnn_train_step(
             model, tx, image_size, n_bin,
             multi_scale=bool(dnn_cfg.get("multi_scale")),
+            supervised=supervised,
         )
 
     total = len(loader)
@@ -296,17 +326,27 @@ def run_dnn_flow(config: dict, loader, viz, evaluate: bool = False):
         for _ in range(start_step * batch):
             rng.integers(0, max(1, total - n_events))
         for it in range(start_step, steps):
-            evs, wgts = [], []
+            evs, wgts, gts = [], [], []
             for _ in range(batch):
                 start = int(rng.integers(0, max(1, total - n_events)))
-                ev = loader.load_event(start, min(start + n_events, total))
+                end = min(start + n_events, total)
+                ev = loader.load_event(start, end)
+                if supervised:
+                    # dense GT displacement over THIS window ([H, W, 2]
+                    # loader convention -> [2, Hc, Wc] crop)
+                    gt_hw2 = np.asarray(loader.load_optical_flow(
+                        loader.index_to_time(start), loader.index_to_time(end - 1)
+                    ))
+                    gts.append(np.transpose(gt_hw2[:Hc, :Wc], (2, 0, 1)))
                 ev[:, 2] -= ev[:, 2].min()
                 ev = ev[(ev[:, 0] < Hc) & (ev[:, 1] < Wc)]
                 p, w = pad_events(ev, target_n=n_events)
                 evs.append(p)
                 wgts.append(w)
+            extra = (jnp.asarray(np.stack(gts), jnp.float32),) if supervised else ()
             params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(wgts))
+                params, opt_state, jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(wgts)),
+                *extra,
             )
             if it % 10 == 0:
                 logger.info(f"dnn step {it}: loss {float(loss):.4f}")

@@ -66,6 +66,7 @@ _KNOWN_OPT_KEYS = {
 _KNOWN_DNN_KEYS = {
     "n_bin", "batch_size", "n_steps", "lr", "data_parallel",
     "checkpoint_dir", "checkpoint_every", "eval_only", "multi_scale", "resume", "scale_time",
+    "supervised",
 }
 
 

@@ -153,3 +153,84 @@ def test_run_dnn_flow_trains_and_evaluates(tmp_path):
     params2 = run_dnn_flow(config, loader, viz, evaluate=False)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_dnn_supervised_train_step_descends():
+    """dnn.supervised: the masked-EPE loss takes a GT batch, descends
+    over a few steps, and invalid (inf) GT pixels are ignored."""
+    from event_based_optical_flow_tpu.models.train import supervised_epe_loss
+
+    image_size = (32, 32)
+    model, params, tx, opt_state = make_dnn_train_state(
+        image_size, n_bin=4, lr=3e-4, scale_time=8.0
+    )
+    step, loss_fn = dnn_train_step(model, tx, image_size, n_bin=4, supervised=True)
+
+    gt_disp = (-6.0 * 0.4, 4.0 * 0.4)  # scene gt is a velocity over 0.4 s
+    evs, wgts, gts = [], [], []
+    for b in range(2):
+        ev = _moving_scene(seed=b)
+        p, w = pad_events(ev, target_n=2048)
+        evs.append(p)
+        wgts.append(w)
+        g = np.zeros((2, 32, 32))
+        g[0], g[1] = gt_disp
+        gts.append(g)
+    events = jnp.asarray(np.stack(evs))
+    weights = jnp.asarray(np.stack(wgts))
+    gt = jnp.asarray(np.stack(gts), jnp.float32)
+
+    loss0 = float(loss_fn(params, events, weights, gt))
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state, events, weights, gt)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert min(losses) < loss0
+
+    # inf-GT masking: a half-invalid field scores only the valid half
+    flow = jnp.zeros((2, 4, 4))
+    g = jnp.asarray(np.stack([np.full((4, 4), 3.0), np.zeros((4, 4))]))
+    g = g.at[:, :2, :].set(jnp.inf)
+    assert float(supervised_epe_loss(flow, g)) == pytest.approx(3.0)
+
+
+@pytest.mark.slow
+def test_run_dnn_flow_supervised_smoke(tmp_path):
+    """dnn.supervised wiring through the CLI DNN path: per-window GT is
+    pulled from the loader (index_to_time -> load_optical_flow) and two
+    training steps run to a finite loss + checkpoint."""
+    from event_based_optical_flow_tpu import data as data_mod
+    from event_based_optical_flow_tpu import visualizer as viz_mod
+    from event_based_optical_flow_tpu.models.train import (
+        latest_dnn_checkpoint,
+        run_dnn_flow,
+    )
+
+    data_cfg = {
+        "eval_dt": 1, "root": "", "dataset": "synthetic", "sequence": "dnn_s",
+        "height": 32, "width": 32, "load_gt_flow": True, "gt": ".",
+        "n_events_per_batch": 2048, "duration": 1.0, "event_rate": 20000,
+        "n_frames": 3,
+    }
+    config = {
+        "is_dnn": True,
+        "data": data_cfg,
+        "dnn": {"n_bin": 4, "batch_size": 1, "n_steps": 2, "lr": 1e-4,
+                "supervised": True},
+        "output": {"output_dir": str(tmp_path), "show_interactive_result": False},
+    }
+    loader = data_mod.collections["synthetic"](config=data_cfg)
+    loader.set_sequence("dnn_s")
+    viz = viz_mod.Visualizer((32, 32), show=False, save=True, save_dir=str(tmp_path))
+    params = run_dnn_flow(config, loader, viz, evaluate=False)
+    assert params is not None
+    assert latest_dnn_checkpoint(str(tmp_path / "checkpoints")) is not None
+
+    # a GT-free loader must be rejected (the synthetic loader always has
+    # GT, so force the flag off)
+    import pytest as _pytest
+    loader.gt_flow_available = False
+    with _pytest.raises(ValueError, match="supervised"):
+        run_dnn_flow(config, loader, viz, evaluate=False)
