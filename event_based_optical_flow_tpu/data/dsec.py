@@ -97,7 +97,11 @@ class DsecDataLoader(DataLoaderBase):
 
     def load_optical_flow(self, t1: float, t2: float) -> np.ndarray:
         """GT displacement for the flow window starting nearest t1:
-        [H, W, 2] with (height, width) components; invalid pixels 0."""
+        [H, W, 2] with (height, width) components; invalid pixels inf —
+        the MVSEC convention, which both the AEE metrics (isinf mask,
+        flow/metrics.py) and the supervised DNN loss (isfinite mask)
+        exclude.  (A 0.0 fill slips through an isfinite mask and biases
+        anything trained on it toward zero flow.)"""
         starts = self.flow_windows_us[:, 0] * 1e-6
         idx = int(np.argmin(np.abs(starts - t1)))
         img = self._read_png16(self.flow_files[idx])
@@ -105,7 +109,7 @@ class DsecDataLoader(DataLoaderBase):
         flow_y = (img[..., 1] - 2**15) / 128.0  # height direction
         valid = img[..., 2] > 0
         flow = np.stack([flow_y, flow_x], axis=2)
-        flow[~valid] = 0.0
+        flow[~valid] = np.inf
         return flow
 
     @staticmethod

@@ -43,9 +43,12 @@ def decode_evt2_numpy(words: np.ndarray):
     th_idx = np.flatnonzero(is_th)
     th_vals = (words[th_idx] & np.uint32(0x0FFFFFFF)).astype(np.uint64)
     cd_idx = np.flatnonzero(is_cd)
-    # index of the latest TIME_HIGH before each CD word (-1 = none yet)
-    pos = np.searchsorted(th_idx, cd_idx) - 1
-    time_high = np.where(pos >= 0, th_vals[np.maximum(pos, 0)], np.uint64(0))
+    if len(th_idx):
+        # index of the latest TIME_HIGH before each CD word (-1 = none yet)
+        pos = np.searchsorted(th_idx, cd_idx) - 1
+        time_high = np.where(pos >= 0, th_vals[np.maximum(pos, 0)], np.uint64(0))
+    else:  # no TIME_HIGH at all: initial-zero register (native parity)
+        time_high = np.zeros(len(cd_idx), np.uint64)
 
     cd = words[cd_idx]
     ts6 = ((cd >> 22) & np.uint32(0x3F)).astype(np.uint64)

@@ -59,28 +59,32 @@ def decode_evt3_numpy(words: np.ndarray):
         ep = _ffill(th_idx, epoch_vals, query_idx, 0)
         return (ep << np.uint64(24)) | (th << np.uint64(12)) | tl
 
-    # --- single events (EVT_ADDR_X) ---------------------------------
-    sg_idx = np.flatnonzero(types == 0x1)
+    # --- single events (EVT_ADDR_X, type 0x2) ------------------------
+    sg_idx = np.flatnonzero(types == 0x2)
     sg_x = (words[sg_idx] & np.uint16(0x7FF)).astype(np.float64)
     sg_p = ((words[sg_idx] >> 11) & np.uint16(1)).astype(np.float64)
     sg_y = _ffill(y_idx, y_vals, sg_idx, 0).astype(np.float64)
     sg_t = time_at(sg_idx).astype(np.float64)
 
-    # --- vector events (VECT_12 / VECT_8) ----------------------------
-    vb_idx = np.flatnonzero(types == 0x2)
+    # --- vector events (VECT_BASE_X 0x3; VECT_12 0x4 / VECT_8 0x5) ---
+    vb_idx = np.flatnonzero(types == 0x3)
     vb_vals = (words[vb_idx] & np.uint16(0x7FF)).astype(np.int64)
     vb_pol = ((words[vb_idx] >> 11) & np.uint16(1)).astype(np.float64)
-    vc_idx = np.flatnonzero((types == 0x3) | (types == 0x4))
-    is12 = types[vc_idx] == 0x3
+    vc_idx = np.flatnonzero((types == 0x4) | (types == 0x5))
+    is12 = types[vc_idx] == 0x4
     incr = np.where(is12, 12, 8).astype(np.int64)
     # segmented base: base(j) = base0(segment) + sum of increments of
     # vector words after the segment's VECT_BASE_X and before j
     cum = np.concatenate([[0], np.cumsum(incr)])  # cum[j] = incr before j
     seg = np.searchsorted(vb_idx, vc_idx, side="right") - 1  # governing base
     first_vc = np.searchsorted(vc_idx, vb_idx, side="left")  # per base: its first vector word
-    base0 = np.where(seg >= 0, vb_vals[np.maximum(seg, 0)], 0)
-    cum_at_seg = np.where(seg >= 0, cum[first_vc[np.maximum(seg, 0)]], 0)
-    base_j = base0 + (cum[:-1][np.arange(len(vc_idx))] - cum_at_seg) if len(vc_idx) else base0
+    if len(vb_idx):
+        base0 = np.where(seg >= 0, vb_vals[np.maximum(seg, 0)], 0)
+        cum_at_seg = np.where(seg >= 0, cum[first_vc[np.maximum(seg, 0)]], 0)
+    else:  # vector words before any VECT_BASE_X: initial-zero registers
+        base0 = np.zeros(len(vc_idx), np.int64)
+        cum_at_seg = np.zeros(len(vc_idx), np.int64)
+    base_j = base0 + (cum[:-1] - cum_at_seg)
 
     masks = np.where(
         is12, words[vc_idx] & np.uint16(0xFFF), words[vc_idx] & np.uint16(0xFF)
@@ -89,7 +93,10 @@ def decode_evt3_numpy(words: np.ndarray):
     bits = ((masks[:, None] >> lanes[None, :]) & 1).astype(bool)  # [n_vc, 12]
     vj, lane = np.nonzero(bits)
     vc_x = (base_j[vj] + lane).astype(np.float64)
-    vc_p = np.where(seg[vj] >= 0, vb_pol[np.maximum(seg[vj], 0)], 0.0)
+    if len(vb_idx):
+        vc_p = np.where(seg[vj] >= 0, vb_pol[np.maximum(seg[vj], 0)], 0.0)
+    else:
+        vc_p = np.zeros(len(vj), np.float64)
     vc_y = _ffill(y_idx, y_vals, vc_idx, 0)[vj].astype(np.float64)
     vc_t = time_at(vc_idx)[vj].astype(np.float64)
     vc_word = vc_idx[vj]

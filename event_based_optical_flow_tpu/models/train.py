@@ -94,13 +94,29 @@ def multi_scale_cmax_loss(
     return total / max(1, n)
 
 
-def supervised_epe_loss(flow, gt_flow):
-    """Mean endpoint error of a dense [2, H, W] flow against GT of the
-    same shape/units (px displacement over the window), masked to pixels
-    with finite GT (MVSEC marks invalid GT with inf).  The supervised
-    alternative to the CMax loss when the training set carries dense GT
-    (e.g. the DSEC train split)."""
-    err = jnp.sqrt(jnp.sum((flow - gt_flow) ** 2, axis=0) + 1e-12)
+def _event_t_scale(events, weights=None):
+    """Time span of a (padded) event window — the factor that converts
+    the px/s flow convention into px displacement over the window (the
+    same computation unsupervised_cmax_loss uses before warping)."""
+    t = events[:, 2]
+    if weights is None:
+        return jnp.max(t) - jnp.min(t)
+    big = jnp.finfo(t.dtype).max
+    return jnp.max(jnp.where(weights > 0, t, -big)) - jnp.min(
+        jnp.where(weights > 0, t, big)
+    )
+
+
+def supervised_epe_loss(flow, gt_flow, t_scale=1.0):
+    """Mean endpoint error of a dense [2, H, W] flow in px/s (the
+    network convention — see _evaluate_dnn) against GT px DISPLACEMENT
+    over the window: the prediction is scaled by the window span
+    ``t_scale`` before comparison, exactly as the unsupervised loss
+    scales it before warping and the eval loop scales it before AEE.
+    Pixels with non-finite GT are masked (MVSEC and DSEC mark invalid
+    GT with inf).  The supervised alternative to the CMax loss when the
+    training set carries dense GT (e.g. the DSEC train split)."""
+    err = jnp.sqrt(jnp.sum((flow * t_scale - gt_flow) ** 2, axis=0) + 1e-12)
     valid = jnp.all(jnp.isfinite(gt_flow), axis=0)
     err = jnp.where(valid, err, 0.0)
     return jnp.sum(err) / jnp.maximum(jnp.sum(valid), 1)
@@ -136,7 +152,8 @@ def make_loss_fn(model, image_size: Tuple[int, int], n_bin: int = 4,
         voxels = jax.vmap(lambda e, w: events_to_voxel_grid(e, image_size, n_bin, w))(events, weights)
         flows = model.apply(params, voxels)
         if supervised:
-            per_item = jax.vmap(supervised_epe_loss)(flows["flow3"], gt[0])
+            spans = jax.vmap(_event_t_scale)(events, weights)
+            per_item = jax.vmap(supervised_epe_loss)(flows["flow3"], gt[0], spans)
         elif multi_scale:
             per_item = jax.vmap(
                 lambda f0, f1, f2, f3, e, w: multi_scale_cmax_loss(

@@ -222,7 +222,15 @@ def decode_evt3(words: np.ndarray):
         return None
     words = np.ascontiguousarray(words, np.uint16)
     n = len(words)
-    cap = 12 * n  # VECT_12 can emit up to 12 events per word
+    # tight event bound via a cheap typed pre-pass (a blanket 12*n would
+    # allocate ~192x the payload and OOM on real recordings)
+    types = words >> 12
+    cap = int(
+        np.count_nonzero(types == 0x2)
+        + 12 * np.count_nonzero(types == 0x4)
+        + 8 * np.count_nonzero(types == 0x5)
+    )
+    cap = max(cap, 1)
     x = np.empty(cap, np.float64)
     y = np.empty(cap, np.float64)
     t = np.empty(cap, np.float64)

@@ -7,17 +7,21 @@
 //
 //   0x0  EVT_ADDR_Y    [10:0] y (sensor ROW) -> row register
 //                      (bit 11 = camera orig/master flag, ignored)
-//   0x1  EVT_ADDR_X    [10:0] x (sensor COLUMN), bit 11 = polarity
+//   0x2  EVT_ADDR_X    [10:0] x (sensor COLUMN), bit 11 = polarity
 //                      -> emit ONE event at (x, row, time)
-//   0x2  VECT_BASE_X   [10:0] x base, bit 11 = polarity -> vector regs
-//   0x3  VECT_12       [11:0] validity mask -> emit an event at
+//   0x3  VECT_BASE_X   [10:0] x base, bit 11 = polarity -> vector regs
+//   0x4  VECT_12       [11:0] validity mask -> emit an event at
 //                      (base+i, row, time) for every set bit i; base += 12
-//   0x4  VECT_8        [7:0] validity mask -> same for 8 bits; base += 8
+//   0x5  VECT_8        [7:0] validity mask -> same for 8 bits; base += 8
 //   0x6  EVT_TIME_LOW  [11:0] -> time_low register
 //   0x8  EVT_TIME_HIGH [11:0] -> time_high register; a time_high that
 //                      goes BACKWARD signals a 24-bit rollover -> epoch+1
 //   0xA  EXT_TRIGGER   skipped
-//   else (OTHERS / CONTINUED_12 ...) skipped
+//   else (0x1 reserved; CONTINUED_4 0x7; OTHERS 0xE; CONTINUED_12 0xF) skipped
+//
+// Type codes per the Metavision EVT3 spec (openeb event type enum);
+// 0x1 is RESERVED — an earlier draft of this decoder had the four
+// event-carrying types off by one.
 //
 //   full timestamp µs = (epoch << 24) | (time_high << 12) | time_low
 //
@@ -44,7 +48,7 @@ extern "C" int64_t evf_decode_evt3(
       case 0x0:  // EVT_ADDR_Y
         row = w & 0x7FFu;
         break;
-      case 0x1: {  // EVT_ADDR_X: single event
+      case 0x2: {  // EVT_ADDR_X: single event
         x_col[n_out] = static_cast<double>(w & 0x7FFu);
         y_row[n_out] = static_cast<double>(row);
         t_us[n_out] = static_cast<double>((epoch << 24) | (time_high << 12) | time_low);
@@ -52,13 +56,13 @@ extern "C" int64_t evf_decode_evt3(
         ++n_out;
         break;
       }
-      case 0x2:  // VECT_BASE_X
+      case 0x3:  // VECT_BASE_X
         base_x = w & 0x7FFu;
         vect_pol = (w >> 11) & 1u;
         break;
-      case 0x3:    // VECT_12
-      case 0x4: {  // VECT_8
-        const int nbits = (type == 0x3) ? 12 : 8;
+      case 0x4:    // VECT_12
+      case 0x5: {  // VECT_8
+        const int nbits = (type == 0x4) ? 12 : 8;
         const uint16_t mask = w & ((1u << nbits) - 1u);
         const double t = static_cast<double>((epoch << 24) | (time_high << 12) | time_low);
         for (int b = 0; b < nbits; ++b) {

@@ -94,8 +94,10 @@ def _maybe_save_flow(solv, frame_index, best_motion, flow_time):
         flow = np.asarray(solv.motion_to_dense_flow(best_motion, flow_time))
     except TypeError:  # non-pyramidal solvers take only the motion
         flow = np.asarray(solv.motion_to_dense_flow(best_motion))
-    if flow.ndim == 4:  # time-aware voxel [T, 2, H, W]: submit the t0 slice
-        flow = flow[0]
+    if flow.ndim == 4:
+        # time-aware voxel [T, 2, H, W]: dump the SAME slice the metrics
+        # score (t0 per t0_flow_location — bin 0 or T//2, base.py:183)
+        flow = solv.get_original_flow_from_time_aware_flow_voxel(flow)
     save_flow_frame(out_dir, frame_index, flow * flow_time, fmt)
 
 

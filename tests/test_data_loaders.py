@@ -236,8 +236,11 @@ def test_evt3_decoder_and_loader(tmp_path):
     def t_now():
         return float((epoch << 24) | (th << 12) | tl)
 
-    # start with an event before ANY register writes (all-zero state)
-    words.append((0x1 << 12) | (1 << 11) | 17)
+    # start with an event before ANY register writes (all-zero state).
+    # Type codes per the Metavision EVT3 spec: ADDR_Y 0x0, ADDR_X 0x2,
+    # VECT_BASE_X 0x3, VECT_12 0x4, VECT_8 0x5, TIME_LOW 0x6,
+    # TIME_HIGH 0x8 (0x1 is reserved).
+    words.append((0x2 << 12) | (1 << 11) | 17)
     expected.append((17.0, 0.0, 0.0, 1.0))
 
     for _ in range(4000):
@@ -257,16 +260,16 @@ def test_evt3_decoder_and_loader(tmp_path):
         elif op == 3:  # single CD event
             x = int(rng.integers(0, 640))
             p = int(rng.integers(0, 2))
-            words.append((0x1 << 12) | (p << 11) | x)
+            words.append((0x2 << 12) | (p << 11) | x)
             expected.append((float(x), float(row), t_now(), float(p)))
         elif op == 4:  # VECT_BASE_X
             base = int(rng.integers(0, 600))
             vpol = int(rng.integers(0, 2))
-            words.append((0x2 << 12) | (vpol << 11) | base)
+            words.append((0x3 << 12) | (vpol << 11) | base)
         elif op in (5, 6):  # VECT_12 / VECT_8
             nbits = 12 if op == 5 else 8
             mask = int(rng.integers(0, 1 << nbits))
-            words.append(((0x3 if nbits == 12 else 0x4) << 12) | mask)
+            words.append(((0x4 if nbits == 12 else 0x5) << 12) | mask)
             for b in range(nbits):
                 if mask & (1 << b):
                     expected.append((float(base + b), float(row), t_now(), float(vpol)))
@@ -298,3 +301,31 @@ def test_evt3_decoder_and_loader(tmp_path):
     np.testing.assert_allclose(ev[:, 2], exp[:, 2] * 1e-6)
     assert set(np.unique(ev[:, 3])) <= {-1.0, 1.0}
     assert not loader.gt_flow_available
+
+
+def test_evt_decoders_degenerate_streams():
+    """Streams missing a stateful register word entirely (EVT2 with no
+    TIME_HIGH; EVT3 vector words before any VECT_BASE_X) decode with the
+    initial-zero registers — numpy fallback == native (regression: the
+    forward-fill indexing crashed on empty marker arrays)."""
+    from event_based_optical_flow_tpu import native
+    from event_based_optical_flow_tpu.data.evt2 import decode_evt2_numpy
+    from event_based_optical_flow_tpu.data.evt3 import decode_evt3_numpy
+
+    w2 = np.asarray([(0x1 << 28) | (5 << 22) | (3 << 11) | 7], np.uint32)
+    exp2 = np.asarray([[3.0, 7.0, 5.0, 1.0]])
+    out2 = np.stack(decode_evt2_numpy(w2), 1)
+    np.testing.assert_array_equal(out2, exp2)
+    if native._get_evt2_lib() is not None:
+        np.testing.assert_array_equal(np.stack(native.decode_evt2(w2), 1), exp2)
+
+    w3 = np.asarray([(0x4 << 12) | 0b101, (0x5 << 12) | 0b1], np.uint16)
+    exp3 = np.asarray([
+        [0.0, 0.0, 0.0, 0.0],
+        [2.0, 0.0, 0.0, 0.0],
+        [12.0, 0.0, 0.0, 0.0],  # base advanced by 12 after the VECT_12
+    ])
+    out3 = np.stack(decode_evt3_numpy(w3), 1)
+    np.testing.assert_array_equal(out3, exp3)
+    if native._get_evt3_lib() is not None:
+        np.testing.assert_array_equal(np.stack(native.decode_evt3(w3), 1), exp3)
