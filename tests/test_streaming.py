@@ -181,3 +181,68 @@ def test_save_load_state_roundtrip(tmp_path):
             np.testing.assert_array_equal(np.asarray(d1[s]), d2[s])
     for t1, t2 in zip(ms._tails, ms2._tails):
         np.testing.assert_array_equal(t1, t2)
+
+
+def test_http_flow_server_roundtrip(tmp_path):
+    """serve.FlowServer: POST an event window as npz, get the dense flow
+    back; healthz reports the window count; reset drops the chain; bad
+    payloads return 400 and the server keeps serving; state persists to
+    state_path."""
+    import io
+    import json
+    import urllib.request
+
+    from event_based_optical_flow_tpu.serve import FlowServer
+
+    state = tmp_path / "serve_state.npz"
+    server = FlowServer(
+        (H, W), port=0,  # ephemeral port
+        solver_config={"patch": {"initialize": "zero", "scale": 3,
+                                 "crop_height": 20, "crop_width": 28}},
+        optimizer_config={"n_iter": 6, "max_iter": 6},
+        fixed_event_count=900,
+        state_path=str(state),
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        ev = _window(t0=0.0, seed=31)
+        buf = io.BytesIO()
+        np.savez(buf, events=ev)
+        req = urllib.request.Request(f"{base}/flow", data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+        assert out["flow"].shape == (2, H, W)
+        assert np.isfinite(out["flow"]).all()
+        assert float(out["span"]) > 0
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health == {"status": "ok", "n_windows": 1}
+        assert state.exists()
+
+        # malformed payload: 400, server stays up
+        req = urllib.request.Request(f"{base}/flow", data=b"junk", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        req = urllib.request.Request(f"{base}/reset", data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+        assert server.estimator._solver.previous_frame_best_estimation is None
+    finally:
+        server.shutdown()
+
+    # a fresh server resumes the persisted state
+    server2 = FlowServer(
+        (H, W), port=0,
+        solver_config={"patch": {"initialize": "zero", "scale": 3,
+                                 "crop_height": 20, "crop_width": 28}},
+        optimizer_config={"n_iter": 6, "max_iter": 6},
+        fixed_event_count=900,
+        state_path=str(state),
+    )
+    assert server2.estimator.n_windows == 1
+    server2.httpd.server_close()
