@@ -116,7 +116,15 @@ class Evt2DataLoader(DataLoaderBase):
     def get_sequence(self, sequence_name: str) -> dict:
         flat = os.path.join(self.root_dir, sequence_name + ".raw")
         nested = os.path.join(self.root_dir, sequence_name, "events.raw")
-        return {"event": flat if os.path.exists(flat) else nested}
+        return {
+            "event": flat if os.path.exists(flat) else nested,
+            # ECD-style calibration: fx fy cx cy k1 k2 p1 p2 k3
+            "calib": (
+                os.path.join(self.root_dir, sequence_name + "_calib.txt")
+                if os.path.exists(flat)
+                else os.path.join(self.root_dir, sequence_name, "calib.txt")
+            ),
+        }
 
     def __len__(self):
         return len(self.events)
@@ -137,4 +145,13 @@ class Evt2DataLoader(DataLoaderBase):
         return np.linspace(self.left_ts[0], self.left_ts[-1], n)
 
     def load_calib(self) -> dict:
-        return {}
+        """Optional ECD-style calibration file next to the recording
+        (fx fy cx cy k1 k2 p1 p2 k3) — enables undistortion and the
+        calibrated motion models (3-rotation) on raw-camera streams."""
+        path = self.dataset_files.get("calib", "")
+        if not path or not os.path.exists(path):
+            return {}
+        vals = np.loadtxt(path).reshape(-1)
+        K = np.array([[vals[0], 0, vals[2]], [0, vals[1], vals[3]], [0, 0, 1.0]])
+        D = vals[4:9] if len(vals) >= 9 else np.zeros(5)
+        return {"K": K, "D": D}

@@ -148,7 +148,14 @@ class Evt3DataLoader(DataLoaderBase):
     def get_sequence(self, sequence_name: str) -> dict:
         flat = os.path.join(self.root_dir, sequence_name + ".raw")
         nested = os.path.join(self.root_dir, sequence_name, "events.raw")
-        return {"event": flat if os.path.exists(flat) else nested}
+        return {
+            "event": flat if os.path.exists(flat) else nested,
+            "calib": (
+                os.path.join(self.root_dir, sequence_name + "_calib.txt")
+                if os.path.exists(flat)
+                else os.path.join(self.root_dir, sequence_name, "calib.txt")
+            ),
+        }
 
     def __len__(self):
         return len(self.events)
@@ -167,4 +174,11 @@ class Evt3DataLoader(DataLoaderBase):
         return np.linspace(self.left_ts[0], self.left_ts[-1], n)
 
     def load_calib(self) -> dict:
-        return {}
+        """Optional ECD-style calibration file (see Evt2DataLoader)."""
+        path = self.dataset_files.get("calib", "")
+        if not path or not os.path.exists(path):
+            return {}
+        vals = np.loadtxt(path).reshape(-1)
+        K = np.array([[vals[0], 0, vals[2]], [0, vals[1], vals[3]], [0, 0, 1.0]])
+        D = vals[4:9] if len(vals) >= 9 else np.zeros(5)
+        return {"K": K, "D": D}

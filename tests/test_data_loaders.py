@@ -202,10 +202,17 @@ def test_evt2_decoder_and_loader(tmp_path, monkeypatch):
     header = b"% format EVT2;height=480;width=640\n% end\n"
     raw.write_bytes(header + words.tobytes())
 
+    np.savetxt(
+        tmp_path / "seq1_calib.txt",
+        np.array([640.0, 641.0, 320.0, 240.0, -0.1, 0.02, 0.0, 0.0, 0.0])[None],
+    )
     loader = collections["EVT2"](
         config={"height": 480, "width": 640, "root": str(tmp_path)}
     )
     loader.set_sequence("seq1")
+    calib = loader.load_calib()
+    assert calib["K"][0, 0] == 640.0 and calib["K"][1, 2] == 240.0
+    assert len(calib["D"]) == 5
     ev = loader.load_event(0, len(loader))
     assert ev.shape == (n + 1, 4)
     np.testing.assert_array_equal(ev[1:, 0], y_row)   # x = height = sensor row
