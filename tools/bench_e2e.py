@@ -96,6 +96,10 @@ def main():
         slv_cfg["patch"] = dict(
             slv_cfg["patch"], crop_height=480, crop_width=640
         )
+        # match the shipped DSEC config's budgets (the documented e2e
+        # numbers; override on the command line to study other budgets)
+        OPT_CFG.setdefault("cg_maxiter", 8)
+        OPT_CFG.setdefault("coarse_event_fraction", 0.25)
     if which in ("ref", "ta-ref"):
         from src.solver.patch_contrast_pyramid import PyramidalPatchContrastMaximization as Solver
     else:
