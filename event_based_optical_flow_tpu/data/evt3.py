@@ -142,6 +142,11 @@ class Evt3DataLoader(DataLoaderBase):
         self.events = np.stack(
             [y_row, x_col, t_us * 1e-6, np.where(pol > 0, 1.0, -1.0)], axis=1
         )
+        from ..ops.filters import apply_config_filters
+
+        self.events = apply_config_filters(
+            self.events, (self._HEIGHT, self._WIDTH), self.config
+        )
         self.left_ts = self.events[:, 2]
         self.gt_flow_available = False
 

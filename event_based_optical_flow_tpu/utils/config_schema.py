@@ -42,6 +42,7 @@ _NUM = (int, float)
 
 _KNOWN_DATA_KEYS = {
     "eval_dt", "root", "dataset", "sequence", "height", "width", "load_gt_flow",
+    "hot_pixel_sigma", "refractory_us",
     "gt", "n_events_per_batch", "ind1", "ind2", "remove_car", "undistort",
     "preprocess", "warm_start", "fleet_batch", "visualize_every",
     # GT-free (FWL-only) evaluation clock (ECD)

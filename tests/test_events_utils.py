@@ -49,3 +49,51 @@ def test_pad_events_static_shape_and_stats():
     assert padded[:, 2].max() == ev[:, 2].max()
     with pytest.raises(ValueError):
         pad_events(ev, target_n=50)
+
+
+def test_event_noise_filters():
+    """Hot-pixel removal (robust per-pixel count outliers) and the
+    per-pixel refractory filter (timer resets on every raw event) —
+    raw-camera ingestion preprocessing (ops/filters.py)."""
+    import numpy as np
+
+    from event_based_optical_flow_tpu.ops.filters import (
+        hot_pixel_mask,
+        refractory_filter,
+        remove_hot_pixels,
+    )
+
+    rng = np.random.default_rng(0)
+    H, W = 20, 30
+    n = 4000
+    ev = np.stack([
+        rng.integers(0, H, n).astype(float), rng.integers(0, W, n).astype(float),
+        np.sort(rng.uniform(0, 1.0, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    # one hot pixel firing 1000 extra times
+    hot = np.stack([
+        np.full(1000, 7.0), np.full(1000, 11.0),
+        np.sort(rng.uniform(0, 1.0, 1000)), np.ones(1000),
+    ], 1)
+    both = np.concatenate([ev, hot])
+    both = both[np.argsort(both[:, 2], kind="stable")]
+    mask = hot_pixel_mask(both, (H, W), sigma=5.0)
+    assert mask[7, 11] and mask.sum() == 1
+    filtered, _ = remove_hot_pixels(both, (H, W), sigma=5.0)
+    assert not ((filtered[:, 0] == 7) & (filtered[:, 1] == 11)).any()
+    assert len(filtered) >= n - 30  # ~only the hot pixel's events dropped
+
+    # refractory: same pixel at t = 0, 1us, 2us, 10us; 5us dead time ->
+    # the 1us and 2us events drop (timer reset on EVERY event: 10us is
+    # 8us after the 2us event, kept)
+    evr = np.asarray([
+        [3.0, 4.0, 0.0e-6, 1.0],
+        [5.0, 5.0, 0.5e-6, 1.0],   # different pixel: kept
+        [3.0, 4.0, 1.0e-6, 0.0],
+        [3.0, 4.0, 2.0e-6, 1.0],
+        [3.0, 4.0, 10.0e-6, 1.0],
+    ])
+    out = refractory_filter(evr, (H, W), 5e-6)
+    np.testing.assert_array_equal(out[:, 2], [0.0, 0.5e-6, 10.0e-6])
+    # order preserved, zero refractory = no-op
+    np.testing.assert_array_equal(refractory_filter(evr, (H, W), 0.0), evr)
