@@ -183,7 +183,6 @@ class Evt3DataLoader(DataLoaderBase):
         path = self.dataset_files.get("calib", "")
         if not path or not os.path.exists(path):
             return {}
-        vals = np.loadtxt(path).reshape(-1)
-        K = np.array([[vals[0], 0, vals[2]], [0, vals[1], vals[3]], [0, 0, 1.0]])
-        D = vals[4:9] if len(vals) >= 9 else np.zeros(5)
-        return {"K": K, "D": D}
+        from .calib import load_ecd_calib_file
+
+        return load_ecd_calib_file(path)

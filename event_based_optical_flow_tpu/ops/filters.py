@@ -16,12 +16,18 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def hot_pixel_mask(events: np.ndarray, image_shape, sigma: float = 5.0) -> np.ndarray:
+def hot_pixel_mask(events: np.ndarray, image_shape, sigma: float = 5.0,
+                   min_rate_hz: float = 500.0) -> np.ndarray:
     """[H, W] bool mask of hot pixels: per-pixel event counts more than
     ``sigma`` robust standard deviations (MAD * 1.4826) above the median
-    count of ACTIVE pixels.  Robust statistics on purpose — a mean/std
+    count of ACTIVE pixels, AND a sustained rate above ``min_rate_hz``
+    over the stream's duration.  Robust statistics because a mean/std
     over mostly-idle pixels would flag every active pixel of a sparse
-    scene."""
+    scene; the ABSOLUTE rate guard because on noise-dominated streams
+    (median active count ~1-2) the robust threshold collapses and would
+    flag genuine edge pixels — a hot pixel is defined by a SUSTAINED
+    kHz-order rate over the whole recording, which moving edges never
+    hold."""
     h, w = image_shape
     xs = np.clip(events[:, 0].astype(np.int64), 0, h - 1)
     ys = np.clip(events[:, 1].astype(np.int64), 0, w - 1)
@@ -32,13 +38,16 @@ def hot_pixel_mask(events: np.ndarray, image_shape, sigma: float = 5.0) -> np.nd
     med = np.median(active)
     mad = np.median(np.abs(active - med)) * 1.4826
     thresh = med + sigma * max(mad, 1.0)
-    return counts > thresh
+    t = events[:, 2]
+    duration = max(float(t.max() - t.min()), 1e-9)
+    return (counts > thresh) & (counts > min_rate_hz * duration)
 
 
-def remove_hot_pixels(events: np.ndarray, image_shape, sigma: float = 5.0):
+def remove_hot_pixels(events: np.ndarray, image_shape, sigma: float = 5.0,
+                      min_rate_hz: float = 500.0):
     """Drop every event on a hot pixel (see hot_pixel_mask).  Returns
     (filtered events, [H, W] hot mask)."""
-    mask = hot_pixel_mask(events, image_shape, sigma)
+    mask = hot_pixel_mask(events, image_shape, sigma, min_rate_hz)
     if not mask.any():
         return events, mask
     h, w = image_shape
@@ -88,7 +97,8 @@ def apply_config_filters(events: np.ndarray, image_shape, config: dict) -> np.nd
     then ``refractory_us``."""
     sigma = float(config.get("hot_pixel_sigma", 0) or 0)
     if sigma > 0:
-        events, _ = remove_hot_pixels(events, image_shape, sigma)
+        rate = float(config.get("hot_pixel_min_rate_hz", 500.0))
+        events, _ = remove_hot_pixels(events, image_shape, sigma, rate)
     refr_us = float(config.get("refractory_us", 0) or 0)
     if refr_us > 0:
         events = refractory_filter(events, image_shape, refr_us * 1e-6)

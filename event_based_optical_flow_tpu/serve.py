@@ -47,6 +47,10 @@ class FlowServer:
             optimizer_config=optimizer_config,
             fixed_event_count=fixed_event_count,
         )
+        if state_path and not str(state_path).endswith(".npz"):
+            # np.savez appends .npz when missing — normalize so the
+            # resume check looks for the file that is actually written
+            state_path = str(state_path) + ".npz"
         self.state_path = state_path
         if state_path:
             import os
@@ -84,6 +88,10 @@ class FlowServer:
                     if self.path == "/reset":
                         with outer._lock:
                             outer.estimator.reset()
+                            if outer.state_path:
+                                # persist the cleared state: a restart
+                                # must not resurrect the pre-reset chain
+                                outer.estimator.save_state(outer.state_path)
                         self._send(200, b"{}", "application/json")
                         return
                     if self.path != "/flow":
@@ -93,14 +101,17 @@ class FlowServer:
                     events = np.asarray(data["events"], np.float64)
                     with outer._lock:
                         flow = outer.estimator.push(events)
+                        # span of the SOLVED window (may include borrowed
+                        # tail events under fixed_event_count) — the
+                        # correct px/s scale for the returned displacement
+                        span = outer.estimator.last_span
                         if outer.state_path:
                             outer.estimator.save_state(outer.state_path)
-                    t = events[:, 2]
                     buf = io.BytesIO()
                     np.savez_compressed(
                         buf,
                         flow=np.asarray(flow, np.float32),
-                        span=np.float64(t.max() - t.min()),
+                        span=np.float64(span),
                     )
                     self._send(200, buf.getvalue(), "application/octet-stream")
                 except Exception as e:  # report, keep serving
@@ -129,6 +140,7 @@ class FlowServer:
 
     def shutdown(self):
         self.httpd.shutdown()
+        self.httpd.server_close()  # release the listening socket fd
         if self._thread is not None:
             self._thread.join(timeout=10)
 

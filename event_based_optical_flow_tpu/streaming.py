@@ -155,6 +155,10 @@ class StreamingFlowEstimator:
             (H, W), {}, slv, opt, {}, None
         )
         self.n_windows = 0
+        # time span (s) of the most recently SOLVED window — differs from
+        # the pushed window's span when fixed_event_count borrowed tail
+        # events; the px/s scale of the returned displacement
+        self.last_span: Optional[float] = None
 
     def push(self, events: np.ndarray) -> np.ndarray:
         """Solve one event window; returns the dense flow as a
@@ -176,6 +180,7 @@ class StreamingFlowEstimator:
             self._tail = events
         t = events[:, 2]
         span = float(t.max() - t.min()) or 1.0
+        self.last_span = span
         best = self._solver.optimize(events)
         if self.warm_start:
             self._solver.set_previous_frame_best_estimation(best)

@@ -42,7 +42,7 @@ _NUM = (int, float)
 
 _KNOWN_DATA_KEYS = {
     "eval_dt", "root", "dataset", "sequence", "height", "width", "load_gt_flow",
-    "hot_pixel_sigma", "refractory_us",
+    "hot_pixel_sigma", "hot_pixel_min_rate_hz", "refractory_us",
     "gt", "n_events_per_batch", "ind1", "ind2", "remove_car", "undistort",
     "preprocess", "warm_start", "fleet_batch", "visualize_every",
     # GT-free (FWL-only) evaluation clock (ECD)
@@ -88,6 +88,14 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
     data = config["data"]
     _choice(data, "dataset", set(data_collections), "data")
     _require(data, "dataset", str, "data")
+    if (
+        (data.get("hot_pixel_sigma") or data.get("refractory_us"))
+        and data.get("dataset") not in ("EVT2", "EVT3")
+    ):
+        warnings.append(
+            "data.hot_pixel_sigma/refractory_us are only applied by the "
+            "raw-camera loaders (EVT2/EVT3); this dataset ignores them"
+        )
     _require(data, "sequence", (str, int), "data")
     _require(data, "height", int, "data")
     _require(data, "width", int, "data")

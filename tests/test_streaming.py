@@ -194,7 +194,9 @@ def test_http_flow_server_roundtrip(tmp_path):
 
     from event_based_optical_flow_tpu.serve import FlowServer
 
-    state = tmp_path / "serve_state.npz"
+    # extensionless on purpose: np.savez appends .npz, and the server
+    # must normalize so the restart resume check finds the real file
+    state = tmp_path / "serve_state"
     server = FlowServer(
         (H, W), port=0,  # ephemeral port
         solver_config={"patch": {"initialize": "zero", "scale": 3,
@@ -218,7 +220,10 @@ def test_http_flow_server_roundtrip(tmp_path):
         with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
             health = json.loads(resp.read())
         assert health == {"status": "ok", "n_windows": 1}
-        assert state.exists()
+        assert (tmp_path / "serve_state.npz").exists()
+        # span reflects the SOLVED window (tail top-up under
+        # fixed_event_count), not just the posted one
+        assert float(out["span"]) == pytest.approx(server.estimator.last_span)
 
         # malformed payload: 400, server stays up
         req = urllib.request.Request(f"{base}/flow", data=b"junk", method="POST")
