@@ -41,7 +41,8 @@ Array = jax.Array
 
 
 def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
-                      time_bin: int = 0, image_width: int = 0):
+                      time_bin: int = 0, image_width: int = 0,
+                      g_round: int = 0):
     """Host packing of a fleet for the batched-banded kernel: returns
     (x, y, dtf, wt [B,G,1,C], band_rows [B,G,1,128], t_scales [B]).
     With ``time_bin`` > 0 (time-aware), packs per (bin, band) instead and
@@ -50,7 +51,9 @@ def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
     (dense path only) packs via ``pack_events_dense`` — the objective
     packing policy (OBJECTIVE_DENSE_PACKING) — matching the ``col_bands``
     flag build_batched_objective_banded passes (see CLAUDE.md packing
-    conventions)."""
+    conventions).  ``g_round`` > 0 rounds the fleet-wide chunk count up
+    to a multiple (coarse subsample packs bucket at 32 to bound jit
+    retraces, mirroring patch_base._banded_newton_args)."""
     from ..ops.pallas_objective_banded import (
         pack_events_by_band,
         pack_events_by_band_bin,
@@ -85,6 +88,8 @@ def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
     if time_bin > 0:
         # frames may need different per-bin chunk counts: pad to the max
         g_max = max(a.shape[1] for a in xs)
+        if g_round > 0:
+            g_max = -(-g_max // g_round) * g_round
 
         def _pad(a, fill):
             out = np.full(a.shape[:1] + (g_max,) + a.shape[2:], fill, a.dtype)
@@ -103,6 +108,8 @@ def pack_fleet_banded(events_list, image_height: int, dtype=np.float64,
         # flex packing gives data-dependent per-frame chunk counts: pad
         # every frame to the fleet max with inert sentinel chunks
         g_max = max(a.shape[0] for a in xs)
+        if g_round > 0:
+            g_max = -(-g_max // g_round) * g_round
 
         def _pad0(a, fill):
             out = np.full((g_max,) + a.shape[1:], fill, a.dtype)
@@ -725,6 +732,24 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             if self.n_data_shards <= 1:
                 self.mesh = None
 
+    def _coarse_events_list(self, events_list):
+        """Per-frame stride subsamples for the coarse pyramid scales
+        (fleet analog of pyramid._coarse_events), or None when
+        ``optimizer.coarse_event_fraction`` is off or any frame would
+        drop below the statistical floor.  Banded (fused) path only —
+        the unfused fleet objective ignores it with a warning."""
+        frac = float(self.opt_config.get("coarse_event_fraction", 1.0))
+        if frac >= 1.0:
+            return None
+        k = max(1, int(round(1.0 / max(frac, 1e-3))))
+        subs = [
+            np.ascontiguousarray(np.asarray(e, dtype=np.float64)[::k])
+            for e in events_list
+        ]
+        if any(len(s) < 512 for s in subs):
+            return None
+        return subs
+
     def _build_fleet_newton(self, spec, maxiter: int, gtol: float, cg_maxiter=None):
         """Batched lockstep Newton fn(x0 [B,M], *fleet_args); on the
         banded path with an orig-dependent cost, the per-frame
@@ -793,37 +818,51 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         path; the batch pads to a shard multiple with copies of the last
         frame, dropped from the results)."""
         orig_bsz = len(events_list)
-        if (
-            float(self.opt_config.get("coarse_event_fraction", 1.0)) < 1.0
-            and not getattr(self, "_warned_coarse_frac", False)
-        ):
-            # implementing it here needs a second fleet pack + the same
-            # coarse/finest two-program split the sequential chain uses
-            # (one program holding both packs fails at DSEC scale) —
-            # deferred until it can be validated on hardware
-            logger.warning(
-                "optimizer.coarse_event_fraction is not applied by the "
-                "fleet solver (sequential pyramid only); coarse scales "
-                "solve on all events"
-            )
-            self._warned_coarse_frac = True
         if self.mesh is not None and orig_bsz % self.n_data_shards:
             pad_n = -(-orig_bsz // self.n_data_shards) * self.n_data_shards - orig_bsz
             events_list = list(events_list) + [events_list[-1]] * pad_n
         bsz = len(events_list)
         use_banded = objective_uses_banded(self._current_spec())
+        coarse_args = ()
         if use_banded:
-            x2, y2, d2, w2, brows, scales = pack_fleet_banded(
-                events_list, self.image_shape[0],
+            pack_kw = dict(
                 time_bin=getattr(self, "time_bin", 10) if self.is_time_aware else 0,
                 image_width=0 if self.is_time_aware else self.image_shape[1],
+            )
+            x2, y2, d2, w2, brows, scales = pack_fleet_banded(
+                events_list, self.image_shape[0], **pack_kw
             )
             solver_args = (
                 jnp.asarray(x2, self.dtype), jnp.asarray(y2, self.dtype),
                 jnp.asarray(d2, self.dtype), jnp.asarray(w2, self.dtype),
                 jnp.asarray(brows), jnp.asarray(scales, self.dtype),
             )
+            subs = self._coarse_events_list(events_list)
+            if subs is not None:
+                # second (subsampled) fleet pack for the COARSE scales —
+                # the fleet analog of pyramid._coarse_events; the solve
+                # splits into a coarse and a finest device program just
+                # like the sequential chain (one program holding both
+                # packs fails at DSEC scale; see _get_chain_solver)
+                cx, cy, cd, cw, cb, cs = pack_fleet_banded(
+                    subs, self.image_shape[0], g_round=32, **pack_kw
+                )
+                coarse_args = (
+                    jnp.asarray(cx, self.dtype), jnp.asarray(cy, self.dtype),
+                    jnp.asarray(cd, self.dtype), jnp.asarray(cw, self.dtype),
+                    jnp.asarray(cb), jnp.asarray(cs, self.dtype),
+                )
         else:
+            if (
+                float(self.opt_config.get("coarse_event_fraction", 1.0)) < 1.0
+                and not getattr(self, "_warned_coarse_frac", False)
+            ):
+                logger.warning(
+                    "optimizer.coarse_event_fraction applies to the fused "
+                    "(banded) objective only; this unfused fleet path "
+                    "solves every scale on all events"
+                )
+                self._warned_coarse_frac = True
             target_n = max(len(e) for e in events_list)
             target_n = ((target_n + 4095) // 4096) * 4096
             evs, wgts = [], []
@@ -836,8 +875,11 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 jnp.asarray(np.stack(wgts), self.dtype),
             )
 
+        self._coarse_fleet_applied = bool(coarse_args)
         if self._chain_ready():
-            return self._optimize_batch_chain(events_list, solver_args)[:orig_bsz]
+            return self._optimize_batch_chain(
+                events_list, solver_args, coarse_args
+            )[:orig_bsz]
         if self.previous_frame_best_estimation is not None:
             logger.warning(
                 "fleet batch warm start is only supported on the chain path "
@@ -855,7 +897,14 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             )
             scale_mi, scale_cg = self._scale_budget(s)
             solve = self._get_fleet_solver(spec, bsz, scale_mi, 1e-5, cg_maxiter=scale_cg)
-            bx, bf, _ = solve(jnp.asarray(motion0.reshape(bsz, -1), self.dtype), *solver_args)
+            # coarse scales may solve on the subsampled pack (banded
+            # path); the finest scale always sees the full fleet pack
+            args_s = (
+                coarse_args
+                if coarse_args and s < self.patch_scales - 1
+                else solver_args
+            )
+            bx, bf, _ = solve(jnp.asarray(motion0.reshape(bsz, -1), self.dtype), *args_s)
             best_per_scale[s] = np.asarray(bx, np.float64).reshape(
                 (bsz, self.motion_vector_size) + tuple(self.patch_image_size)
             )
@@ -868,7 +917,8 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         return results[:orig_bsz]
 
     # ---------------------------------------------- whole-fleet device chain
-    def _optimize_batch_chain(self, events_list: List[np.ndarray], solver_args):
+    def _optimize_batch_chain(self, events_list: List[np.ndarray], solver_args,
+                              coarse_args=()):
         """Every pyramid scale of every frame in ONE device program: the
         init search runs batched over frames x patches (vs. B sequential
         host calls per scale in the loop path), coarse->fine expansion is
@@ -947,10 +997,11 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         coarse_budget = self._scale_budget(scales[0]) if len(scales) >= 2 else None
         if coarse_budget == (maxiter, None):
             coarse_budget = None  # no override configured: keep cache keys stable
+        split = bool(coarse_args)
         fused = self._get_fleet_chain_solver(
             tuple(scales), specs, search_meta, grid_shapes, bsz,
             maxiter=maxiter, gtol=1e-5,
-            warm_mode=warm_mode, coarse_budget=coarse_budget,
+            warm_mode=warm_mode, split_coarse=split, coarse_budget=coarse_budget,
         )
         keys = jnp.stack([self._next_key() for _ in scales[1:]]) if len(scales) > 1 else jnp.zeros((0, 2), jnp.uint32)
         if per_frame_warm:
@@ -968,7 +1019,27 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             )
         else:
             warm_in = ()
-        outs, fs = fused(jnp.asarray(x0, self.dtype), warm_in, tuple(patch_inputs), keys, *solver_args)
+        out_all = fused(
+            jnp.asarray(x0, self.dtype), warm_in, tuple(patch_inputs), keys,
+            *(coarse_args if split else solver_args),
+        )
+        if split:
+            # second device program: the finest scale's lockstep Newton on
+            # the FULL fleet pack (the coarse program solved on the
+            # subsampled pack and returned the finest init vectors)
+            outs_c, fs_c, x0_fin = out_all
+            fin = self._get_fleet_finest_solver(
+                specs[scales[-1]], bsz, maxiter, gtol=1e-5
+            )
+            bx, bf = fin(x0_fin, *solver_args)
+            outs = list(outs_c) + [
+                bx.reshape((bsz, 2) + grid_shapes[scales[-1]])
+            ]
+            fs = jnp.concatenate(
+                [jnp.asarray(fs_c), jnp.asarray(bf)[:, None]], axis=-1
+            )
+        else:
+            outs, fs = out_all
         self.overload_patch_configuration(scales[-1])
 
         best_per_scale = {}
@@ -983,7 +1054,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         return results
 
     def _get_fleet_chain_solver(self, scales, specs, search_meta, grid_shapes, bsz,
-                                maxiter, gtol, warm_mode=None,
+                                maxiter, gtol, warm_mode=None, split_coarse=False,
                                 coarse_budget=None):
         from ..ops.interp import pyramid_expand_jax
 
@@ -992,9 +1063,16 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             "fleet_chain",
             tuple(specs[s] for s in scales),
             tuple(sorted(search_meta.items())),
-            bsz, maxiter, gtol, warm_mode, coarse_budget,
+            bsz, maxiter, gtol, warm_mode, split_coarse, coarse_budget,
         )
         if key not in self._fun_cache:
+            # split_coarse: this program covers the COARSE scales (they
+            # solve on the subsampled pack) plus the finest scale's init
+            # search, and returns the finest x0; the finest Newton runs
+            # as its own program on the full pack
+            # (_get_fleet_finest_solver) — same two-program split as the
+            # sequential chain (pyramid._get_chain_solver).
+            solve_scales = scales[:-1] if split_coarse else scales
 
             def _budget(s):
                 if coarse_budget is not None and s < scales[-1]:
@@ -1005,7 +1083,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 s: self._build_fleet_newton(
                     specs[s], _budget(s)[0], gtol, cg_maxiter=_budget(s)[1]
                 )
-                for s in scales
+                for s in solve_scales
             }
             searches = {s: self._get_patch_search(search_meta[s]) for s in scales[1:]}
             dtype = self.dtype
@@ -1041,6 +1119,8 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                         x = (
                             m1.reshape(B, P, 2).transpose(0, 2, 1).reshape(B, -1).astype(dtype)
                         )
+                    if split_coarse and s == scales[-1]:
+                        return tuple(best_x), jnp.stack(best_f, axis=-1), x
                     bx, bf, _ = solvers[s](x, *newton_args)
                     # local batch size: under shard_map this is B / n_data
                     prev = bx.reshape((bx.shape[0], 2) + grid_shapes[s])
@@ -1061,16 +1141,47 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 # shared warm motions replicate; per-frame warm shards
                 # with its frames
                 warm_spec = P("data") if warm_mode == "per_frame" else P()
+                out_specs = (
+                    (tuple(P("data") for _ in scales[:-1]), P("data"), P("data"))
+                    if split_coarse
+                    else (tuple(P("data") for _ in scales), P("data"))
+                )
                 chain_sharded = jax.shard_map(
                     chain,
                     mesh=self.mesh,
                     in_specs=(P("data"), warm_spec, P("data"), P()) + (P("data"),) * n_args,
-                    out_specs=(tuple(P("data") for _ in scales), P("data")),
+                    out_specs=out_specs,
                     check_vma=False,
                 )
                 self._fun_cache[key] = jax.jit(chain_sharded)
             else:
                 self._fun_cache[key] = jax.jit(chain)
+        return self._fun_cache[key]
+
+    def _get_fleet_finest_solver(self, spec, bsz, maxiter, gtol):
+        """Finest-scale lockstep Newton on the full fleet pack — the
+        second dispatch of the split coarse fleet chain (mirrors
+        pyramid._get_finest_solver; shards over 'data' like the chain)."""
+        key = (spec, "fleet_finest", bsz, maxiter, gtol, self.mesh is not None)
+        if key not in self._fun_cache:
+            solve_inner = self._build_fleet_newton(spec, maxiter, gtol)
+
+            def finest(x0, *newton_args):
+                bx, bf, _ = solve_inner(x0, *newton_args)
+                return bx, bf
+
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                n_args = 6 if objective_uses_banded(spec) else 2
+                finest = jax.shard_map(
+                    finest,
+                    mesh=self.mesh,
+                    in_specs=(P("data"),) + (P("data"),) * n_args,
+                    out_specs=(P("data"), P("data")),
+                    check_vma=False,
+                )
+            self._fun_cache[key] = jax.jit(finest)
         return self._fun_cache[key]
 
     def _init_scale_single(self, s, events_np, best_per_scale, b):

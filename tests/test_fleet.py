@@ -358,3 +358,57 @@ def test_multistream_estimator_per_stream_warm():
     assert est._tails[1] is None and est._tails[0] is not None
     est.reset()
     assert est._solver.previous_frame_best_estimation is None
+
+
+@pytest.mark.slow
+# the unmeshed chain traces the identical split-chain body chain_mesh
+# runs under shard_map (validated once when the feature landed); keep
+# the suite's slow tier bounded by exercising loop + meshed chain only
+@pytest.mark.parametrize("mode", ["loop", "chain_mesh"])
+def test_fleet_coarse_event_fraction(mode):
+    """optimizer.coarse_event_fraction on the FLEET solver: coarse scales
+    solve on a second (stride-subsampled) fleet pack; the finest scale
+    always sees the full pack.  On the chain path this is the same
+    coarse/finest two-program split the sequential chain uses
+    (_get_fleet_finest_solver is the second dispatch); recovery holds on
+    every path, including frames sharded over a data mesh."""
+    gts = [(10.0, -8.0), (-6.0, 9.0)]
+    slv_cfg = {
+        "method": "fleet_pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 20, "crop_width": 28, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",  # interpret-mode banded kernel on CPU
+        "precision": "64",
+    }
+    if mode == "chain_mesh":
+        slv_cfg["parallel"] = {"data": 2}
+    opt_cfg = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 10,
+        "coarse_event_fraction": 0.5,
+        "chain": mode != "loop",
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    solv = solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, opt_cfg, {}, None
+    )
+    events_list = [_synthetic_events(np.asarray(gt), n=2500, seed=20 + i) for i, gt in enumerate(gts)]
+    results = solv.optimize_batch(events_list)
+    assert solv._coarse_fleet_applied  # the subsampled pack was built
+    if mode != "loop":
+        # the split ran as two device programs
+        assert any(
+            isinstance(k, tuple) and len(k) > 1 and k[1] == "fleet_finest"
+            for k in solv._fun_cache
+        ), list(solv._fun_cache)
+    for res, gt in zip(results, gts):
+        finest = res[max(res)]
+        np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
