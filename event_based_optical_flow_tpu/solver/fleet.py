@@ -31,7 +31,11 @@ from .objective import (
     objective_uses_banded,
     objective_uses_fused,
 )
-from .pyramid import PyramidalPatchContrastMaximization
+from .pyramid import (
+    COARSE_SUBSAMPLE_MIN_EVENTS,
+    PyramidalPatchContrastMaximization,
+    coarse_subsample,
+)
 
 from ..costs.functional import nan_to_penalty
 
@@ -735,20 +739,33 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
     def _coarse_events_list(self, events_list):
         """Per-frame stride subsamples for the coarse pyramid scales
         (fleet analog of pyramid._coarse_events), or None when
-        ``optimizer.coarse_event_fraction`` is off or any frame would
-        drop below the statistical floor.  Banded (fused) path only —
-        the unfused fleet objective ignores it with a warning."""
+        ``optimizer.coarse_event_fraction`` is off or there is no coarse
+        scale to apply it to.  A frame whose subsample would drop below
+        the statistical floor keeps its FULL events in the coarse pack
+        (per-frame degradation, like the sequential path) — returning
+        None for the whole batch would also flip the chain cache key's
+        split_coarse flag between batches and retrace the fleet chain.
+        Banded (fused) path only — the unfused fleet objective ignores
+        it with a warning."""
         frac = float(self.opt_config.get("coarse_event_fraction", 1.0))
         if frac >= 1.0:
             return None
-        k = max(1, int(round(1.0 / max(frac, 1e-3))))
-        subs = [
-            np.ascontiguousarray(np.asarray(e, dtype=np.float64)[::k])
-            for e in events_list
-        ]
-        if any(len(s) < 512 for s in subs):
+        if self.patch_scales - self.coarsest_scale < 2:
+            return None  # finest-only pyramid: nothing coarse to speed up
+        subs = [coarse_subsample(e, frac) for e in events_list]
+        if all(s is None for s in subs):
             return None
-        return subs
+        n_floor = sum(s is None for s in subs)
+        if n_floor:
+            logger.info(
+                f"coarse_event_fraction: {n_floor}/{len(subs)} frames below "
+                f"the {COARSE_SUBSAMPLE_MIN_EVENTS}-event subsample floor "
+                "solve their coarse scales on all events"
+            )
+        return [
+            s if s is not None else np.asarray(e)
+            for s, e in zip(subs, events_list)
+        ]
 
     def _build_fleet_newton(self, spec, maxiter: int, gtol: float, cg_maxiter=None):
         """Batched lockstep Newton fn(x0 [B,M], *fleet_args); on the

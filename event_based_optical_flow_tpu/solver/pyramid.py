@@ -38,6 +38,27 @@ from .scipy_bridge import SCIPY_OPTIMIZERS
 
 logger = logging.getLogger(__name__)
 
+# below this many events a stride subsample is not statistically
+# meaningful for a coarse-scale solve (shared by the sequential and
+# fleet coarse_event_fraction paths)
+COARSE_SUBSAMPLE_MIN_EVENTS = 512
+
+
+def coarse_subsample(events_np: np.ndarray, frac: float):
+    """Stride-k subsample of a time-sorted event array for the coarse
+    pyramid scales (k = round(1/frac); temporal and spatial coverage are
+    kept), or None when ``frac`` >= 1 or the subsample would drop below
+    the statistical floor.  Strides BEFORE any dtype conversion — the
+    packers re-convert anyway, and a premature float64 copy of a full
+    DSEC-sized frame is pure waste."""
+    if frac >= 1.0:
+        return None
+    k = max(1, int(round(1.0 / max(frac, 1e-3))))
+    sub = np.ascontiguousarray(np.asarray(events_np)[::k])
+    if len(sub) < COARSE_SUBSAMPLE_MIN_EVENTS:
+        return None
+    return sub
+
 
 class PyramidalPatchContrastMaximization(PatchContrastMaximization):
     def __init__(
@@ -116,10 +137,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             return None
         if getattr(self, "_coarse_ref", None) is events_np:
             return self._coarse_sub
-        k = max(1, int(round(1.0 / max(frac, 1e-3))))
-        sub = np.ascontiguousarray(events_np[::k])
-        if len(sub) < 512:  # too few events to be statistically meaningful
-            sub = None
+        sub = coarse_subsample(events_np, frac)
         self._coarse_ref, self._coarse_sub = events_np, sub
         return sub
 

@@ -390,9 +390,9 @@ def test_fleet_coarse_event_fraction(mode):
     if mode == "chain_mesh":
         slv_cfg["parallel"] = {"data": 2}
     opt_cfg = {
-        "n_iter": 8,
+        "n_iter": 6,
         "method": "Newton-CG",
-        "max_iter": 10,
+        "max_iter": 6,  # interpret-mode Pallas: runtime scales with iters
         "coarse_event_fraction": 0.5,
         "chain": mode != "loop",
         "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
@@ -412,3 +412,45 @@ def test_fleet_coarse_event_fraction(mode):
     for res, gt in zip(results, gts):
         finest = res[max(res)]
         np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
+
+
+def test_fleet_coarse_events_list_semantics():
+    """_coarse_events_list: a frame below the subsample floor keeps its
+    FULL events (per-frame degradation; keeps the chain cache key's
+    split_coarse flag stable across batches), an all-sparse batch and a
+    finest-only pyramid disable the coarse pack entirely."""
+    def make(scale):
+        return solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+            (H, W), {},
+            {"method": "fleet_pyramidal_patch_contrast_maximization",
+             "time_aware": False,
+             "patch": {"initialize": "zero", "scale": scale, "crop_height": 20,
+                       "crop_width": 28, "filter_type": "bilinear"},
+             "motion_model": "2d-translation", "warp_direction": "first",
+             "parameters": ["trans_x", "trans_y"], "cost": "hybrid",
+             "outer_padding": 0,
+             "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0,
+                                  "total_variation": 0.01},
+             "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+             "iwe_backend": "pallas", "precision": "64"},
+            {"n_iter": 4, "method": "Newton-CG", "max_iter": 4,
+             "coarse_event_fraction": 0.5,
+             "parameters": {"trans_x": {"min": -25, "max": 25},
+                            "trans_y": {"min": -25, "max": 25}}},
+            {}, None,
+        )
+
+    solv = make(3)
+    dense = _synthetic_events(np.array([1.0, 1.0]), n=2000, seed=1)
+    sparse = _synthetic_events(np.array([1.0, 1.0]), n=600, seed=2)  # //2 < 512
+    subs = solv._coarse_events_list([dense, sparse])
+    assert len(subs[0]) == 1000  # stride-2 subsample
+    assert len(subs[1]) == 600  # below floor: full frame substituted
+    assert solv._coarse_events_list([sparse, sparse]) is None  # all sparse
+    assert solv._coarse_events_list([dense, dense]) is not None
+
+    # finest-only pyramid (scale 2 -> a single solved scale): nothing
+    # coarse exists, so no second pack is built at all
+    solo = make(2)
+    assert solo.patch_scales - solo.coarsest_scale == 1
+    assert solo._coarse_events_list([dense, dense]) is None
