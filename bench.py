@@ -57,6 +57,42 @@ def _arm_watchdog(deadline_s: float):
     return t
 
 
+def _wait_for_device(budget_s: float) -> bool:
+    """Poll for a usable accelerator in SUBPROCESSES before the parent
+    touches jax.  The tunneled TPU's device init hangs in-process when
+    the tunnel is down and cannot be cancelled — but outages are often
+    transient (hours-long ones happen, minutes-long ones too), so if the
+    device answers within the budget we still capture a real number
+    instead of the watchdog's honest-but-useless 0.  Returns True on a
+    live probe, False when the budget is exhausted (the caller proceeds
+    anyway; the absolute-deadline watchdog keeps its role)."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; d = jax.devices(); "
+        "print(d[0].platform, float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))"
+    )
+    t_end = time.time() + budget_s
+    first = True
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=240,
+                capture_output=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            print("bench: device probe failed — tunnel down? retrying "
+                  f"within a {budget_s:.0f}s budget", file=sys.stderr, flush=True)
+            first = False
+        if time.time() >= t_end:
+            return False
+        time.sleep(30)
+
+
 def _run_loop(iters, body_fn, ev, fl):  # body_fn(ev, flow)
     import jax
     import jax.numpy as jnp
@@ -84,7 +120,15 @@ def _run_loop(iters, body_fn, ev, fl):  # body_fn(ev, flow)
 
 
 def main():
-    watchdog = _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_S", 1500)))
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1500))
+    watchdog = _arm_watchdog(deadline_s)
+    if os.environ.get("EVFLOW_PLATFORM", "").lower() not in ("cpu",):
+        # leave >= ~600s of the deadline for the measurement itself
+        # (compile is persistent-cached; sampling is ~2-3 min)
+        _wait_for_device(max(0.0, deadline_s - 700.0))
+    # honors EVFLOW_PLATFORM (jax.config, not JAX_PLATFORMS — the tunnel
+    # plugin self-registers first) BEFORE any jax device op below
+    import event_based_optical_flow_tpu  # noqa: F401
     import jax
     import jax.numpy as jnp
 
