@@ -336,3 +336,51 @@ def test_evt_decoders_degenerate_streams():
     np.testing.assert_array_equal(out3, exp3)
     if native._get_evt3_lib() is not None:
         np.testing.assert_array_equal(np.stack(native.decode_evt3(w3), 1), exp3)
+
+
+def test_evt_decoders_fuzz_native_matches_numpy():
+    """Adversarial-input property: the C++ decoders parse UNTRUSTED
+    camera bytes, so arbitrary word streams (random type codes, register
+    words in any order, reserved/unknown types) must (a) not crash and
+    (b) stay byte-identical to the numpy fallbacks.  Catches both memory
+    bugs in the native parsers and state-machine divergence."""
+    from event_based_optical_flow_tpu import native
+    from event_based_optical_flow_tpu.data.evt2 import decode_evt2_numpy
+    from event_based_optical_flow_tpu.data.evt3 import decode_evt3_numpy
+
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        n = int(rng.integers(1, 5000))
+        w2 = rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
+        ref2 = np.stack(decode_evt2_numpy(w2), 1) if n else None
+        assert np.all(ref2[:, :2] < 2048) and np.all(ref2[:, 3] <= 1)
+        if native._get_evt2_lib() is not None:
+            np.testing.assert_array_equal(np.stack(native.decode_evt2(w2), 1), ref2)
+
+        w3 = rng.integers(0, 1 << 16, size=n, dtype=np.uint32).astype(np.uint16)
+        ref3 = np.stack(decode_evt3_numpy(w3), 1)
+        # 11-bit fields, but the vector base register accumulates +12/+8
+        # per vector word between bases: bounded by 2047 + 12*n_words
+        assert np.all(ref3[:, 0] < 2048 + 12 * n) and np.all(ref3[:, 1] < 2048)
+        assert np.all(ref3[:, 3] <= 1)
+        if native._get_evt3_lib() is not None:
+            np.testing.assert_array_equal(np.stack(native.decode_evt3(w3), 1), ref3)
+
+
+def test_evt_raw_readers_truncated_payload(tmp_path):
+    """A live capture cut mid-word (process killed, disk full) must still
+    load: the readers drop the trailing partial word."""
+    from event_based_optical_flow_tpu.data.evt2 import read_raw_evt2
+    from event_based_optical_flow_tpu.data.evt3 import read_raw_evt3
+
+    w2 = np.asarray([(0x8 << 28) | 2, (0x1 << 28) | (5 << 22) | (3 << 11) | 7], "<u4")
+    p2 = tmp_path / "t2.raw"
+    p2.write_bytes(b"% format EVT2\n" + w2.tobytes() + b"\x55")  # +1 stray byte
+    x, y, t, p = read_raw_evt2(str(p2))
+    assert len(x) == 1 and t[0] == float((2 << 6) | 5)
+
+    w3 = np.asarray([(0x4 << 12) | 0b1], "<u2")
+    p3 = tmp_path / "t3.raw"
+    p3.write_bytes(b"% format EVT3\n" + w3.tobytes() + b"\x55")
+    x3, *_ = read_raw_evt3(str(p3))
+    assert len(x3) == 1
