@@ -125,14 +125,19 @@ def main():
             )
         elif arg.startswith("tent") and arg not in variants:
             # "tentflexC[:RW]": v8 bf16 tent-arithmetic vote blocks on
-            # flex packing
-            parts = arg[8:].split(":")
+            # flex packing; "tentallflexC[:RW]": tent the backward's
+            # dot-consumed column blocks too (tent="all")
+            if arg.startswith("tentallflex"):
+                rest, tent = arg[len("tentallflex"):], "all"
+            else:
+                rest, tent = arg[len("tentflex"):], True
+            parts = rest.split(":")
             chunk = int(parts[0])
             rw = int(parts[1]) if len(parts) > 1 else 128
             variants[arg] = (
                 pack_events_by_tile_flex(events, wt, dtf, H, W, chunk=chunk),
                 n_col_bands(W), rw, 1, (0.5,), False, False, FLEX_ROW_SCALE,
-                True,
+                tent,
             )
 
     names = sys.argv[1:] or list(variants)
