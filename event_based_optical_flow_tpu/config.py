@@ -14,18 +14,55 @@ path with switchable numerics:
 import os
 
 
+def _host_fingerprint() -> str:
+    """Stable per-host cache key: jax version + CPU model + ISA features.
+
+    XLA:CPU persists machine-feature-specific AOT executables whose cache
+    keys do NOT include the host CPU features; sharing one cache directory
+    across heterogeneous hosts poisons the cache (cpu_aot_loader warns
+    "Machine type used for XLA:CPU compilation doesn't match ... could
+    lead to execution errors such as SIGILL" and collectives hang/abort).
+    Fingerprinting the directory by host CPU makes cross-host reuse
+    impossible by construction while keeping per-host warmth."""
+    import hashlib
+    import platform as _plat
+
+    model, flags = "", ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                elif not flags and line.startswith("flags"):
+                    flags = line.split(":", 1)[1].strip()
+                if model and flags:
+                    break
+    except OSError:
+        pass
+    import jax
+
+    raw = "|".join([jax.__version__, _plat.machine(), model, flags])
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: pyramid solvers compile one
     program per (scale, buffer-size) and reuse them across runs; in
     remote-compile environments a cold compile costs minutes.  Opt out
-    with EVFLOW_NO_COMPILE_CACHE=1."""
+    with EVFLOW_NO_COMPILE_CACHE=1.
+
+    The directory is keyed by a host fingerprint (see _host_fingerprint):
+    a shared home directory across heterogeneous hosts must never share
+    XLA:CPU AOT executables (root cause of the round-2 multichip-dryrun
+    rendezvous abort)."""
     if os.environ.get("EVFLOW_NO_COMPILE_CACHE"):
         return
     import jax
 
-    cache_dir = os.environ.get(
+    base = os.environ.get(
         "EVFLOW_COMPILE_CACHE_DIR", os.path.expanduser("~/.cache/evflow_jax")
     )
+    cache_dir = os.path.join(base, _host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -129,8 +129,13 @@ def main():
             # dot-consumed column blocks too (tent="all")
             if arg.startswith("tentallflex"):
                 rest, tent = arg[len("tentallflex"):], "all"
-            else:
+            elif arg.startswith("tentflex"):
                 rest, tent = arg[len("tentflex"):], True
+            else:
+                raise SystemExit(
+                    f"unrecognized tent variant {arg!r}: expected "
+                    f"tentflexC[:RW] or tentallflexC[:RW]"
+                )
             parts = rest.split(":")
             chunk = int(parts[0])
             rw = int(parts[1]) if len(parts) > 1 else 128
