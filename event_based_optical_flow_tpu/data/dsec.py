@@ -114,17 +114,12 @@ class DsecDataLoader(DataLoaderBase):
 
     @staticmethod
     def _read_png16(path) -> np.ndarray:
-        """16-bit 3-channel PNG -> float64 [H, W, 3] RGB.  PIL cannot read
-        48-bit RGB PNGs, so prefer cv2 (which returns BGR: reverse)."""
-        try:
-            import cv2
+        """16-bit 3-channel PNG -> float64 [H, W, 3] RGB (cv2 when
+        available, else the framework's spec decoder — never PIL, which
+        silently truncates 16-bit RGB to 8 bits)."""
+        from ..flow.io import read_png16
 
-            img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
-            return img[..., ::-1].astype(np.float64)
-        except ImportError:
-            from PIL import Image
-
-            return np.asarray(Image.open(path), dtype=np.float64)
+        return read_png16(path)
 
     def load_calib(self) -> dict:
         return {}

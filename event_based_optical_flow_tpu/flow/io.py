@@ -39,6 +39,95 @@ def encode_png16(img: np.ndarray) -> bytes:
     )
 
 
+def decode_png16(data: bytes) -> np.ndarray:
+    """16-bit RGB PNG bytes -> [H, W, 3] uint16.
+
+    Spec-conformant inverse of the DSEC GT encoding for systems without
+    cv2: PIL silently converts 16-bit RGB to 8-bit (a /256 truncation
+    that corrupts the flow values), so the framework decodes the format
+    itself.  Handles all five PNG filter types (None/Sub/Up/Average/
+    Paeth — real DSEC files are written by third-party encoders that
+    choose filters per scanline), multiple IDAT chunks, and rejects
+    anything that is not 16-bit RGB non-interlaced."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, color, comp, filt, interlace) != (16, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
+                    " (need 16-bit RGB, non-interlaced)"
+                )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 6  # 3 channels x 2 bytes
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG payload size {len(raw)} != {h}x({stride}+1)")
+    bpp = 6  # bytes per pixel (filters operate bytewise at pixel offsets)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for i in range(h):
+        ftype = raw[i * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, i * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left neighbor
+            cur = np.empty(stride, np.int64)
+            for j in range(stride):
+                a = cur[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                elif ftype == 4:
+                    c = prev[j - bpp] if j >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[j] = (line[j] + pred) & 0xFF
+        out[i] = cur
+        prev = cur
+    return (
+        out.reshape(h, w, 3, 2).astype(np.uint16)[..., 0] << 8
+    ) | out.reshape(h, w, 3, 2)[..., 1]
+
+
+def read_png16(path) -> np.ndarray:
+    """Read a 16-bit RGB PNG as float64 [H, W, 3].  Prefers cv2 (fast C
+    path; returns BGR, reversed here); falls back to the self-contained
+    spec decoder — NOT to PIL, which silently quantizes 16-bit RGB to
+    8 bits."""
+    try:
+        import cv2
+
+        img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if img is not None:
+            return img[..., ::-1].astype(np.float64)
+    except ImportError:
+        pass
+    with open(path, "rb") as f:
+        return decode_png16(f.read()).astype(np.float64)
+
+
 def write_flow_dsec_png(path, flow: np.ndarray, valid: np.ndarray = None) -> None:
     """Write a [2, H, W] displacement field (framework convention:
     flow[0] = height direction, flow[1] = width direction; PIXELS over
