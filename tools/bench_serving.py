@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Serving throughput/latency benchmark (VERDICT r2 task #8).
+
+MultiStreamFlowEstimator at K streams (default 8): one fleet batch per
+push, per-stream warm chaining, fixed_event_count windows (the
+production protocol).  Reports warm push latency p50/p99 and
+streams/s = K / p50.  Inputs VARY every push (the tunnel relay memoizes
+identical (program, input) executions).
+
+    python tools/bench_serving.py [n_pushes=12] [K=8] [mode=multi|http]
+
+``http`` additionally measures the single-stream HTTP front-end
+(serve.FlowServer, npz in/out over localhost): end-to-end POST /flow
+latency including (de)serialization.
+"""
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import logging
+
+logging.disable(logging.INFO)
+
+from bench_e2e import GT, synth  # noqa: E402
+
+H, W = 260, 346
+N_EV = 30000
+
+
+def make_window(seed):
+    ev = synth(GT, seed=seed, n=int(N_EV * 1.15))
+    return ev[: N_EV + (seed % 64)]  # vary the raw count; estimator fixes it
+
+
+def pct(xs, q):
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(round(q / 100 * (len(xs) - 1))))]
+
+
+def bench_multi(n_pushes, k):
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    est = MultiStreamFlowEstimator(
+        (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True
+    )
+    # warm push: compiles the fleet chain
+    t0 = time.time()
+    est.push([make_window(1000 + s) for s in range(k)])
+    print(f"K={k} first push (compiles): {time.time() - t0:.1f}s", flush=True)
+
+    lats = []
+    for p in range(n_pushes):
+        wins = [make_window(2000 + p * k + s) for s in range(k)]
+        t0 = time.time()
+        flows = est.push(wins)
+        lats.append(time.time() - t0)
+        assert flows.shape == (k, 2, H, W) and np.isfinite(flows).all()
+        print(f"push {p + 1}/{n_pushes}: {lats[-1]:.2f}s", flush=True)
+    p50, p99 = pct(lats, 50), pct(lats, 99)
+    print(
+        json.dumps(
+            {
+                "bench": "multistream",
+                "K": k,
+                "geometry": f"{H}x{W}/{N_EV}ev",
+                "p50_s": round(p50, 3),
+                "p99_s": round(p99, 3),
+                "streams_per_s": round(k / p50, 2),
+                "windows": n_pushes,
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_http(n_pushes):
+    import urllib.request
+
+    from event_based_optical_flow_tpu.serve import FlowServer
+
+    srv = FlowServer((H, W), port=0, fixed_event_count=N_EV)
+    srv.start()
+    url = f"http://127.0.0.1:{srv.port}/flow"
+
+    def post(ev):
+        buf = io.BytesIO()
+        np.savez_compressed(buf, events=ev)
+        req = urllib.request.Request(
+            url, data=buf.getvalue(), headers={"Content-Type": "application/npz"}
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+            return out["flow"]
+
+    t0 = time.time()
+    post(make_window(1))
+    print(f"http first push (compiles): {time.time() - t0:.1f}s", flush=True)
+    lats = []
+    for p in range(n_pushes):
+        ev = make_window(500 + p)
+        t0 = time.time()
+        flow = post(ev)
+        lats.append(time.time() - t0)
+        assert flow.shape == (2, H, W)
+        print(f"http push {p + 1}/{n_pushes}: {lats[-1]:.2f}s", flush=True)
+    print(
+        json.dumps(
+            {
+                "bench": "http",
+                "geometry": f"{H}x{W}/{N_EV}ev",
+                "p50_s": round(pct(lats, 50), 3),
+                "p99_s": round(pct(lats, 99), 3),
+                "windows": n_pushes,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    n_pushes = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    mode = sys.argv[3] if len(sys.argv) > 3 else "multi"
+    if mode == "http":
+        bench_http(n_pushes)
+    else:
+        bench_multi(n_pushes, k)
