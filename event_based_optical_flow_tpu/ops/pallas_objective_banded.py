@@ -192,6 +192,10 @@ OBJECTIVE_COL_WINDOW = None
 # the backward's dot-consumed column blocks; see _bwd_one_chunk).  OFF
 # until the calibrated TPU probe decides (see _corner_block_tent)
 OBJECTIVE_TENT = False
+# v9: stream precomputed motion-independent gather one-hots from HBM
+# instead of rebuilding them on the VPU every evaluation (bit-identical;
+# see _gather_tables).  OFF until the calibrated TPU probe decides.
+OBJECTIVE_PREGATHER = False
 # wp threshold above which the dense objective packs 1024-event chunks
 # (DSEC-geometry probe: 4.66 vs 4.74 ms; at MVSEC width 512 wins)
 _WIDE_TILE_WP = 512
@@ -230,6 +234,13 @@ def objective_tent(use_bf16: bool):
 def objective_row_scale(width: int) -> int:
     """``row_scale`` kernel flag matching ``pack_events_dense``."""
     return FLEX_ROW_SCALE if objective_dense_packing(width) == "flex" else BAND
+
+
+def objective_pregather(use_bf16: bool) -> bool:
+    """``pregather`` kernel flag for the single-frame dense objective
+    path (bf16 kernels only — the streamed tables target the adopted
+    fused path; the exact/parity f32 path keeps in-kernel builds)."""
+    return OBJECTIVE_PREGATHER if use_bf16 else False
 
 
 def objective_col_window(height: int, width: int) -> Optional[int]:
@@ -467,8 +478,40 @@ def pack_events_by_tile_flex(
     )
 
 
+def _gather_tables(x, y, band_ids, col_bands, row_scale, wp, dtype,
+                   bands_mod=None):
+    """v9 ``pregather``: the gather one-hots are MOTION-INDEPENDENT (they
+    depend only on the packed event positions), yet the kernel rebuilds
+    them on the VPU in EVERY forward and backward call — hundreds of
+    times per Newton solve on one fixed pack.  Precompute them ONCE per
+    pack on the XLA side and stream them from HBM per grid step:
+    a_tab [G, BAND, C] (row mask, consumed elementwise in f32) and
+    b_tab [G, BW, C] bf16 (column one-hot, consumed by the MXU dots —
+    {0, 1} is exact in bf16, so results are bit-identical to the
+    in-kernel builds)."""
+    band = band_ids.astype(jnp.int32)
+    if col_bands is None:
+        row0 = band * row_scale
+        col0 = jnp.zeros_like(band)
+        bw = wp
+    else:
+        row0 = (band // col_bands) * row_scale
+        col0 = (band % col_bands) * COLBAND
+        bw = COLBAND
+    x_base = row0 if bands_mod is None else (band % bands_mod) * row_scale
+    xl = (x[:, 0, :] - x_base[:, None].astype(x.dtype)).astype(jnp.int32)
+    a_tab = (
+        jnp.arange(BAND, dtype=jnp.int32)[None, :, None] == xl[:, None, :]
+    ).astype(dtype)
+    yl = (y[:, 0, :] - col0[:, None].astype(y.dtype)).astype(jnp.int32)
+    b_tab = (
+        jnp.arange(bw, dtype=jnp.int32)[None, :, None] == yl[:, None, :]
+    ).astype(jnp.bfloat16)
+    return a_tab, b_tab
+
+
 def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None,
-                      tent=False):
+                      tent=False, pre=None):
     """(u, v) via a band-local gather matmul: A_band [BAND, C] against the
     64-row flow slice at table row ``band_row0``; ``x_base`` is the row
     the slice's first entry represents spatially (== band_row0 for a plain
@@ -482,17 +525,23 @@ def _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0=None
     Returns (u, v, a_band, b_loc) — b_loc is the column one-hot actually
     used, for reuse in the backward scatter."""
     dtype = x.dtype
-    x_local = x - x_base.astype(dtype)
-    a_band = _onehot_int(x_local, BAND)
-    # tent (v8): build the column one-hot directly in bf16 (exact —
-    # see _onehot_int_tent_bf16), skipping the f32 select build + convert
-    onehot_b = _onehot_int_tent_bf16 if (tent and use_bf16) else _onehot_int
+    if pre is not None:
+        # v9 pregather: streamed precomputed one-hots (see _gather_tables);
+        # the (None, R, C) block specs squeeze the chunk dim
+        a_band = pre[0][:]
+        b_loc = pre[1][:]
+    else:
+        x_local = x - x_base.astype(dtype)
+        a_band = _onehot_int(x_local, BAND)
+        # tent (v8): build the column one-hot directly in bf16 (exact —
+        # see _onehot_int_tent_bf16), skipping the f32 select build + convert
+        onehot_b = _onehot_int_tent_bf16 if (tent and use_bf16) else _onehot_int
+        b_loc = onehot_b(y if col0 is None else y - col0.astype(dtype),
+                         wp if col0 is None else COLBAND)
     if col0 is None:
-        b_loc = onehot_b(y, wp)
         flow_u = flow_ref[0, pl.ds(band_row0, BAND), :]
         flow_v = flow_ref[1, pl.ds(band_row0, BAND), :]
     else:
-        b_loc = onehot_b(y - col0.astype(dtype), COLBAND)
         flow_u = flow_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
         flow_v = flow_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)]
     b_int = b_loc
@@ -552,12 +601,17 @@ def _ds_aligned(w0, size):
     return pl.ds(pl.multiple_of(w0, 8), size)
 
 
-def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
+def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, *rest,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
                 bands_mod=None, init_axes=None, col_bands=None, row_window=None,
                 col_window=None, chunks_per_step=1, stack_uv=False,
-                row_scale=BAND, tent=False):
+                row_scale=BAND, tent=False, pregather=False):
     assert col_window is None or (row_window is not None and col_bands is not None)
+    if pregather:
+        a_ref, b_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+        a_ref = b_ref = None
     i = pl.program_id(chunk_axis)
     init = i == 0
     for ax in init_axes or ():
@@ -580,13 +634,15 @@ def _fwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, *,
             use_bf16=use_bf16, bands_mod=bands_mod, col_bands=col_bands,
             row_window=row_window, col_window=col_window, stack_uv=stack_uv,
             row_scale=row_scale, tent=tent,
+            pre=None if a_ref is None else (a_ref, b_ref),
         )
 
 
 def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j, *,
                    hp, wp, eps, offsets, include_orig, use_bf16,
                    bands_mod=None, col_bands=None, row_window=None,
-                   col_window=None, stack_uv=False, row_scale=BAND, tent=False):
+                   col_window=None, stack_uv=False, row_scale=BAND, tent=False,
+                   pre=None):
     # tent=True (v8, bf16 kernel only): vote corner blocks are built by
     # bf16 tent arithmetic instead of f32 selects + convert (see
     # _corner_block_tent); floors/predicates and the backward pass are
@@ -610,7 +666,7 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
         u, v, _, _ = _banded_gather_uv_stacked(flow_ref, band_row0, x_base, x, y, wp, col0)
     else:
         u, v, _, _ = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0,
-                                       tent=tent)
+                                       tent=tent, pre=pre)
 
     w0 = None if row_window is None else _window_start(x_base, hp, row_window)
     c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
@@ -687,11 +743,17 @@ def _fwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, out_ref, j,
                 out_ref[k0 + k] += _dot(r, c, ((1,), (1,)), use_bf16, dtype)
 
 
-def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, *,
+def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, *rest,
                 hp, wp, eps, offsets, include_orig, use_bf16, chunk_axis=0,
                 bands_mod=None, col_bands=None, row_window=None, col_window=None,
-                chunks_per_step=1, stack_uv=False, row_scale=BAND, tent=False):
+                chunks_per_step=1, stack_uv=False, row_scale=BAND, tent=False,
+                pregather=False):
     assert col_window is None or (row_window is not None and col_bands is not None)
+    if pregather:
+        a_ref, b_ref, dflow_ref = rest
+    else:
+        (dflow_ref,) = rest
+        a_ref = b_ref = None
     i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
@@ -705,13 +767,15 @@ def _bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_r
             use_bf16=use_bf16, bands_mod=bands_mod, col_bands=col_bands,
             row_window=row_window, col_window=col_window, stack_uv=stack_uv,
             row_scale=row_scale, tent=tent,
+            pre=None if a_ref is None else (a_ref, b_ref),
         )
 
 
 def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflow_ref, j, *,
                    hp, wp, eps, offsets, include_orig, use_bf16,
                    bands_mod=None, col_bands=None, row_window=None,
-                   col_window=None, stack_uv=False, row_scale=BAND, tent=False):
+                   col_window=None, stack_uv=False, row_scale=BAND, tent=False,
+                   pre=None):
     x = x_ref[j : j + 1, :]
     y = y_ref[j : j + 1, :]
     dtf = dtf_ref[j : j + 1, :]
@@ -733,7 +797,7 @@ def _bwd_one_chunk(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, g_ref, dflo
         # tent gathers are bit-identical (exact bf16 one-hot), so the
         # backward may share the flag without changing gradients
         u, v, a_band, b_loc = _banded_gather_uv(flow_ref, band_row0, x_base, x, y, wp,
-                                                use_bf16, col0, tent=tent)
+                                                use_bf16, col0, tent=tent, pre=pre)
 
     w0 = None if row_window is None else _window_start(x_base, hp, row_window)
     c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
@@ -887,9 +951,11 @@ def _flow_pad_rows(h: int, row_scale: int) -> int:
     return _round_up(h, row_scale) - row_scale + BAND
 
 
-def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None, chunks_per_step=1, stack_uv=False, row_scale=BAND, tent=False):
+def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands=None, row_window=None, col_window=None, chunks_per_step=1, stack_uv=False, row_scale=BAND, tent=False, pregather=False):
     assert not stack_uv or use_bf16, "stack_uv is the hi/lo-bf16 gather layout"
     assert not stack_uv or row_scale == BAND, "stack_uv requires 64-aligned bands"
+    assert not pregather or (use_bf16 and not stack_uv and chunks_per_step == 1), \
+        "pregather targets the adopted bf16 single-chunk-per-step path"
     h, w = image_size
     # votes only need one extra row; the flow (gather table) pads to whole
     # 64-row bands so dynamic band slices stay Mosaic-vectorizable
@@ -907,31 +973,43 @@ def _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, 
         flow_in = flow_p
         flow_spec = pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
 
+    extra_in = []
+    extra_specs = []
+    if pregather:
+        a_tab, b_tab = _gather_tables(x, y, band_ids, col_bands, row_scale, wp,
+                                      flow.dtype)
+        extra_in = [a_tab, b_tab]
+        extra_specs = [
+            pl.BlockSpec((None, BAND, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, b_tab.shape[1], x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
             row_window=row_window, col_window=col_window, chunks_per_step=k,
-            stack_uv=stack_uv, row_scale=row_scale, tent=tent,
+            stack_uv=stack_uv, row_scale=row_scale, tent=tent, pregather=pregather,
         ),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((None, k, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *[pl.BlockSpec((None, k, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 4,
             flow_spec,
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_total, hp, wp), flow.dtype),
         interpret=_interpret(),
-    )(rows, xs, ys, ds, ws, flow_in)
+    )(rows, xs, ys, ds, ws, flow_in, *extra_in)
     return out[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
 def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
                            include_orig=True, eps=1e-6, use_bf16=True, col_bands=None,
                            row_window=None, col_window=None, chunks_per_step=1,
-                           stack_uv=False, row_scale=BAND, tent=False):
+                           stack_uv=False, row_scale=BAND, tent=False,
+                           pregather=False):
     """Banded fused rasterizer over pre-packed chunks (pack_events_by_band,
     or pack_events_by_tile with ``col_bands=n_col_bands(w)`` for the
     column-windowed gather fast path).
@@ -971,15 +1049,15 @@ def fused_multi_iwe_banded(flow, x, y, dtf, wt, band_ids, image_size, offsets,
     dot-consumed column blocks (deriv blocks bit-identical, corner
     blocks within the same bf16 rounding — see _bwd_one_chunk).
     """
-    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent)
+    return _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent, pregather)
 
 
-def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent):
-    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent)
+def _vjp_fwd(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent, pregather):
+    out = _fwd_impl(flow, x, y, dtf, wt, band_ids, image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent, pregather)
     return out, (flow, x, y, dtf, wt, band_ids)
 
 
-def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent, res, g):
+def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_window, col_window, chunks_per_step, stack_uv, row_scale, tent, pregather, res, g):
     flow, x, y, dtf, wt, band_ids = res
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -1001,12 +1079,22 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_wi
         out_spec = pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((2, hp_flow, wp), flow.dtype)
 
+    extra_in = []
+    extra_specs = []
+    if pregather:
+        a_tab, b_tab = _gather_tables(x, y, band_ids, col_bands, row_scale, wp,
+                                      flow.dtype)
+        extra_in = [a_tab, b_tab]
+        extra_specs = [
+            pl.BlockSpec((None, BAND, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, b_tab.shape[1], x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
     dflow_p = pl.pallas_call(
         functools.partial(
             _bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             include_orig=include_orig, use_bf16=use_bf16, col_bands=col_bands,
             row_window=row_window, col_window=col_window, chunks_per_step=k,
-            stack_uv=stack_uv, row_scale=row_scale, tent=tent,
+            stack_uv=stack_uv, row_scale=row_scale, tent=tent, pregather=pregather,
         ),
         grid=(steps,),
         in_specs=[
@@ -1014,11 +1102,12 @@ def _vjp_bwd(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_wi
             *[pl.BlockSpec((None, k, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 4,
             flow_spec,
             pl.BlockSpec((k_total, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
         ],
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(rows, xs, ys, ds, ws, flow_in, g_p)
+    )(rows, xs, ys, ds, ws, flow_in, g_p, *extra_in)
     if stack_uv:
         # de-interleave [2*hp_flow, wp] (u band rows; v band rows) -> [2, hp_flow, wp]
         nb = hp_flow // BAND

@@ -375,6 +375,7 @@ def build_orig_iwe_banded(spec: ObjectiveSpec, mesh=None):
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
         objective_dense_col_bands,
+        objective_pregather,
         objective_row_scale,
         objective_tent,
         objective_row_window,
@@ -397,7 +398,7 @@ def build_orig_iwe_banded(spec: ObjectiveSpec, mesh=None):
             zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
             1e-6, use_bf16, objective_dense_col_bands(w),
             objective_row_window(h), None, 1, False, objective_row_scale(w),
-            objective_tent(use_bf16),
+            objective_tent(use_bf16), objective_pregather(use_bf16),
         )
 
     images = (
@@ -445,6 +446,7 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
         fused_multi_iwe_banded_voxel,
         objective_col_window,
         objective_dense_col_bands,
+        objective_pregather,
         objective_row_scale,
         objective_tent,
         objective_row_window,
@@ -490,7 +492,7 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
             objective_row_window(spec.image_shape[0]),
             objective_col_window(*spec.image_shape),
             1, False, objective_row_scale(spec.image_shape[1]),
-            objective_tent(use_bf16),
+            objective_tent(use_bf16), objective_pregather(use_bf16),
         )
 
     images = (

@@ -784,3 +784,48 @@ def test_tent_int_onehot_bit_identical():
         ref = _onehot_int(coords, size).astype(jnp.bfloat16)
         tent = _onehot_int_tent_bf16(coords, size)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(tent))
+
+
+@pytest.mark.slow
+def test_pregather_tables_bit_identical():
+    """v9 candidate: streamed precomputed gather one-hots (HBM tables,
+    _gather_tables) are BIT-IDENTICAL to the in-kernel VPU builds —
+    forward and backward, windowed and full, with and without orig —
+    on flex packing (the adopted objective path)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    Ht, Wt = 200, 140
+    rng = np.random.default_rng(11)
+    n = 2000
+    ev = np.stack([
+        rng.uniform(0, Ht - 1, n), rng.uniform(0, Wt - 1, n),
+        np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n).astype(float),
+    ], 1)
+    padded, wgt = pad_events(ev, target_n=2048)
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    pf = PB.pack_events_by_tile_flex(padded, wgt, dtf, Ht, Wt, chunk=256)
+    pk = tuple(
+        jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
+        for a in pf
+    )
+    flow = jnp.asarray(rng.uniform(-10, 10, (2, Ht, Wt)), jnp.float32)
+
+    def run(fl, pre, rw, orig=True):
+        return PB.fused_multi_iwe_banded(
+            fl, *pk, (Ht, Wt), (0.0, 0.5, 1.0), orig, 1e-6, True,
+            PB.n_col_bands(Wt), rw, None, 1, False, PB.FLEX_ROW_SCALE,
+            False, pre,
+        )
+
+    for rw in (96, None):
+        base = np.asarray(run(flow, False, rw))
+        pre = np.asarray(run(flow, True, rw))
+        np.testing.assert_array_equal(base, pre)
+        g0 = jax.grad(lambda f: (run(f, False, rw) ** 2).sum())(flow)
+        g1 = jax.grad(lambda f: (run(f, True, rw) ** 2).sum())(flow)
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    # orig-only call (offsets present but include_orig toggled off)
+    np.testing.assert_array_equal(
+        np.asarray(run(flow, False, 96, orig=False)),
+        np.asarray(run(flow, True, 96, orig=False)),
+    )

@@ -47,7 +47,7 @@ def main():
 
     def make_runner(packed, col_bands, row_window, use_bf16=True, k=1,
                     offsets=(0.5,), include_orig=False, stack_uv=False,
-                    row_scale=64, tent=False):
+                    row_scale=64, tent=False, pregather=False):
         pk = tuple(
             jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
             for a in packed
@@ -57,6 +57,7 @@ def main():
             return fused_multi_iwe_banded(
                 f, *pk, (H, W), offsets, include_orig, 1e-6, use_bf16,
                 col_bands, row_window, None, k, stack_uv, row_scale, tent,
+                pregather,
             ).sum()
 
         @jax.jit
@@ -123,6 +124,17 @@ def main():
                 pack_events_by_tile_flex(events, wt, dtf, H, W, chunk=chunk),
                 n_col_bands(W), rw, 1, (0.5,), False, False, FLEX_ROW_SCALE,
             )
+        elif arg.startswith("preflex") and arg not in variants:
+            # "preflexC[:RW]": v9 streamed precomputed gather one-hots
+            # (HBM tables instead of per-step VPU builds) on flex packing
+            parts = arg[len("preflex"):].split(":")
+            chunk = int(parts[0])
+            rw = int(parts[1]) if len(parts) > 1 else 128
+            variants[arg] = (
+                pack_events_by_tile_flex(events, wt, dtf, H, W, chunk=chunk),
+                n_col_bands(W), rw, 1, (0.5,), False, False, FLEX_ROW_SCALE,
+                False, True,
+            )
         elif arg.startswith("tent") and arg not in variants:
             # "tentflexC[:RW]": v8 bf16 tent-arithmetic vote blocks on
             # flex packing; "tentallflexC[:RW]": tent the backward's
@@ -154,10 +166,11 @@ def main():
         stk = spec[6] if len(spec) > 6 else False
         rs = spec[7] if len(spec) > 7 else 64
         tent = spec[8] if len(spec) > 8 else False
+        pre = spec[9] if len(spec) > 9 else False
         g = packed[0].shape[0]
         runners[name] = make_runner(packed, cb, rw, k=k, offsets=offs,
                                     include_orig=orig, stack_uv=stk, row_scale=rs,
-                                    tent=tent)
+                                    tent=tent, pregather=pre)
         print(f"{name}: G={g} chunks", flush=True)
 
     # compile + calibrate

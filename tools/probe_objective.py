@@ -58,7 +58,8 @@ def main():
 
     rw_default = objective_row_window(H)
 
-    def make_runner(packed, col_bands, rw, row_scale=BAND, tent=False):
+    def make_runner(packed, col_bands, rw, row_scale=BAND, tent=False,
+                    pregather=False):
         pk = tuple(
             jnp.asarray(a, jnp.float32 if np.asarray(a).dtype.kind == "f" else None)
             for a in packed
@@ -68,7 +69,7 @@ def main():
             # objective shape: orig hoisted out (3 warp votes), blur, MF-NGM
             imgs = fused_multi_iwe_banded(
                 f, *pk, (H, W), (0.0, 1.0, 0.5), False, 1e-6, True,
-                col_bands, rw, None, 1, False, row_scale, tent,
+                col_bands, rw, None, 1, False, row_scale, tent, pregather,
             )
             imgs = gaussian_blur3(imgs, 1.0)
             orig = jax.lax.stop_gradient(imgs[2])
@@ -94,11 +95,14 @@ def main():
     for spec in specs:
         if spec.startswith("band"):
             continue
-        if spec.startswith(("flex", "tentflex", "tentallflex")):
+        if spec.startswith(("flex", "tentflex", "tentallflex", "preflex")):
+            pre = False
             if spec.startswith("tentallflex"):
                 tent, rest = "all", spec[11:]
             elif spec.startswith("tentflex"):
                 tent, rest = True, spec[8:]
+            elif spec.startswith("preflex"):
+                tent, rest, pre = False, spec[7:], True
             else:
                 tent, rest = False, spec[4:]
             parts = rest.split(":")
@@ -106,7 +110,7 @@ def main():
             rw = int(parts[1]) if len(parts) > 1 else rw_default
             variants[spec] = (
                 pack_events_by_tile_flex(events, wt, dtf, H, W, chunk=chunk),
-                n_col_bands(W), rw, FLEX_ROW_SCALE, tent,
+                n_col_bands(W), rw, FLEX_ROW_SCALE, tent, pre,
             )
             continue
         parts = spec.split(":")
@@ -128,7 +132,8 @@ def main():
         packed, cb, rw = spec[:3]
         rs = spec[3] if len(spec) > 3 else BAND
         tnt = spec[4] if len(spec) > 4 else False
-        runners[name] = make_runner(packed, cb, rw, rs, tnt)
+        pre = spec[5] if len(spec) > 5 else False
+        runners[name] = make_runner(packed, cb, rw, rs, tnt, pre)
         print(f"{name}: G={packed[0].shape[0]} chunks rw={rw}", flush=True)
 
     est = {}
