@@ -115,6 +115,7 @@ def test_dnn_parallel_step_matches_single():
     np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_s), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_run_dnn_flow_trains_and_evaluates(tmp_path):
     """CLI DNN path end-to-end on the synthetic loader: a few training
     steps then the AEE evaluation loop (new capability — the reference's

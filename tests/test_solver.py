@@ -420,7 +420,10 @@ def test_global_similarity_solver_recovers_rot_and_zoom():
 
 
 
-@pytest.mark.parametrize("chain", [True, False])
+@pytest.mark.parametrize(
+    "chain",
+    [True, pytest.param(False, marks=pytest.mark.slow)],
+)
 def test_pyramid_coarse_event_fraction(chain):
     """optimizer.coarse_event_fraction solves the coarse scales on a
     stride subsample of the events (banded path; new capability for
@@ -520,6 +523,7 @@ def test_pyramid_coarse_newton_budget(chain):
         assert (4, 32) in budgets and (6, None) in budgets, budgets
 
 
+@pytest.mark.slow
 def test_global_rotation3d_solver_recovers_omega():
     """Calibrated 3-DoF rotation model ("3-rotation", new capability —
     the classic CMax rotation-estimation problem; the reference stripped

@@ -52,16 +52,25 @@ def test_push_recovers_motion_and_chains(estimator):
     assert estimator._solver.previous_frame_best_estimation is None
 
 
-def test_metrics_contract(estimator):
+def test_metrics_contract():
+    """metrics() is solve-independent: feed a synthetic displacement
+    directly (the push-then-metrics accuracy path is covered by the slow
+    test above at full solver budget)."""
+    est = StreamingFlowEstimator(
+        (H, W),
+        solver_config={"patch": {"initialize": "zero", "scale": 3,
+                                 "crop_height": 20, "crop_width": 28}},
+        optimizer_config={"n_iter": 2, "max_iter": 2},
+    )
     dur = 0.4
     ev = _window(t0=0.0, dur=dur, seed=99)
-    flow = estimator.push(ev)
     gt_hw2 = np.zeros((H, W, 2))
     gt_hw2[..., 0] = VEL[0] * dur
     gt_hw2[..., 1] = VEL[1] * dur
-    err = estimator.metrics(flow, gt_hw2, ev)
+    flow = np.broadcast_to((VEL * dur + 0.25)[:, None, None], (2, H, W))
+    err = est.metrics(flow, gt_hw2, ev)
     assert set(err) >= {"EPE", "AE", "1PE"}
-    assert err["EPE"] < 1.5
+    assert err["EPE"] == pytest.approx(np.hypot(0.25, 0.25), rel=1e-3)
 
 
 def test_partial_configs_merge_and_fit_sensor():
@@ -98,7 +107,7 @@ def test_push_rejects_bad_input(estimator):
         estimator.push(np.zeros((10, 3)))
 
 
-def test_fixed_event_count_subsamples():
+def test_fixed_event_count_subsample_logic():
     """fixed_event_count: oversize windows are uniformly subsampled to
     exactly N (temporal order + endpoints kept, no duplicates); smaller
     windows pass through untouched."""
@@ -116,6 +125,13 @@ def test_fixed_event_count_subsamples():
     np.testing.assert_array_equal(_subsample_fixed(ev, n), ev)
     np.testing.assert_array_equal(_subsample_fixed(ev, n + 50), ev)
 
+
+@pytest.mark.slow
+def test_fixed_event_count_estimator_tail():
+    """The estimator applies fixed_event_count on push: oversize windows
+    subsample, undersized ones top up from the previous tail, reset
+    drops the tail."""
+    ev = _window(t0=0.0, seed=3)
     est = StreamingFlowEstimator(
         (H, W),
         solver_config={"patch": {"initialize": "zero", "scale": 3,
@@ -143,13 +159,11 @@ def test_fixed_event_count_subsamples():
 
 def test_save_load_state_roundtrip(tmp_path):
     """Serving restart: warm-start motions, borrow tail, and the window
-    counter round-trip through save_state/load_state for both the
-    single-stream and multi-stream estimators."""
-    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
-
+    counter round-trip through save_state/load_state (single stream;
+    the multi-stream/fleet round-trip is the slow test below)."""
     cfg = {"patch": {"initialize": "zero", "scale": 3,
                      "crop_height": 20, "crop_width": 28}}
-    opt = {"n_iter": 6, "max_iter": 6}
+    opt = {"n_iter": 2, "max_iter": 2}
     est = StreamingFlowEstimator((H, W), solver_config=cfg,
                                  optimizer_config=opt, fixed_event_count=900)
     est.push(_window(t0=0.0, seed=21))
@@ -165,6 +179,15 @@ def test_save_load_state_roundtrip(tmp_path):
     for s in w1:
         np.testing.assert_array_equal(w1[s], w2[s])
 
+
+@pytest.mark.slow
+def test_save_load_state_roundtrip_multistream(tmp_path):
+    """Multi-stream (fleet) serving restart round-trip."""
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    cfg = {"patch": {"initialize": "zero", "scale": 3,
+                     "crop_height": 20, "crop_width": 28}}
+    opt = {"n_iter": 6, "max_iter": 6}
     ms = MultiStreamFlowEstimator((H, W), 2, solver_config=cfg,
                                   optimizer_config=opt, fixed_event_count=900)
     ms.push([_window(t0=0.0, seed=22), _window(t0=0.0, seed=23)])
