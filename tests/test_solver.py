@@ -420,10 +420,46 @@ def test_global_similarity_solver_recovers_rot_and_zoom():
 
 
 
-@pytest.mark.parametrize(
-    "chain",
-    [True, pytest.param(False, marks=pytest.mark.slow)],
-)
+def test_coarse_event_subsample_structural():
+    """coarse_event_fraction plumbing without a solve (the solve-level
+    recovery gates are the slow tests below — these tests are
+    compile-bound, so they live in the full tier): the subsample is a
+    stride over the time-sorted stream, cached per frame identity, and
+    off at fraction 1.0."""
+    ev = _synthetic_events(np.array([8.0, -6.0]), n=2600, h=20, w=28)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 16, "crop_width": 24, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 4, "method": "Newton-CG", "max_iter": 6,
+        "coarse_event_fraction": 0.5,
+        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+    }
+    solv = solver.collections["pyramidal_patch_contrast_maximization"](
+        (20, 28), {}, slv_cfg, opt_cfg, {}, None
+    )
+    sub = solv._coarse_events(ev)
+    assert sub is not None and 0.4 * len(ev) <= len(sub) <= 0.6 * len(ev)
+    assert (np.diff(sub[:, 2]) >= 0).all()  # stride keeps time order
+    assert solv._coarse_events(ev) is sub  # cached per frame identity
+    solv.opt_config = dict(opt_cfg, coarse_event_fraction=1.0)
+    solv._coarse_ref = None
+    assert solv._coarse_events(ev) is None  # 1.0 = off
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("chain", [True, False])
 def test_pyramid_coarse_event_fraction(chain):
     """optimizer.coarse_event_fraction solves the coarse scales on a
     stride subsample of the events (banded path; new capability for
