@@ -47,7 +47,34 @@ def main():
 
             a = a_ref[:]
             b = b_ref[:]
-            if mode == "int8":
+            if mode == "bf16_built2":
+                # BOTH operands arrive f32 and convert in-kernel — the
+                # faithful model of the real kernel (blocks built f32 by
+                # selects, cast before the dot).  bf16_built2 and
+                # int8_built2 stream IDENTICAL bytes, so their delta is
+                # purely (convert + dot) bf16-vs-int8.
+                p = jax.lax.dot_general(
+                    a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[:] += p
+            elif mode == "int8_built2":
+                p = jax.lax.dot_general(
+                    a.astype(jnp.int8), b.astype(jnp.int8),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                o_ref[:] += p.astype(jnp.float32)
+            elif mode == "bf16_built":
+                # the fair baseline: the real kernel builds blocks in f32
+                # and converts to bf16 before the dot
+                p = jax.lax.dot_general(
+                    a.astype(jnp.bfloat16), b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[:] += p
+            elif mode == "int8":
                 p = jax.lax.dot_general(
                     a, b, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
@@ -69,8 +96,11 @@ def main():
 
         ins = {
             "bf16": (a16, b16),
+            "bf16_built": (af, b16),  # a arrives f32, converts in-kernel
+            "bf16_built2": (af, bf),
             "int8": (a8, b8),
             "int8_built": (af, b8),  # a arrives f32, converts in-kernel
+            "int8_built2": (af, bf),
         }[mode]
 
         call = pl.pallas_call(
@@ -88,13 +118,23 @@ def main():
         @jax.jit
         def run(iters, scale):
             def body(i, acc):
-                return acc + call(ins[0], ins[1]).sum() * (1.0 + scale * 1e-20)
+                # perturb the first operand data-dependently so the call
+                # cannot be hoisted out of the loop (the perturbation is
+                # the same cheap elementwise add in every variant)
+                if ins[0].dtype == jnp.int8:
+                    a_i = ins[0] + (i % 2).astype(jnp.int8)
+                else:
+                    a_i = ins[0] + (i % 2).astype(ins[0].dtype) + acc.astype(ins[0].dtype) * 1e-20
+                return acc + call(a_i, ins[1]).sum() * (1.0 + scale * 1e-20)
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         return run
 
-    runners = {m: make(m) for m in ("bf16", "int8", "int8_built")}
+    runners = {
+        m: make(m)
+        for m in ("bf16", "bf16_built2", "int8", "int8_built2")
+    }
     est = {}
     for name, run in runners.items():
         t0 = time.perf_counter()
