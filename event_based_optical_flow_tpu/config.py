@@ -23,7 +23,12 @@ def _host_fingerprint() -> str:
     "Machine type used for XLA:CPU compilation doesn't match ... could
     lead to execution errors such as SIGILL" and collectives hang/abort).
     Fingerprinting the directory by host CPU makes cross-host reuse
-    impossible by construction while keeping per-host warmth."""
+    impossible by construction wherever /proc/cpuinfo exposes the model
+    and ISA flags (Linux); elsewhere the key degrades to the platform
+    triple + processor string, which still separates hosts of different
+    OS/arch but not two same-OS x86_64 boxes with different ISA levels
+    — on such hosts set EVFLOW_NO_COMPILE_CACHE=1 if the cache dir is
+    shared."""
     import hashlib
     import platform as _plat
 
@@ -38,7 +43,10 @@ def _host_fingerprint() -> str:
                 if model and flags:
                     break
     except OSError:
-        pass
+        # non-Linux / hidden procfs: fall back to the richest portable
+        # host descriptors available
+        model = _plat.processor() or _plat.platform()
+        flags = _plat.version()
     import jax
 
     raw = "|".join([jax.__version__, _plat.machine(), model, flags])

@@ -39,6 +39,55 @@ def encode_png16(img: np.ndarray) -> bytes:
     )
 
 
+def _defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """PNG scanline reconstruction (RFC 2083 §6): inflated IDAT payload
+    -> [h, stride] uint8.  Prefers the native C++ defilter (real DSEC
+    GT frames are mostly Sub/Paeth scanlines — a per-byte Python loop
+    costs seconds per 640x480 frame); the Python fallback vectorizes
+    None/Up fully and Sub per byte-offset residue class (a mod-256
+    prefix sum), leaving per-byte work only for Average/Paeth."""
+    from .. import native
+
+    native_out = native.png_defilter(raw, h, stride, bpp)
+    if native_out is not None:
+        return native_out
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for i in range(h):
+        ftype = raw[i * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, i * (stride + 1) + 1)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub: cur[j] = line[j] + cur[j-bpp] — a
+            # wrapping prefix sum within each residue class mod bpp
+            cur = np.empty(stride, np.uint8)
+            for r in range(bpp):
+                np.cumsum(line[r::bpp], dtype=np.uint8, out=cur[r::bpp])
+        elif ftype == 2:  # Up
+            cur = line + prev
+        else:  # Average / Paeth need the running left neighbor
+            cur8 = np.empty(stride, np.int64)
+            line64 = line.astype(np.int64)
+            prev64 = prev.astype(np.int64)
+            for j in range(stride):
+                a = cur8[j - bpp] if j >= bpp else 0
+                b = prev64[j]
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                elif ftype == 4:
+                    c = prev64[j - bpp] if j >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur8[j] = (line64[j] + pred) & 0xFF
+            cur = cur8.astype(np.uint8)
+        out[i] = cur
+        prev = out[i]
+    return out
+
+
 def decode_png16(data: bytes) -> np.ndarray:
     """16-bit RGB PNG bytes -> [H, W, 3] uint16.
 
@@ -76,36 +125,7 @@ def decode_png16(data: bytes) -> np.ndarray:
     if len(raw) != h * (stride + 1):
         raise ValueError(f"PNG payload size {len(raw)} != {h}x({stride}+1)")
     bpp = 6  # bytes per pixel (filters operate bytewise at pixel offsets)
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int64)
-    for i in range(h):
-        ftype = raw[i * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, i * (stride + 1) + 1
-        ).astype(np.int64)
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the running left neighbor
-            cur = np.empty(stride, np.int64)
-            for j in range(stride):
-                a = cur[j - bpp] if j >= bpp else 0
-                b = prev[j]
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) >> 1
-                elif ftype == 4:
-                    c = prev[j - bpp] if j >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad PNG filter type {ftype}")
-                cur[j] = (line[j] + pred) & 0xFF
-        out[i] = cur
-        prev = cur
+    out = _defilter(raw, h, stride, bpp)
     return (
         out.reshape(h, w, 3, 2).astype(np.uint16)[..., 0] << 8
     ) | out.reshape(h, w, 3, 2)[..., 1]

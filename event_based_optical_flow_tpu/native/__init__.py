@@ -246,3 +246,52 @@ def decode_evt3(words: np.ndarray):
     if n_out < 0:
         raise RuntimeError("evf_decode_evt3: bad arguments")
     return x[:n_out].copy(), y[:n_out].copy(), t[:n_out].copy(), p[:n_out].copy()
+
+
+_SRC_PNG16 = os.path.join(os.path.dirname(__file__), "png16.cpp")
+_lib_png16 = None
+
+
+def _get_png16_lib():
+    global _lib_png16
+    if _lib_png16 is None:
+        if os.environ.get("EVFLOW_DISABLE_NATIVE"):
+            _lib_png16 = False
+            return None
+        try:
+            lib = ctypes.CDLL(_build(_SRC_PNG16, "png16"))
+            lib.evf_png_defilter.restype = ctypes.c_int64
+            lib.evf_png_defilter.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),  # raw (inflated IDAT)
+                ctypes.c_int64,                  # raw_len
+                ctypes.c_int64,                  # h
+                ctypes.c_int64,                  # stride
+                ctypes.c_int64,                  # bpp
+                ctypes.POINTER(ctypes.c_uint8),  # out [h * stride]
+            ]
+            _lib_png16 = lib
+        except Exception as e:
+            logger.info("native PNG defilter unavailable (%s); using Python", e)
+            _lib_png16 = False
+    return _lib_png16 or None
+
+
+def png_defilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reconstruct PNG scanlines from the inflated IDAT payload (see
+    png16.cpp): returns [h, stride] uint8, or ``None`` when the native
+    library is unavailable (flow/io.py falls back to its byte-identical
+    Python defilter).  Raises on malformed payloads (bad filter type or
+    size mismatch)."""
+    lib = _get_png16_lib()
+    if lib is None:
+        return None
+    raw_arr = np.frombuffer(raw, np.uint8)
+    out = np.empty((h, stride), np.uint8)
+    rc = lib.evf_png_defilter(
+        raw_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(raw_arr),
+        h, stride, bpp,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc < 0:
+        raise ValueError("evf_png_defilter: malformed PNG payload")
+    return out

@@ -375,7 +375,6 @@ def build_orig_iwe_banded(spec: ObjectiveSpec, mesh=None):
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_voxel,
         objective_dense_col_bands,
-        objective_pregather,
         objective_row_scale,
         objective_tent,
         objective_row_window,
@@ -394,11 +393,15 @@ def build_orig_iwe_banded(spec: ObjectiveSpec, mesh=None):
                 1e-6, use_bf16, objective_row_window(h), objective_tent(use_bf16),
             )
         zeros = jnp.zeros((2, h, w), x.dtype)
+        # pregather=False: the orig-only call (offsets=()) never consumes
+        # the gathered u/v, but pallas operands cannot be DCE'd — streaming
+        # the precomputed tables here would pay their full HBM cost for
+        # nothing when OBJECTIVE_PREGATHER is enabled
         return fused_multi_iwe_banded(
             zeros, x, y, dtf, wt, bands, spec.image_shape, (), True,
             1e-6, use_bf16, objective_dense_col_bands(w),
             objective_row_window(h), None, 1, False, objective_row_scale(w),
-            objective_tent(use_bf16), objective_pregather(use_bf16),
+            objective_tent(use_bf16), False,
         )
 
     images = (

@@ -212,11 +212,20 @@ def test_dsec_submission_writer_matches_spec(tmp_path):
     np.testing.assert_array_equal(px[0, 1], [32768 - 1, 32768 + 64, 0])
 
 
-def test_png16_decoder_handles_real_encoder_filters(tmp_path):
+@pytest.mark.parametrize("use_native", [True, False])
+def test_png16_decoder_handles_real_encoder_filters(
+    tmp_path, use_native, monkeypatch
+):
     """decode_png16 vs an independent C encoder (cv2) on data that
-    makes the encoder pick non-trivial scanline filters."""
+    makes the encoder pick non-trivial scanline filters — through both
+    the native C++ defilter and the byte-identical Python fallback."""
     cv2 = pytest.importorskip("cv2")
     from event_based_optical_flow_tpu.flow.io import decode_png16
+
+    if not use_native:
+        from event_based_optical_flow_tpu import native
+
+        monkeypatch.setattr(native, "png_defilter", lambda *a: None)
 
     rng = np.random.default_rng(3)
     # smooth gradient + noise: drives cv2's libpng to Sub/Up/Paeth rows
@@ -280,7 +289,7 @@ def test_evt2_spec_worked_example():
     )
     for name, dec in _decoders_evt2():
         x_col, y_row, t_us, pol = dec(words)
-        np.testing.assert_array_equal(x_col, [1213, 0, 2047, 7]), name
+        np.testing.assert_array_equal(x_col, [1213, 0, 2047, 7], err_msg=name)
         np.testing.assert_array_equal(y_row, [677, 2047, 0, 8])
         np.testing.assert_array_equal(
             t_us, [64 + 5, 64 + 63, (0x0FFFFFF << 6) + 0, (0x0FFFFFF << 6) + 1]
@@ -293,7 +302,7 @@ def test_evt2_cd_before_first_time_high():
     words = np.array([_evt2_cd(1, 9, 3, 4)], dtype=np.uint32)
     for name, dec in _decoders_evt2():
         x, y, t, p = dec(words)
-        np.testing.assert_array_equal(t, [9]), name
+        np.testing.assert_array_equal(t, [9], err_msg=name)
 
 
 # --------------------------------------------------------------------
@@ -331,7 +340,7 @@ def test_evt3_spec_worked_example():
     exp_p = [1, 0, 0, 0, 0, 0, 0]
     for name, dec in _decoders_evt3():
         x, y, t, p = dec(words)
-        np.testing.assert_array_equal(x, exp_x), name
+        np.testing.assert_array_equal(x, exp_x, err_msg=name)
         np.testing.assert_array_equal(y, exp_y)
         np.testing.assert_array_equal(t, exp_t)
         np.testing.assert_array_equal(p, exp_p)
@@ -355,7 +364,7 @@ def test_evt3_time_high_rollover():
     exp_t = [(0xFFF << 12) | 5, (1 << 24) | 2]
     for name, dec in _decoders_evt3():
         x, y, t, p = dec(words)
-        np.testing.assert_array_equal(t, exp_t), name
+        np.testing.assert_array_equal(t, exp_t, err_msg=name)
         np.testing.assert_array_equal(x, [1, 2])
 
 
@@ -368,7 +377,7 @@ def test_evt3_vect_before_base_and_y():
     )
     for name, dec in _decoders_evt3():
         x, y, t, p = dec(words)
-        np.testing.assert_array_equal(x, [0, 1, 7]), name
+        np.testing.assert_array_equal(x, [0, 1, 7], err_msg=name)
         np.testing.assert_array_equal(y, [0, 0, 0])
         np.testing.assert_array_equal(t, [0, 0, 0])
 

@@ -56,6 +56,13 @@ def make_loader(family):
 
 def main():
     args = sys.argv[1:]
+    unknown = [a for a in args if a not in PS.FAMILIES and not a.isdigit()]
+    if unknown:
+        raise SystemExit(
+            f"unknown scene families {unknown!r}: expected names from "
+            f"{sorted(PS.FAMILIES)} (a typo would otherwise silently "
+            f"launch the full 6-family study)"
+        )
     fams = [a for a in args if a in PS.FAMILIES] or list(PS.FAMILIES)
     n_windows = next((int(a) for a in args if a.isdigit()), 2)
 

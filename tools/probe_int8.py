@@ -25,8 +25,12 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    args = [int(a) for a in sys.argv[1:4]] or [96, 1280, 384]
-    M, C, N = (args + [96, 1280, 384])[:3]
+    # positional overrides fill in order M, C, N; unspecified trailing
+    # dims keep their documented defaults (a partial arg list must not
+    # shift the defaults into the wrong slots)
+    defaults = [96, 1280, 384]
+    args = [int(a) for a in sys.argv[1:4]]
+    M, C, N = args + defaults[len(args):]
     STEPS = 32  # chunks per launch, mimics the grid
 
     rng = np.random.default_rng(0)
