@@ -1464,3 +1464,335 @@ def _vjp_bwd_b(image_size, offsets, include_orig, eps, use_bf16, col_bands, row_
 
 
 fused_multi_iwe_banded_batched.defvjp(_vjp_fwd_b, _vjp_bwd_b)
+
+
+# --------------------------------------------------------------------------
+# v10: analytic second-order support (JVP + HVP-backward kernels).
+#
+# The bilinear vote is piecewise-BILINEAR in the gathered flow (u, v):
+# within a linear region (fixed floors) its Hessian w.r.t. (u_e, v_e) has
+# ONLY the mixed term d2F/du dv = dt^2 * (rd ⊗ cd), so both the
+# directional derivative of the forward (JVP) and the directional
+# derivative of the implemented backward (the exact Hessian-vector
+# product a.e.) are small extensions of the existing kernels:
+#
+#   dimage_k = (rd ∘ dxw) @ c^T + r @ (cd ∘ dyw)^T                (JVP)
+#   du_hvp_e = -dt Σ_p rd·(g2@c)  +  dt² (Σ_p rd·(g1@cd)) · dv_g  (HVP)
+#   dv_hvp_e = -dt Σ_p r·(g2@cd)  +  dt² (Σ_p rd·(g1@cd)) · du_g
+#
+# where (du_g, dv_g) is the tangent flow gathered at the event's source
+# pixel, g1 is the cost cotangent ∂C/∂images at the point, and g2 its
+# directional derivative d(∂C/∂images) along the tangent (the cost and
+# the motion→flow interpolation are XLA code, so
+# solver.objective.build_objective_banded_hvp differentiates them with
+# plain jax.jvp and assembles the full Hessian-vector product around
+# these two kernels).  Replaces the central-FD HVP's 2 full gradient
+# evaluations per CG iteration with ~1.3 evaluation-equivalents, with no
+# finite-difference step-size error.  These kernels are explicit calls
+# in the HVP assembly — they are never themselves differentiated.
+# Supported on the adopted dense policy surface (flex/tile packing, row
+# and column windows, bf16 or f32 dots); chunks_per_step/stack_uv/tent/
+# pregather are intentionally out of scope (all DONE-NEGATIVE or
+# non-default).
+
+
+def _jvp_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, dflow_ref,
+                out_ref, *, hp, wp, eps, offsets, use_bf16, col_bands=None,
+                row_window=None, col_window=None, row_scale=BAND):
+    assert col_window is None or (row_window is not None and col_bands is not None)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = x_ref[0:1, :]
+    y = y_ref[0:1, :]
+    dtf = dtf_ref[0:1, :]
+    wt = w_ref[0:1, :]
+    dtype = x.dtype
+    band_id = band_ref[0, 0]
+    if col_bands is None:
+        band_row0 = band_id * row_scale
+        col0 = None
+    else:
+        band_row0 = (band_id // col_bands) * row_scale
+        col0 = (band_id % col_bands) * COLBAND
+    x_base = band_row0
+
+    u, v, a_band, b_loc = _banded_gather_uv(
+        flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0
+    )
+    du_g, dv_g, _, _ = _banded_gather_uv(
+        dflow_ref, band_row0, x_base, x, y, wp, use_bf16, col0,
+        pre=(a_band, b_loc),
+    )
+
+    w0 = None if row_window is None else _window_start(x_base, hp, row_window)
+    c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
+    n_k = len(offsets)
+    warped = []
+    for off in offsets:
+        dt = dtf - off
+        xw = x - dt * u
+        yw = y - dt * v
+        warped.append((dt, _fl_frac(xw, eps), _fl_frac(yw, eps)))
+
+    def emit(win: bool):
+        size = row_window if win else hp
+        csize = col_window if (win and col_window is not None) else wp
+        for k, (dt, (fl_i, frac), (cl_i, cfr)) in enumerate(warped):
+            fl_loc = fl_i - w0 if win else fl_i
+            cl_loc = cl_i - c0w if csize != wp else cl_i
+            r = _corner_block(fl_loc, frac, wt, size)
+            c = _corner_block(cl_loc, cfr, None, csize)
+            rd = _corner_deriv_block(fl_loc, wt, size, dtype)
+            cd = _corner_deriv_block(cl_loc, None, csize, dtype)
+            img = _dot(r, c, ((1,), (1,)), use_bf16, dtype)
+            tan = _dot(rd * (-dt * du_g), c, ((1,), (1,)), use_bf16, dtype) + _dot(
+                r, cd * (-dt * dv_g), ((1,), (1,)), use_bf16, dtype
+            )
+            if win:
+                if col_window is None:
+                    out_ref[k, _ds_aligned(w0, row_window), :] += img
+                    out_ref[n_k + k, _ds_aligned(w0, row_window), :] += tan
+                else:
+                    rows = _ds_aligned(w0, row_window)
+                    cols = _ds_lane_aligned(c0w, col_window)
+                    out_ref[k, rows, cols] += img
+                    out_ref[n_k + k, rows, cols] += tan
+            else:
+                out_ref[k] += img
+                out_ref[n_k + k] += tan
+
+    if row_window is None:
+        emit(False)
+    else:
+        # shared routing predicate — identical to _fwd_kernel so the
+        # value votes stay bit-identical to the forward kernel's
+        ok = None
+        for _dt, (fl_i, _), (cl_i, _) in warped:
+            inert = (wt <= 0) | (fl_i <= -2) | (fl_i >= hp)
+            in_win = (fl_i >= w0) & (fl_i <= w0 + row_window - 2)
+            if col_window is not None:
+                inert = inert | (cl_i <= -2) | (cl_i >= wp)
+                in_win = in_win & (cl_i >= c0w) & (cl_i <= c0w + col_window - 2)
+            this = inert | in_win
+            ok = this if ok is None else (ok & this)
+        all_ok = jnp.all(ok)
+
+        @pl.when(all_ok)
+        def _():
+            emit(True)
+
+        @pl.when(~all_ok)
+        def _():
+            emit(False)
+
+
+def fused_multi_iwe_banded_jvp(flow, dflow, x, y, dtf, wt, band_ids, image_size,
+                               offsets, eps=1e-6, use_bf16=True, col_bands=None,
+                               row_window=None, col_window=None, row_scale=BAND):
+    """Forward votes AND their directional derivative along ``dflow`` in
+    one fused pass: returns (images [K, H, W], dimages [K, H, W]) for the
+    direction ``offsets`` (no orig slice — the orig IWE is
+    motion-independent, so its tangent is zero and callers hoist it).
+    The images half is bit-identical to ``fused_multi_iwe_banded`` with
+    the same flags (same gathers, same floor/frac decisions, same
+    accumulation order)."""
+    assert offsets, "jvp kernel computes direction images (no orig slice)"
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _flow_pad_rows(h, row_scale)
+    wp = _round_up(w + 1, 128)
+    flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
+    dflow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(dflow)
+    n_k = len(offsets)
+    xs, ys, ds, ws, rows, steps = _group_chunks(x, y, dtf, wt, band_ids, 1)
+    flow_spec = pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _jvp_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            use_bf16=use_bf16, col_bands=col_bands, row_window=row_window,
+            col_window=col_window, row_scale=row_scale,
+        ),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((None, 1, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 4,
+            flow_spec,
+            flow_spec,
+        ],
+        out_specs=pl.BlockSpec((2 * n_k, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * n_k, hp, wp), flow.dtype),
+        interpret=_interpret(),
+    )(rows, xs, ys, ds, ws, flow_p, dflow_p)
+    return out[:n_k, :h, :w], out[n_k:, :h, :w]
+
+
+def _hvp_bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, dflow_ref,
+                    g_ref, dflow_out_ref, *, hp, wp, eps, offsets, use_bf16,
+                    col_bands=None, row_window=None, col_window=None,
+                    row_scale=BAND, term_a=True):
+    assert col_window is None or (row_window is not None and col_bands is not None)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dflow_out_ref[:] = jnp.zeros_like(dflow_out_ref)
+
+    x = x_ref[0:1, :]
+    y = y_ref[0:1, :]
+    dtf = dtf_ref[0:1, :]
+    wt = w_ref[0:1, :]
+    dtype = x.dtype
+    band_id = band_ref[0, 0]
+    if col_bands is None:
+        band_row0 = band_id * row_scale
+        col0 = None
+    else:
+        band_row0 = (band_id // col_bands) * row_scale
+        col0 = (band_id % col_bands) * COLBAND
+    x_base = band_row0
+
+    u, v, a_band, b_loc = _banded_gather_uv(
+        flow_ref, band_row0, x_base, x, y, wp, use_bf16, col0
+    )
+    if term_a:
+        du_g, dv_g, _, _ = _banded_gather_uv(
+            dflow_ref, band_row0, x_base, x, y, wp, use_bf16, col0,
+            pre=(a_band, b_loc),
+        )
+
+    w0 = None if row_window is None else _window_start(x_base, hp, row_window)
+    c0w = None if col_window is None else _col_window_start(col0, wp, col_window)
+    n_k = len(offsets)
+    warped = []
+    for off in offsets:
+        dt = dtf - off
+        xw = x - dt * u
+        yw = y - dt * v
+        warped.append((dt, _fl_frac(xw, eps), _fl_frac(yw, eps)))
+
+    def accumulate(win: bool):
+        du = jnp.zeros_like(x)
+        dv = jnp.zeros_like(x)
+        size = row_window if win else hp
+        csize = col_window if (win and col_window is not None) else wp
+        for k, (dt, (fl_i, frac), (cl_i, cfr)) in enumerate(warped):
+            cl_loc = cl_i - c0w if csize != wp else cl_i
+            c = _corner_block(cl_loc, cfr, None, csize)
+            cd = _corner_deriv_block(cl_loc, None, csize, dtype)
+            fl_loc = fl_i - w0 if win else fl_i
+            r = _corner_block(fl_loc, frac, wt, size)
+            rd = _corner_deriv_block(fl_loc, wt, size, dtype)
+            if win:
+                rows = _ds_aligned(w0, row_window)
+                if col_window is None:
+                    g1k = g_ref[k, rows, :]
+                    g2k = g_ref[n_k + k, rows, :]
+                else:
+                    cols = _ds_lane_aligned(c0w, col_window)
+                    g1k = g_ref[k, rows, cols]
+                    g2k = g_ref[n_k + k, rows, cols]
+            else:
+                g1k = g_ref[k]
+                g2k = g_ref[n_k + k]
+            p2 = _dot(g2k, c, ((1,), (0,)), use_bf16, dtype)
+            pd2 = _dot(g2k, cd, ((1,), (0,)), use_bf16, dtype)
+            du += -dt * jnp.sum(rd * p2, axis=0, keepdims=True)
+            dv += -dt * jnp.sum(r * pd2, axis=0, keepdims=True)
+            if term_a:
+                pd1 = _dot(g1k, cd, ((1,), (0,)), use_bf16, dtype)
+                s = jnp.sum(rd * pd1, axis=0, keepdims=True)
+                du += dt * dt * s * dv_g
+                dv += dt * dt * s * du_g
+        return du, dv
+
+    if row_window is None:
+        du, dv = accumulate(False)
+    else:
+        ok = None
+        for _dt, (fl_i, _), (cl_i, _) in warped:
+            inert = (wt <= 0) | (fl_i <= -2) | (fl_i >= hp)
+            in_win = (fl_i >= w0) & (fl_i <= w0 + row_window - 2)
+            if col_window is not None:
+                inert = inert | (cl_i <= -2) | (cl_i >= wp)
+                in_win = in_win & (cl_i >= c0w) & (cl_i <= c0w + col_window - 2)
+            this = inert | in_win
+            ok = this if ok is None else (ok & this)
+        du, dv = jax.lax.cond(
+            jnp.all(ok), lambda: accumulate(True), lambda: accumulate(False)
+        )
+
+    if col_bands is None:
+        dflow_out_ref[0, pl.ds(band_row0, BAND), :] += _dot(
+            a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+        dflow_out_ref[1, pl.ds(band_row0, BAND), :] += _dot(
+            a_band * dv, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+    else:
+        dflow_out_ref[0, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += _dot(
+            a_band * du, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+        dflow_out_ref[1, pl.ds(band_row0, BAND), pl.ds(col0, COLBAND)] += _dot(
+            a_band * dv, b_loc, ((1,), (1,)), use_bf16, dtype
+        )
+
+
+def fused_multi_iwe_banded_hvp_bwd(flow, dflow, g1, g2, x, y, dtf, wt, band_ids,
+                                   image_size, offsets, eps=1e-6, use_bf16=True,
+                                   col_bands=None, row_window=None,
+                                   col_window=None, row_scale=BAND,
+                                   term_a=True):
+    """Directional derivative of the implemented backward pass: the exact
+    (a.e.) flow-space Hessian-vector product contribution of the vote
+    kernel, given the tangent flow ``dflow``, the cost cotangent ``g1``
+    (∂C/∂images at the point) and its directional derivative ``g2``
+    [each [K, H, W]].  Returns [2, H, W].  See the section comment for
+    the term decomposition (B: cotangent-tangent through the cost; A:
+    the vote's mixed second derivative).
+
+    ``term_a=False`` drops the vote-Hessian term entirely — the
+    Gauss-Newton curvature (cost curvature through the vote Jacobians
+    only).  The a.e. vote Hessian MISSES the delta-function curvature
+    concentrated at the bilinear floor crossings (the washboard), so the
+    full analytic H under-curves far from convergence (measured: 3.4x
+    smaller HVP norms than the 0.1-step central-FD smoothing at a
+    cold-start point, and cold-start misconvergence on TPU); the GN form
+    is the well-behaved default for the analytic mode."""
+    assert offsets, "hvp kernel computes direction contributions (no orig)"
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _flow_pad_rows(h, row_scale)
+    wp = _round_up(w + 1, 128)
+    n_k = len(offsets)
+    flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
+    dflow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(dflow)
+    g_p = (
+        jnp.zeros((2 * n_k, hp, wp), flow.dtype)
+        .at[:n_k, :h, :w].set(g1)
+        .at[n_k:, :h, :w].set(g2)
+    )
+    xs, ys, ds, ws, rows, steps = _group_chunks(x, y, dtf, wt, band_ids, 1)
+    flow_spec = pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _hvp_bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            use_bf16=use_bf16, col_bands=col_bands, row_window=row_window,
+            col_window=col_window, row_scale=row_scale, term_a=term_a,
+        ),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((None, 1, x.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 4,
+            flow_spec,
+            flow_spec,
+            pl.BlockSpec((2 * n_k, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=flow_spec,
+        out_shape=jax.ShapeDtypeStruct((2, hp_flow, wp), flow.dtype),
+        interpret=_interpret(),
+    )(rows, xs, ys, ds, ws, flow_p, dflow_p, g_p)
+    return out[:, :h, :w]

@@ -105,26 +105,46 @@ def build_newton_cg(
     armijo_c1: float = 1e-4,
     hvp_mode: str = "autodiff",
     fd_central: bool = True,
+    hvp_fn=None,
+    max_step=None,
 ):
     """Return solve(x0, *args) -> (x_best, f_best, n_iters).
 
     value_fn(x, *args) -> scalar loss (pure, jit-able).
-    hvp_mode: "autodiff" (grad-of-gradient) or "fd" (difference of
-    gradients — required when the objective contains custom_vjp Pallas
-    kernels, whose backward is not itself differentiable; truncated
-    Newton is robust to the approximation).  ``fd_central`` (DEFAULT)
-    uses central differences — 2 fresh gradients per HVP vs 1 for the
-    one-sided form; measured: one-sided Hessian noise on low-contrast
-    (clutter) scenes misroutes the coarse-to-fine trajectory (EPE 1.90
-    vs 0.99 on the 30%-clutter family) while central restores full
-    reference parity at ~1.7x solve wall clock.  Opt out with
-    ``optimizer.hvp_central: false`` for maximum speed on clean data.
+    hvp_mode: "autodiff" (grad-of-gradient), "fd" (difference of
+    gradients — the fallback when the objective contains custom_vjp
+    Pallas kernels, whose backward is not itself differentiable;
+    truncated Newton is robust to the approximation), or "analytic"
+    (``hvp_fn(x, p, *args) -> H @ p`` supplied by the caller — the v10
+    fused-kernel second-order path,
+    solver.objective.build_objective_banded_hvp: exact a.e. and ~1.3
+    evaluation-equivalents per HVP vs central FD's 2).  ``fd_central``
+    (DEFAULT for fd) uses central differences — 2 fresh gradients per
+    HVP vs 1 for the one-sided form; measured: one-sided Hessian noise
+    on low-contrast (clutter) scenes misroutes the coarse-to-fine
+    trajectory (EPE 1.90 vs 0.99 on the 30%-clutter family) while
+    central restores full reference parity at ~1.7x solve wall clock.
+    Opt out with ``optimizer.hvp_central: false`` for maximum speed on
+    clean data.
+
+    ``max_step``: per-iteration trust safeguard — the Newton direction is
+    rescaled so no component exceeds ``max_step`` (parameter units, e.g.
+    px/s for CMax tiles).  Required with the analytic HVPs: the a.e.
+    vote Hessian (and its Gauss-Newton part) measures 3-4x LESS
+    curvature than the washboard envelope (the delta curvature at floor
+    crossings is invisible to it), so uncapped Newton steps overshoot
+    into far basins that the two-sided line search happily accepts
+    (measured cold-start misconvergence at MVSEC protocol scale; capped
+    steps cannot leap ridges).
     """
+    assert hvp_mode != "analytic" or hvp_fn is not None
 
     def value_grad(x, args):
         return jax.value_and_grad(lambda xx: value_fn(xx, *args))(x)
 
     def hvp(x, p, args, g0=None):
+        if hvp_mode == "analytic":
+            return hvp_fn(x, p, *args)
         if hvp_mode == "fd":
             # step ~fd_step in parameter units (pixels for CMax tiles):
             # the objective is piecewise-smooth in sub-pixel structure, so
@@ -202,6 +222,9 @@ def build_newton_cg(
         def body(state):
             x, f, g, k, done, best_x, best_f = state
             p = cg_solve(x, g, args)
+            if max_step is not None:
+                p_inf = jnp.max(jnp.abs(p)) + 1e-12
+                p = p * jnp.minimum(1.0, jnp.asarray(max_step, x.dtype) / p_inf)
             alpha, f_new = line_search(x, f, g, p, args)
             # plateau escape: outward probe when backtracking failed OR the
             # first iteration only found a negligible decrease — flat/zero

@@ -542,6 +542,137 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
     return objective
 
 
+def objective_supports_analytic_hvp(spec: ObjectiveSpec) -> bool:
+    """Whether build_objective_banded_hvp applies: the dense banded
+    kernel path with a LINEAR motion->flow map (tiles / 2d-translation —
+    the transpose-of-jvp assembly is exact only for linear maps; the
+    nonlinear global models and the time-aware voxel chain fall back to
+    the FD HVP)."""
+    return (
+        objective_uses_banded(spec)
+        and not spec.time_aware
+        and spec.motion_model in ("tiles", "2d-translation", "rigid-optical-flow")
+    )
+
+
+def build_objective_banded_hvp(spec: ObjectiveSpec, precomputed_orig: bool = False,
+                               gauss_newton: bool = True):
+    """Analytic Hessian-vector product of the banded objective (v10):
+    hvp(motion, p, [orig_blurred,] x, y, dtf, wt, bands, t_scale) -> H @ p.
+
+    Replaces the central-FD HVP's 2 full gradient evaluations per CG
+    iteration with one fused JVP pass + one fused HVP-backward pass
+    (~1.3 evaluation-equivalents) and no finite-difference step error.
+
+    ``gauss_newton`` (DEFAULT): curvature through the cost only (the
+    vote-Hessian term A dropped in the kernel).  The full a.e. vote
+    Hessian is available with gauss_newton=False but is NOT the useful
+    curvature of this objective: the bilinear vote's second derivative
+    concentrates in delta functions at the floor crossings which the
+    a.e. form misses, so the "exact" H under-curves on the washboard
+    (measured 3.4x smaller HVP norms than central FD at a cold start,
+    with matching cold-start misconvergence); GN keeps the exact,
+    well-conditioned part.
+
+    Decomposition (L(m) = C(blur(F(flow(m))), m), flow linear in m):
+      H p = J_flow^T [ dK(flow)[dflow]^T g1  +  K(flow)^T g2 ]  +  dC_mm
+    where dflow = J_flow p, (g1, g2) = (dC/dimages, its directional
+    derivative via jax.jvp of the cost gradient), both kernel terms
+    computed by ops.pallas_objective_banded.fused_multi_iwe_banded_hvp_bwd
+    and the images + their tangent by fused_multi_iwe_banded_jvp.  The
+    cost (blur/Sobel/hybrid/TV) and the tile->dense interpolation are
+    plain XLA, differentiated by jax directly.  Requires
+    objective_supports_analytic_hvp(spec); the event-sharded mesh path is
+    not wired (callers keep FD under a mesh)."""
+    from .. import config as evconfig
+    from ..ops.blur import gaussian_blur3
+    from ..ops.pallas_objective_banded import (
+        fused_multi_iwe_banded_hvp_bwd,
+        fused_multi_iwe_banded_jvp,
+        objective_col_window,
+        objective_dense_col_bands,
+        objective_row_scale,
+        objective_row_window,
+    )
+
+    assert objective_supports_analytic_hvp(spec)
+    assert spec.outer_padding == 0
+    cost = make_cost(spec)
+    required = set(cost.required_keys)
+    directions = []
+    if required & {"iwe", "backward_iwe"}:
+        directions.append(("backward", 0.0))
+    if "forward_iwe" in required:
+        directions.append(("forward", 1.0))
+    if "middle_iwe" in required:
+        directions.append(("middle", 0.5))
+    need_orig = "orig_iwe" in required
+    assert precomputed_orig or not need_orig, (
+        "analytic HVP requires the motion-independent orig IWE hoisted "
+        "(build_orig_iwe_banded) — the kernels compute direction images only"
+    )
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    use_bf16 = backend_raw in ("auto", "pallas_bf16")
+    h, w = spec.image_shape
+    offsets = tuple(d for _, d in directions)
+    flags = dict(
+        eps=1e-6,
+        use_bf16=use_bf16,
+        col_bands=objective_dense_col_bands(w),
+        row_window=objective_row_window(h),
+        col_window=objective_col_window(h, w),
+        row_scale=objective_row_scale(w),
+    )
+
+    def cost_of(imgs, motion_flat, orig_blurred):
+        """The objective's cost as a function of the RAW direction
+        images and the motion (for the TV 'flow' key) — mirrors
+        build_objective_banded._objective_body exactly."""
+        if spec.blur_sigma > 0:
+            imgs = gaussian_blur3(imgs, spec.blur_sigma)
+        arg = {"omit_boundary": True, "clip": True}
+        if need_orig:
+            arg["orig_iwe"] = orig_blurred
+        for k, (name, _) in enumerate(directions):
+            if name == "backward":
+                arg.update({"iwe": imgs[k], "backward_iwe": imgs[k]})
+            else:
+                arg[f"{name}_iwe"] = imgs[k]
+        if "flow" in required:
+            arg["flow"] = motion_flat.reshape((2,) + tuple(spec.patch_image_size))
+        return nan_to_penalty(cost.calculate(arg))
+
+    grad_cost = jax.grad(cost_of, argnums=(0, 1))
+
+    def _hvp_body(motion_flat, p, orig_blurred, x, y, dtf, wt, bands, t_scale):
+        flow_fn = lambda m: motion_to_dense_flow(spec, m, t_scale) * t_scale
+        flow, dflow = jax.jvp(flow_fn, (motion_flat,), (p,))
+        images, dimages = fused_multi_iwe_banded_jvp(
+            flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets, **flags
+        )
+        (g1, _), (g2, dgm) = jax.jvp(
+            lambda ii, mm: grad_cost(ii, mm, orig_blurred),
+            (images, motion_flat),
+            (dimages, p),
+        )
+        dgflow = fused_multi_iwe_banded_hvp_bwd(
+            flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
+            offsets, term_a=not gauss_newton, **flags
+        )
+        # transpose the (linear) motion->flow map back to motion space
+        _, flow_vjp = jax.vjp(flow_fn, motion_flat)
+        return flow_vjp(dgflow)[0] + dgm
+
+    if precomputed_orig:
+        def hvp(motion_flat, p, orig_blurred, x, y, dtf, wt, bands, t_scale):
+            return _hvp_body(motion_flat, p, orig_blurred, x, y, dtf, wt, bands, t_scale)
+    else:
+        def hvp(motion_flat, p, x, y, dtf, wt, bands, t_scale):
+            return _hvp_body(motion_flat, p, None, x, y, dtf, wt, bands, t_scale)
+
+    return hvp
+
+
 def build_value_grad_hvp(spec: ObjectiveSpec, jit: bool = True):
     """Return (value_and_grad_fn, hvp_fn) over the flat motion vector.
 

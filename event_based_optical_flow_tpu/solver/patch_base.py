@@ -264,13 +264,47 @@ class PatchContrastMaximization(SolverBase):
         from .newton_cg import build_newton_cg
 
         orig_fn = None
+        hvp_fn = None
+        hvp_mode_cfg = str(self.opt_config.get("hvp_mode", "fd")).lower()
+        # "analytic" = Gauss-Newton curvature (the safe default for the
+        # v10 path; the full a.e. vote Hessian misses the washboard's
+        # floor-crossing delta curvature and misconverges cold starts);
+        # "analytic-full" keeps the vote-Hessian term A for study
+        want_analytic = hvp_mode_cfg in ("analytic", "analytic-full")
         if self._uses_banded(spec):
             mesh = self.mesh if self.n_event_shards > 1 else None
             hoist = "orig_iwe" in make_cost(spec).required_keys
             obj = build_objective_banded(spec, precomputed_orig=hoist, mesh=mesh)
             if hoist:
                 orig_fn = build_orig_iwe_banded(spec, mesh=mesh)
+            if want_analytic:
+                from .objective import (
+                    build_objective_banded_hvp,
+                    objective_supports_analytic_hvp,
+                )
+
+                if objective_supports_analytic_hvp(spec) and mesh is None:
+                    hvp_fn = build_objective_banded_hvp(
+                        spec, precomputed_orig=hoist,
+                        gauss_newton=hvp_mode_cfg != "analytic-full",
+                    )
+                elif not getattr(self, "_warned_analytic_hvp", False):
+                    logger.warning(
+                        "optimizer.hvp_mode: analytic is not supported for "
+                        "this objective (time-aware, nonlinear motion model, "
+                        "or event-sharded mesh) — falling back to the FD HVP"
+                    )
+                    self._warned_analytic_hvp = True
         else:
+            if want_analytic and not getattr(self, "_warned_analytic_hvp", False):
+                logger.warning(
+                    "optimizer.hvp_mode: analytic requires the fused banded "
+                    "objective (backend %s, default backend %s) — falling "
+                    "back to the %s HVP",
+                    spec.iwe_backend or "auto", jax.default_backend(),
+                    "FD" if objective_uses_fused(spec) else "autodiff",
+                )
+                self._warned_analytic_hvp = True
             if self.mesh is not None and not getattr(self, "_warned_mesh_unused", False):
                 logger.warning(
                     "a 'parallel' mesh is configured but the objective does "
@@ -290,7 +324,7 @@ class PatchContrastMaximization(SolverBase):
             from .newton_cg import build_lbfgs
 
             ignored = [
-                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central")
+                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central", "hvp_mode")
                 if k in self.opt_config
             ]
             if ignored and not getattr(self, "_warned_lbfgs_ignored", False):
@@ -308,6 +342,17 @@ class PatchContrastMaximization(SolverBase):
                 memory=int(self.opt_config.get("lbfgs_memory", 8)),
             )
         else:
+            if hvp_fn is not None:
+                hvp_mode = "analytic"
+            elif self._uses_banded(spec) or objective_uses_fused(spec):
+                hvp_mode = "fd"
+            else:
+                hvp_mode = "autodiff"
+            max_step = None
+            if hvp_fn is not None:
+                # analytic curvature needs the trust safeguard (see
+                # build_newton_cg's max_step doc); px/s units
+                max_step = float(self.opt_config.get("hvp_max_step", 10.0))
             solve_inner = build_newton_cg(
                 value_fn,
                 maxiter=maxiter,
@@ -317,8 +362,10 @@ class PatchContrastMaximization(SolverBase):
                 ),
                 xtol=1e-5,
                 gtol=gtol,
-                hvp_mode="fd" if (self._uses_banded(spec) or objective_uses_fused(spec)) else "autodiff",
+                hvp_mode=hvp_mode,
                 fd_central=bool(self.opt_config.get("hvp_central", True)),
+                hvp_fn=hvp_fn,
+                max_step=max_step,
             )
         if orig_fn is None:
             return solve_inner

@@ -61,8 +61,8 @@ _KNOWN_SOLVER_KEYS = {
 _KNOWN_PARALLEL_KEYS = {"data", "event"}
 _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
-    "chain", "hvp_central", "coarse_event_fraction", "coarse_max_iter",
-    "coarse_cg_maxiter", "device_solver", "lbfgs_memory",
+    "chain", "hvp_central", "hvp_mode", "hvp_max_step", "coarse_event_fraction",
+    "coarse_max_iter", "coarse_cg_maxiter", "device_solver", "lbfgs_memory",
 }
 _KNOWN_DNN_KEYS = {
     "n_bin", "batch_size", "n_steps", "lr", "data_parallel",

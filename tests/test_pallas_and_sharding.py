@@ -829,3 +829,147 @@ def test_pregather_tables_bit_identical():
         np.asarray(run(flow, False, 96, orig=False)),
         np.asarray(run(flow, True, 96, orig=False)),
     )
+
+
+# --------------------------------------------------------------------
+# v10 analytic second-order kernels (JVP + HVP-backward)
+# --------------------------------------------------------------------
+
+
+def _v10_pack(H, W, n=900, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(1, H - 2, n)
+    y = rng.uniform(1, W - 2, n)
+    t = np.sort(rng.uniform(0, 1, n))
+    wt = np.ones(n)
+    wt[-n // 10:] = 0.0  # padded rows must be inert
+    ev = np.stack([x, y, t, rng.integers(0, 2, n)], 1)
+    dtf = (t - t.min()) / (t.max() - t.min())
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    return PB.pack_events_by_tile_flex(ev, wt, dtf, H, W, chunk=256)
+
+
+@pytest.mark.parametrize("row_window", [None, 128])
+def test_v10_jvp_kernel_matches_forward_and_fd(row_window):
+    """fused_multi_iwe_banded_jvp: the images half is bit-identical to
+    the forward kernel; the tangent half matches a central difference of
+    the forward along the tangent flow (f64, interpret mode)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    H, W = (40, 52) if row_window is None else (200, 72)
+    xs, ys, ds, ws, bands = _v10_pack(H, W)
+    rng = np.random.default_rng(7)
+    flow = jnp.asarray(rng.normal(0, 8.0, (2, H, W)))
+    dflow = jnp.asarray(rng.normal(0, 1.0, (2, H, W)))
+    offsets = (0.0, 0.5, 1.0)
+    cb = PB.n_col_bands(W)
+    rs = PB.FLEX_ROW_SCALE
+
+    def images_of(fl):
+        return PB.fused_multi_iwe_banded(
+            fl, xs, ys, ds, ws, bands, (H, W), offsets, False,
+            1e-6, False, cb, row_window, None, 1, False, rs, False, False,
+        )
+
+    imgs, dimgs = PB.fused_multi_iwe_banded_jvp(
+        flow, dflow, xs, ys, ds, ws, bands, (H, W), offsets,
+        eps=1e-6, use_bf16=False, col_bands=cb, row_window=row_window,
+        row_scale=rs,
+    )
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(images_of(flow)))
+    h = 1e-6
+    fd = (images_of(flow + h * dflow) - images_of(flow - h * dflow)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(dimgs), np.asarray(fd), atol=1e-6)
+
+
+@pytest.mark.parametrize("row_window", [None, 128])
+def test_v10_hvp_bwd_kernel_matches_fd_of_vjp(row_window):
+    """fused_multi_iwe_banded_hvp_bwd == d/dh [vjp(flow + h*dflow)(g1 +
+    h*g2)] at h=0 (central difference, f64): the directional derivative
+    of the implemented backward pass, i.e. term A (the vote's mixed
+    second derivative against g1) + term B (the backward against g2)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    H, W = (40, 52) if row_window is None else (200, 72)
+    xs, ys, ds, ws, bands = _v10_pack(H, W, seed=5)
+    rng = np.random.default_rng(11)
+    flow = jnp.asarray(rng.normal(0, 8.0, (2, H, W)))
+    dflow = jnp.asarray(rng.normal(0, 1.0, (2, H, W)))
+    offsets = (0.0, 1.0)
+    g1 = jnp.asarray(rng.normal(0, 1, (2, H, W)))
+    g2 = jnp.asarray(rng.normal(0, 1, (2, H, W)))
+    cb = PB.n_col_bands(W)
+    rs = PB.FLEX_ROW_SCALE
+
+    def images_of(fl):
+        return PB.fused_multi_iwe_banded(
+            fl, xs, ys, ds, ws, bands, (H, W), offsets, False,
+            1e-6, False, cb, row_window, None, 1, False, rs, False, False,
+        )
+
+    def vjp_at(fl, g):
+        _, f_vjp = jax.vjp(images_of, fl)
+        return f_vjp(g)[0]
+
+    out = PB.fused_multi_iwe_banded_hvp_bwd(
+        flow, dflow, g1, g2, xs, ys, ds, ws, bands, (H, W), offsets,
+        eps=1e-6, use_bf16=False, col_bands=cb, row_window=row_window,
+        row_scale=rs,
+    )
+    h = 1e-6
+    fd = (
+        vjp_at(flow + h * dflow, g1 + h * g2)
+        - vjp_at(flow - h * dflow, g1 - h * g2)
+    ) / (2 * h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fd), atol=1e-5)
+
+
+def test_v10_analytic_hvp_matches_autodiff_oracle():
+    """build_objective_banded_hvp == jax.jvp of the gradient of the
+    UNFUSED (matmul backend, twice-differentiable) objective — the full
+    Hessian-vector product of the production objective, exact to f64
+    rounding (the banded kernels and the matmul path compute identical
+    math; existing parity tests pin that equivalence)."""
+    import dataclasses
+
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.solver.objective import (
+        build_objective,
+        build_objective_banded_hvp,
+        build_orig_iwe_banded,
+        objective_supports_analytic_hvp,
+    )
+    from tests.test_solver import _spec, _synthetic_events
+
+    spec = dataclasses.replace(_spec(False), iwe_backend="pallas")
+    assert objective_supports_analytic_hvp(spec)
+    ev = _synthetic_events(np.asarray([9.0, -5.0]), n=1200, seed=71)
+    padded, wgt = pad_events(ev, target_n=2048)
+    Hs, Ws = spec.image_shape
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    packed = PB.pack_events_dense(padded, wgt, dtf, Hs, Ws)
+    args = tuple(jnp.asarray(a) for a in packed) + (
+        jnp.asarray(ev[:, 2].max() - ev[:, 2].min()),
+    )
+    rng = np.random.default_rng(5)
+    motion = jnp.asarray(rng.uniform(-5, 5, 8))
+    p = jnp.asarray(rng.normal(0, 1, 8))
+
+    oracle_obj = build_objective(dataclasses.replace(spec, iwe_backend="matmul"))
+    gf = lambda m: jax.grad(
+        lambda mm: oracle_obj(mm, jnp.asarray(padded), jnp.asarray(wgt))[0]
+    )(m)
+    _, oracle = jax.jvp(gf, (motion,), (p,))
+
+    orig = build_orig_iwe_banded(spec)(*args)
+    hvp = build_objective_banded_hvp(spec, precomputed_orig=True,
+                                     gauss_newton=False)
+    got = hvp(motion, p, orig, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), atol=1e-12)
+    # the Gauss-Newton default differs from the full Hessian exactly by
+    # the vote-Hessian term A (dropped by design — see the builder doc)
+    gn = build_objective_banded_hvp(spec, precomputed_orig=True)(
+        motion, p, orig, *args
+    )
+    assert gn.shape == got.shape and np.all(np.isfinite(np.asarray(gn)))

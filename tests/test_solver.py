@@ -641,3 +641,47 @@ def test_pyramid_device_lbfgs_recovers(chain):
     fin = best[max(best)]
     assert np.abs(fin[0].mean() - gt[0]) < 1.5, fin[0].mean()
     assert np.abs(fin[1].mean() - gt[1]) < 1.5, fin[1].mean()
+
+
+@pytest.mark.slow
+def test_pyramid_analytic_hvp_recovers():
+    """optimizer.hvp_mode: analytic (v10 fused-kernel second-order path)
+    drives the pyramid solve to the same quality as the central-FD
+    default on a small recovery scene."""
+    gt = np.array([10.0, -8.0])
+    ev = _synthetic_events(gt, n=4000, h=36, w=44)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 32, "crop_width": 40, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        # force the fused banded objective (backend auto = fused only on
+        # TPU) — without it hvp_mode: analytic silently falls back and
+        # this test would pass without touching the v10 path
+        "iwe_backend": "pallas",
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 10,
+        "hvp_mode": "analytic",
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    solv = solver.collections["pyramidal_patch_contrast_maximization"]((36, 44), {}, slv_cfg, opt_cfg, {}, None)
+    best = solv.optimize(ev)
+    # the analytic path must actually have engaged (no silent fallback)
+    assert not getattr(solv, "_warned_analytic_hvp", False)
+    dur = float(ev[:, 2].max() - ev[:, 2].min())
+    gt_disp = np.zeros((36, 44, 2))
+    gt_disp[..., 0] = -gt[0] * dur
+    gt_disp[..., 1] = -gt[1] * dur
+    err = solv.calculate_flow_error(best, gt_disp, timescale=dur, events=ev)
+    assert err["EPE"] < 1.0
+    assert err["PRED_FWL"] < 1.0

@@ -117,6 +117,21 @@ def main():
             "B(central)": ("tile", 96),
         }
         OPT_OVER = {"A(one-sided)": {}, "B(central)": {"hvp_central": True}}
+    elif mode == "hvp-analytic":
+        # v10 analytic (fused JVP+HVP kernels, GN curvature + step cap)
+        # vs the shipped central-FD default: speed + flowMAE on the
+        # 30%-clutter scene (the family that exposed one-sided FD noise)
+        noise_frac = 0.3
+        POLICIES = {
+            "A(central-fd)": ("flex", 96),
+            "B(analytic-gn)": ("flex", 96),
+            "C(analytic-full)": ("flex", 96),
+        }
+        OPT_OVER = {
+            "A(central-fd)": {},
+            "B(analytic-gn)": {"hvp_mode": "analytic"},
+            "C(analytic-full)": {"hvp_mode": "analytic-full"},
+        }
     elif mode == "tent":
         # v8 vote-block build (OBJECTIVE_TENT consumed at objective BUILD
         # time; builds happen lazily under with_policy): speed + accuracy
