@@ -1498,9 +1498,9 @@ fused_multi_iwe_banded_batched.defvjp(_vjp_fwd_b, _vjp_bwd_b)
 
 def _jvp_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, dflow_ref,
                 out_ref, *, hp, wp, eps, offsets, use_bf16, col_bands=None,
-                row_window=None, col_window=None, row_scale=BAND):
+                row_window=None, col_window=None, row_scale=BAND, chunk_axis=0):
     assert col_window is None or (row_window is not None and col_bands is not None)
-    i = pl.program_id(0)
+    i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
     def _():
@@ -1633,9 +1633,9 @@ def fused_multi_iwe_banded_jvp(flow, dflow, x, y, dtf, wt, band_ids, image_size,
 def _hvp_bwd_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, dflow_ref,
                     g_ref, dflow_out_ref, *, hp, wp, eps, offsets, use_bf16,
                     col_bands=None, row_window=None, col_window=None,
-                    row_scale=BAND, term_a=True):
+                    row_scale=BAND, term_a=True, chunk_axis=0):
     assert col_window is None or (row_window is not None and col_bands is not None)
-    i = pl.program_id(0)
+    i = pl.program_id(chunk_axis)
 
     @pl.when(i == 0)
     def _():
@@ -1796,3 +1796,81 @@ def fused_multi_iwe_banded_hvp_bwd(flow, dflow, g1, g2, x, y, dtf, wt, band_ids,
         interpret=_interpret(),
     )(rows, xs, ys, ds, ws, flow_p, dflow_p, g_p)
     return out[:, :h, :w]
+
+
+def fused_multi_iwe_banded_jvp_batched(flow, dflow, x, y, dtf, wt, band_rows,
+                                       image_size, offsets, eps=1e-6,
+                                       use_bf16=True, col_bands=None,
+                                       row_window=None, col_window=None,
+                                       row_scale=BAND):
+    """Fleet variant of ``fused_multi_iwe_banded_jvp``: flow/dflow
+    [B,2,H,W], packed chunks [B,G,1,CHUNK] (pack_fleet_banded), grid
+    (B, G).  Returns (images [B,K,H,W], dimages [B,K,H,W]); the images
+    half is bit-identical to ``fused_multi_iwe_banded_batched`` with the
+    same flags."""
+    assert offsets, "jvp kernel computes direction images (no orig slice)"
+    bsz = x.shape[0]
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _flow_pad_rows(h, row_scale)
+    wp = _round_up(w + 1, 128)
+    g_chunks = x.shape[1]
+    n_k = len(offsets)
+    flow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(flow)
+    dflow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(dflow)
+    band, row, flow_spec, _ = _specs_batched(hp, hp_flow, wp, 2 * n_k, x.shape[-1])
+    out_spec = pl.BlockSpec((None, 2 * n_k, hp, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _jvp_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            use_bf16=use_bf16, col_bands=col_bands, row_window=row_window,
+            col_window=col_window, row_scale=row_scale, chunk_axis=1,
+        ),
+        grid=(bsz, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, flow_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, 2 * n_k, hp, wp), flow.dtype),
+        interpret=_interpret(),
+    )(band_rows, x, y, dtf, wt, flow_p, dflow_p)
+    return out[:, :n_k, :h, :w], out[:, n_k:, :h, :w]
+
+
+def fused_multi_iwe_banded_hvp_bwd_batched(flow, dflow, g1, g2, x, y, dtf, wt,
+                                           band_rows, image_size, offsets,
+                                           eps=1e-6, use_bf16=True,
+                                           col_bands=None, row_window=None,
+                                           col_window=None, row_scale=BAND,
+                                           term_a=True):
+    """Fleet variant of ``fused_multi_iwe_banded_hvp_bwd``: per-frame
+    tangents/cotangents [B,...]; grid (B, G).  Returns [B,2,H,W]."""
+    assert offsets, "hvp kernel computes direction contributions (no orig)"
+    bsz = x.shape[0]
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _flow_pad_rows(h, row_scale)
+    wp = _round_up(w + 1, 128)
+    g_chunks = x.shape[1]
+    n_k = len(offsets)
+    flow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(flow)
+    dflow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(dflow)
+    g_p = (
+        jnp.zeros((bsz, 2 * n_k, hp, wp), flow.dtype)
+        .at[:, :n_k, :h, :w].set(g1)
+        .at[:, n_k:, :h, :w].set(g2)
+    )
+    band, row, flow_spec, _ = _specs_batched(hp, hp_flow, wp, 2 * n_k, x.shape[-1])
+    g_spec = pl.BlockSpec((None, 2 * n_k, hp, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _hvp_bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            use_bf16=use_bf16, col_bands=col_bands, row_window=row_window,
+            col_window=col_window, row_scale=row_scale, term_a=term_a,
+            chunk_axis=1,
+        ),
+        grid=(bsz, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, flow_spec, g_spec],
+        out_specs=flow_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, 2, hp_flow, wp), flow.dtype),
+        interpret=_interpret(),
+    )(band_rows, x, y, dtf, wt, flow_p, dflow_p, g_p)
+    return out[:, :, :h, :w]

@@ -269,6 +269,121 @@ def build_batched_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool =
     return batched
 
 
+def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
+                                       precomputed_orig: bool = False,
+                                       gauss_newton: bool = True):
+    """Fleet analog of objective.build_objective_banded_hvp (v10):
+    hvp(motion [B,M], p [B,M], [orig_b [B,H,W],] x, y, dtf, wt,
+    band_rows, t_scales) -> H @ p per frame [B,M].
+
+    One fused batched JVP pass + one fused batched HVP-backward pass per
+    lockstep CG iteration replaces central FD's 2 batched gradient
+    evaluations.  Same decomposition and caveats as the single-frame
+    builder (Gauss-Newton default; the analytic modes run under the
+    batched Newton's per-frame step cap).  Requires
+    objective_supports_analytic_hvp(spec)."""
+    from .. import config as evconfig
+    from ..ops.pallas_objective_banded import (
+        fused_multi_iwe_banded_hvp_bwd_batched,
+        fused_multi_iwe_banded_jvp_batched,
+        objective_col_window,
+        objective_dense_col_bands,
+        objective_row_scale,
+        objective_row_window,
+    )
+    from .objective import motion_to_dense_flow, objective_supports_analytic_hvp
+
+    assert objective_supports_analytic_hvp(spec)
+    assert spec.outer_padding == 0
+    cost = make_cost(spec)
+    required = set(cost.required_keys)
+    directions = []
+    if required & {"iwe", "backward_iwe"}:
+        directions.append(("backward", 0.0))
+    if "forward_iwe" in required:
+        directions.append(("forward", 1.0))
+    if "middle_iwe" in required:
+        directions.append(("middle", 0.5))
+    need_orig = "orig_iwe" in required
+    assert precomputed_orig or not need_orig, (
+        "batched analytic HVP requires the per-frame orig IWEs hoisted "
+        "(build_orig_iwe_banded_batched)"
+    )
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    use_bf16 = backend_raw in ("auto", "pallas_bf16")
+    h, w = spec.image_shape
+    offsets = tuple(d for _, d in directions)
+    flags = dict(
+        eps=1e-6,
+        use_bf16=use_bf16,
+        col_bands=objective_dense_col_bands(w),
+        row_window=objective_row_window(h),
+        col_window=objective_col_window(h, w),
+        row_scale=objective_row_scale(w),
+    )
+
+    def cost_of(imgs, motion_flat, orig_blurred):
+        # one frame's cost from its RAW direction images — mirrors
+        # build_batched_objective_banded's per_frame exactly
+        if spec.blur_sigma > 0:
+            imgs = gaussian_blur3(imgs, spec.blur_sigma)
+        arg = {"omit_boundary": True, "clip": True}
+        if need_orig:
+            arg["orig_iwe"] = orig_blurred
+        for k, (name, _) in enumerate(directions):
+            if name == "backward":
+                arg.update({"iwe": imgs[k], "backward_iwe": imgs[k]})
+            else:
+                arg[f"{name}_iwe"] = imgs[k]
+        if "flow" in required:
+            arg["flow"] = motion_flat.reshape((2,) + tuple(spec.patch_image_size))
+        return nan_to_penalty(cost.calculate(arg))
+
+    grad_cost = jax.grad(cost_of, argnums=(0, 1))
+
+    def _hvp_body(motion, p, orig_b, x, y, dtf, wt, band_rows, t_scales):
+        def flow_of(m, ts):
+            return motion_to_dense_flow(spec, m, ts) * ts
+
+        flows, dflows = jax.vmap(
+            lambda m, pp, ts: jax.jvp(lambda mm: flow_of(mm, ts), (m,), (pp,))
+        )(motion, p, t_scales)
+        images, dimages = fused_multi_iwe_banded_jvp_batched(
+            flows, dflows, x, y, dtf, wt, band_rows, spec.image_shape,
+            offsets, **flags
+        )
+        if orig_b is None:
+            orig_b = jnp.zeros((motion.shape[0], h, w), images.dtype)
+
+        def cost_jvp(img_k, m, pp, dimg_k, orig_k):
+            (g1, _), (g2, dgm) = jax.jvp(
+                lambda ii, mm: grad_cost(ii, mm, orig_k),
+                (img_k, m), (dimg_k, pp),
+            )
+            return g1, g2, dgm
+
+        g1, g2, dgm = jax.vmap(cost_jvp)(images, motion, p, dimages, orig_b)
+        dgflow = fused_multi_iwe_banded_hvp_bwd_batched(
+            flows, dflows, g1, g2, x, y, dtf, wt, band_rows,
+            spec.image_shape, offsets, term_a=not gauss_newton, **flags
+        )
+
+        def back(m, ts, df):
+            _, f_vjp = jax.vjp(lambda mm: flow_of(mm, ts), m)
+            return f_vjp(df)[0]
+
+        return jax.vmap(back)(motion, t_scales, dgflow) + dgm
+
+    if precomputed_orig:
+        def hvp(motion, p, orig_b, x, y, dtf, wt, band_rows, t_scales):
+            return _hvp_body(motion, p, orig_b, x, y, dtf, wt, band_rows, t_scales)
+    else:
+        def hvp(motion, p, x, y, dtf, wt, band_rows, t_scales):
+            return _hvp_body(motion, p, None, x, y, dtf, wt, band_rows, t_scales)
+
+    return hvp
+
+
 def build_batched_objective(spec: ObjectiveSpec):
     """fn(motion [B, M], events [B, N, 4], weights [B, N]) -> losses [B]."""
     if objective_uses_fused(spec):
@@ -433,6 +548,8 @@ def build_newton_cg_batched(
     armijo_c1: float = 1e-4,
     fd_hvp: bool = True,
     fd_central: bool = True,
+    hvp_fn=None,
+    max_step=None,
 ):
     """Lockstep per-frame truncated Newton.
 
@@ -441,6 +558,10 @@ def build_newton_cg_batched(
     ``fd_central``: central-difference HVPs (2 gradients each) — the
     accuracy default; one-sided (vs the iterate's gradient, 1 gradient)
     is the measured-speed knob (optimizer.hvp_central: false).
+    ``hvp_fn(x [B,M], d [B,M], *args) -> [B,M]``: analytic batched HVP
+    (the v10 fused-kernel path, build_batched_objective_banded_hvp) —
+    overrides fd_hvp; requires ``max_step`` (per-frame inf-norm Newton
+    step cap, same trust safeguard as newton_cg.build_newton_cg).
     """
 
     def _sum_fn(x, args):
@@ -456,6 +577,8 @@ def build_newton_cg_batched(
         return jnp.sum(a * b, axis=-1)  # [B]
 
     def hvp(x, d, g0, args):
+        if hvp_fn is not None:
+            return hvp_fn(x, d, *args)
         if not fd_hvp:
             def gsum_dot(xx):
                 return jnp.sum(jax.grad(_sum_fn)(xx, args) * d)
@@ -530,6 +653,9 @@ def build_newton_cg_batched(
         def body(state):
             x, f, g, k, done, bx, bf = state
             p = cg_solve(x, g, args)
+            if max_step is not None:
+                p_inf = jnp.max(jnp.abs(p), axis=-1, keepdims=True) + 1e-12
+                p = p * jnp.minimum(1.0, jnp.asarray(max_step, x.dtype) / p_inf)
             alpha, f_ls = line_search(x, f, g, p, args)
             # plateau escape per frame: backtracking failed OR the first
             # iteration only found a negligible decrease (flat/zero inits
@@ -767,24 +893,57 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             for s, e in zip(subs, events_list)
         ]
 
-    def _build_fleet_newton(self, spec, maxiter: int, gtol: float, cg_maxiter=None):
+    def _build_fleet_newton(self, spec, maxiter: int, gtol: float, cg_maxiter=None,
+                            finest=True, warm=False):
         """Batched lockstep Newton fn(x0 [B,M], *fleet_args); on the
         banded path with an orig-dependent cost, the per-frame
         motion-independent orig IWEs are hoisted out of the lockstep loop
         (see patch_base._build_newton for the single-frame analog).
         ``cg_maxiter`` overrides optimizer.cg_maxiter (the pyramid's
-        coarse-scale budget knob)."""
+        coarse-scale budget knob).  ``finest``: as in
+        patch_base._build_newton — ``hvp_mode: analytic`` is the per-scale
+        hybrid (v10 analytic GN HVP on the finest scale, FD on coarse)."""
         orig_fn = None
+        hvp_fn = None
+        hvp_mode_cfg = str(self.opt_config.get("hvp_mode", "fd")).lower()
+        want_analytic = hvp_mode_cfg in ("analytic", "analytic-warm",
+                                         "analytic-all", "analytic-full")
+        if not finest:
+            if hvp_mode_cfg == "analytic":
+                want_analytic = False
+            elif hvp_mode_cfg == "analytic-warm":
+                want_analytic = warm
         if objective_uses_banded(spec):
             hoist = "orig_iwe" in make_cost(spec).required_keys
             batched = build_batched_objective_banded(spec, precomputed_orig=hoist)
             if hoist:
                 orig_fn = build_orig_iwe_banded_batched(spec)
+            if want_analytic:
+                from .objective import objective_supports_analytic_hvp
+
+                if objective_supports_analytic_hvp(spec):
+                    hvp_fn = build_batched_objective_banded_hvp(
+                        spec, precomputed_orig=hoist,
+                        gauss_newton=hvp_mode_cfg != "analytic-full",
+                    )
+                elif not getattr(self, "_warned_analytic_hvp", False):
+                    logger.warning(
+                        "optimizer.hvp_mode: analytic is not supported for "
+                        "this fleet objective (time-aware or nonlinear "
+                        "motion model) — falling back to the FD HVP"
+                    )
+                    self._warned_analytic_hvp = True
         else:
             batched = build_batched_objective(spec)
+            if want_analytic and not getattr(self, "_warned_analytic_hvp", False):
+                logger.warning(
+                    "optimizer.hvp_mode: analytic requires the fused banded "
+                    "fleet objective — falling back to the FD HVP"
+                )
+                self._warned_analytic_hvp = True
         if str(self.opt_config.get("device_solver", "newton-cg")).lower() == "lbfgs":
             ignored = [
-                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central")
+                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central", "hvp_mode")
                 if k in self.opt_config
             ]
             if ignored and not getattr(self, "_warned_lbfgs_ignored", False):
@@ -810,6 +969,11 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 gtol=gtol,
                 fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
                 fd_central=bool(self.opt_config.get("hvp_central", True)),
+                hvp_fn=hvp_fn,
+                max_step=(
+                    float(self.opt_config.get("hvp_max_step", 10.0))
+                    if hvp_fn is not None else None
+                ),
             )
         if orig_fn is None:
             return solve_inner
@@ -820,11 +984,14 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         return solve
 
     def _get_fleet_solver(self, spec, bsz: int, maxiter: int, gtol: float,
-                          cg_maxiter=None):
-        key = (spec, "fleet", bsz, maxiter, gtol, cg_maxiter)
+                          cg_maxiter=None, finest=True, warm=False):
+        warm = self._warm_key(warm)
+        key = (spec, "fleet", bsz, maxiter, gtol, cg_maxiter, finest, warm)
         if key not in self._fun_cache:
             self._fun_cache[key] = jax.jit(
-                self._build_fleet_newton(spec, maxiter, gtol, cg_maxiter=cg_maxiter)
+                self._build_fleet_newton(spec, maxiter, gtol,
+                                         cg_maxiter=cg_maxiter, finest=finest,
+                                         warm=warm)
             )
         return self._fun_cache[key]
 
@@ -913,7 +1080,9 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 [self._init_scale_single(s, events_list[b], best_per_scale, b) for b in range(bsz)]
             )
             scale_mi, scale_cg = self._scale_budget(s)
-            solve = self._get_fleet_solver(spec, bsz, scale_mi, 1e-5, cg_maxiter=scale_cg)
+            solve = self._get_fleet_solver(spec, bsz, scale_mi, 1e-5, cg_maxiter=scale_cg,
+                                           finest=s == self.patch_scales - 1,
+                                           warm=self.previous_frame_best_estimation is not None)
             # coarse scales may solve on the subsampled pack (banded
             # path); the finest scale always sees the full fleet pack
             args_s = (
@@ -1098,7 +1267,8 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
 
             solvers = {
                 s: self._build_fleet_newton(
-                    specs[s], _budget(s)[0], gtol, cg_maxiter=_budget(s)[1]
+                    specs[s], _budget(s)[0], gtol, cg_maxiter=_budget(s)[1],
+                    finest=s == scales[-1], warm=use_warm,
                 )
                 for s in solve_scales
             }

@@ -171,11 +171,25 @@ class PatchContrastMaximization(SolverBase):
     def _uses_banded(self, spec) -> bool:
         return objective_uses_banded(spec)
 
-    def _get_newton_solver(self, spec, maxiter: int, gtol: float, cg_maxiter=None):
-        key = (spec, "newton", maxiter, gtol, cg_maxiter, self._uses_banded(spec))
+    def _warm_key(self, warm: bool) -> bool:
+        """Normalize the per-call warm flag for solver cache keys: only
+        ``hvp_mode: analytic-warm`` builds different programs for cold vs
+        warm frames — every other mode must key identically or the first
+        warm frame pays a full redundant retrace of every solver
+        (measured: +17-34 s/arm in the DSEC hvp A/B before this guard)."""
+        return bool(warm) and str(
+            self.opt_config.get("hvp_mode", "fd")
+        ).lower() == "analytic-warm"
+
+    def _get_newton_solver(self, spec, maxiter: int, gtol: float, cg_maxiter=None,
+                           finest=True, warm=False):
+        warm = self._warm_key(warm)
+        key = (spec, "newton", maxiter, gtol, cg_maxiter, self._uses_banded(spec),
+               finest, warm)
         if key not in self._fun_cache:
             self._fun_cache[key] = jax.jit(
-                self._build_newton(spec, maxiter, gtol, cg_maxiter=cg_maxiter)
+                self._build_newton(spec, maxiter, gtol, cg_maxiter=cg_maxiter,
+                                   finest=finest, warm=warm)
             )
         return self._fun_cache[key]
 
@@ -252,7 +266,8 @@ class PatchContrastMaximization(SolverBase):
             bands = jnp.asarray(bands)
         return (x2, y2, d2, w2, bands, jnp.asarray(t_max - t_min, self.dtype))
 
-    def _build_newton(self, spec, maxiter: int, gtol: float, cg_maxiter=None):
+    def _build_newton(self, spec, maxiter: int, gtol: float, cg_maxiter=None,
+                      finest=True, warm=False):
         """Newton-CG solve fn(x0, *banded_or_event_args).  On the banded
         path with an orig-dependent cost, the motion-independent orig IWE
         is computed ONCE up front (build_orig_iwe_banded) instead of as a
@@ -260,17 +275,44 @@ class PatchContrastMaximization(SolverBase):
         (~25% of the forward vote FLOPs).
 
         ``cg_maxiter`` overrides ``optimizer.cg_maxiter`` for this solver
-        instance (the pyramid's coarse-scale budget knob)."""
+        instance (the pyramid's coarse-scale budget knob).  ``finest``:
+        whether this solver runs the pyramid's finest scale (True for
+        single-scale solvers) — ``hvp_mode: analytic`` is a per-scale
+        HYBRID that keeps the FD HVP on the coarse scales (see below)."""
         from .newton_cg import build_newton_cg
 
         orig_fn = None
         hvp_fn = None
         hvp_mode_cfg = str(self.opt_config.get("hvp_mode", "fd")).lower()
-        # "analytic" = Gauss-Newton curvature (the safe default for the
-        # v10 path; the full a.e. vote Hessian misses the washboard's
-        # floor-crossing delta curvature and misconverges cold starts);
-        # "analytic-full" keeps the vote-Hessian term A for study
-        want_analytic = hvp_mode_cfg in ("analytic", "analytic-full")
+        if hvp_mode_cfg not in ("fd", "analytic", "analytic-warm", "analytic-all",
+                                "analytic-full") \
+                and not getattr(self, "_warned_hvp_mode", False):
+            logger.warning(
+                f"optimizer.hvp_mode: {hvp_mode_cfg!r} is not recognized "
+                "(fd | analytic | analytic-warm | analytic-all | "
+                "analytic-full) — using fd"
+            )
+            self._warned_hvp_mode = True
+        # "analytic" = the ADOPTABLE hybrid: Gauss-Newton curvature via the
+        # v10 fused JVP+HVP kernels on the FINEST scale only; coarse scales
+        # keep the central-FD HVP.  Measured (tools/ab_policy.py
+        # hvp-analytic): warm frames match central-FD accuracy at ~2.6x
+        # speed, but full-chain analytic misroutes COLD starts (the GN/full
+        # curvature misses the washboard's floor-crossing delta curvature,
+        # so coarse-scale basin selection overshoots) — hence the hybrid.
+        # "analytic-warm" = the streaming speed mode: cold frames run the
+        # hybrid, WARM frames (a previous-frame estimate seeds every
+        # scale) run analytic GN on every scale — measured safe warm and
+        # 2.6x the central-FD wall (ab_policy hvp-analytic arm C, warm
+        # rounds).  "analytic-all"/"analytic-full" run GN / full-H
+        # analytic on every scale unconditionally (study modes).
+        want_analytic = hvp_mode_cfg in ("analytic", "analytic-warm",
+                                         "analytic-all", "analytic-full")
+        if not finest:
+            if hvp_mode_cfg == "analytic":
+                want_analytic = False
+            elif hvp_mode_cfg == "analytic-warm":
+                want_analytic = warm
         if self._uses_banded(spec):
             mesh = self.mesh if self.n_event_shards > 1 else None
             hoist = "orig_iwe" in make_cost(spec).required_keys
@@ -376,18 +418,20 @@ class PatchContrastMaximization(SolverBase):
         return solve
 
     def _get_fused_scale_solver(self, spec, search_key, maxiter: int, gtol: float,
-                                cg_maxiter=None):
+                                cg_maxiter=None, finest=True, warm=False):
         """Per-patch init sweep + Newton-CG as ONE jitted device program.
 
         Through a tunneled runtime every dispatch costs 25-120 ms; fusing
         the two per-scale calls halves that overhead.  Signature:
         fused(patch_events, weights, counts, motion0 [P,2], key, *newton_args)
           -> (best_x, best_f, n_iter)."""
+        warm = self._warm_key(warm)
         key = (spec, "fused_scale", search_key, maxiter, gtol, cg_maxiter,
-               self._uses_banded(spec))
+               self._uses_banded(spec), finest, warm)
         if key not in self._fun_cache:
             search = self._get_patch_search(search_key)
-            solve = self._build_newton(spec, maxiter, gtol, cg_maxiter=cg_maxiter)
+            solve = self._build_newton(spec, maxiter, gtol, cg_maxiter=cg_maxiter,
+                                       finest=finest, warm=warm)
 
             def fused(patch_events, weights, counts, motion0, key_, *newton_args):
                 m1 = search(patch_events, weights, counts, motion0, key_)
@@ -399,7 +443,7 @@ class PatchContrastMaximization(SolverBase):
 
     def _run_fused_scale_device(self, spec, events_np, ev, w, motion0, n_candidates,
                                 maxiter, gtol, patch_size=None, newton_events_np=None,
-                                cg_maxiter=None):
+                                cg_maxiter=None, finest=True, warm=False):
         """Host glue for the fused scale step: gather per-patch events,
         assemble Newton args (banded pack or padded events), one call.
         ``newton_events_np`` (optional) substitutes a different event set
@@ -410,7 +454,8 @@ class PatchContrastMaximization(SolverBase):
         patch_events, weights, counts = gather_patch_events(events_np, self.patches, capacity)
         search_key = (patch_size, int(n_candidates), capacity)
         fused = self._get_fused_scale_solver(spec, search_key, maxiter, gtol,
-                                             cg_maxiter=cg_maxiter)
+                                             cg_maxiter=cg_maxiter, finest=finest,
+                                             warm=warm)
         if self._uses_banded(spec):
             newton_args = self._banded_newton_args(
                 events_np if newton_events_np is None else newton_events_np
@@ -431,10 +476,11 @@ class PatchContrastMaximization(SolverBase):
         return np.asarray(best_x, dtype=np.float64)
 
     def _run_newton_device(self, spec, events_dev, weights_dev, motion0, maxiter, gtol,
-                           events_np=None, cg_maxiter=None):
+                           events_np=None, cg_maxiter=None, finest=True, warm=False):
         """Whole Newton-CG solve as one device program (solver/newton_cg.py):
         replaces ~100 host round trips per scale with one."""
-        solve = self._get_newton_solver(spec, maxiter, gtol, cg_maxiter=cg_maxiter)
+        solve = self._get_newton_solver(spec, maxiter, gtol, cg_maxiter=cg_maxiter,
+                                        finest=finest, warm=warm)
         x0 = jnp.asarray(np.asarray(motion0, dtype=np.float64).reshape(-1), self.dtype)
         if self._uses_banded(spec):
             best_x, best_f, n_iter = solve(x0, *self._banded_newton_args(events_np))

@@ -190,6 +190,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                     spec, events, ev, w, motion0, n_cand,
                     maxiter=scale_mi, gtol=1e-5,
                     newton_events_np=newton_ev, cg_maxiter=scale_cg,
+                    finest=s == self.patch_scales - 1,
+                    warm=self.previous_frame_best_estimation is not None,
                 )
             elif device_newton:
                 self.cost_func.enable_history_register()
@@ -197,6 +199,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                     spec, ev, w, motion0,
                     maxiter=scale_mi, gtol=1e-5,
                     events_np=newton_ev, cg_maxiter=scale_cg,
+                    finest=s == self.patch_scales - 1,
+                    warm=self.previous_frame_best_estimation is not None,
                 )
             elif self.opt_method in SCIPY_OPTIMIZERS:
                 self.cost_func.enable_history_register()
@@ -402,7 +406,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
 
             solvers = {
                 s: self._build_newton(
-                    specs[s], _budget(s)[0], gtol, cg_maxiter=_budget(s)[1]
+                    specs[s], _budget(s)[0], gtol, cg_maxiter=_budget(s)[1],
+                    finest=s == scales[-1], warm=use_warm,
                 )
                 for s in solve_scales
             }

@@ -454,3 +454,94 @@ def test_fleet_coarse_events_list_semantics():
     solo = make(2)
     assert solo.patch_scales - solo.coarsest_scale == 1
     assert solo._coarse_events_list([dense, dense]) is None
+
+
+def test_batched_analytic_hvp_matches_single_frame_oracle():
+    """build_batched_objective_banded_hvp (v10 fleet path) == jax.jvp of
+    the gradient of the per-frame UNFUSED (matmul) objective — the full
+    Hessian-vector product, frame by frame, exact to f64 rounding (same
+    oracle as the single-frame test in test_pallas_and_sharding)."""
+    from event_based_optical_flow_tpu.solver.fleet import (
+        build_batched_objective_banded_hvp,
+        build_orig_iwe_banded_batched,
+        pack_fleet_banded,
+    )
+    from event_based_optical_flow_tpu.solver.objective import (
+        objective_supports_analytic_hvp,
+    )
+
+    spec = dataclasses.replace(_spec(False), iwe_backend="pallas")
+    assert objective_supports_analytic_hvp(spec)
+    gts = [(9.0, -5.0), (-7.0, 3.0)]
+    events_list = [
+        _synthetic_events(np.asarray(gt), n=1400, seed=80 + i)
+        for i, gt in enumerate(gts)
+    ]
+    x2, y2, d2, w2, brows, scales = pack_fleet_banded(events_list, H, image_width=W)
+    args = (jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(d2), jnp.asarray(w2),
+            jnp.asarray(brows), jnp.asarray(scales))
+    orig_b = build_orig_iwe_banded_batched(spec)(*args[:-1])
+    rng = np.random.default_rng(13)
+    motion = jnp.asarray(rng.uniform(-5, 5, (2, 8)))
+    p = jnp.asarray(rng.normal(0, 1, (2, 8)))
+
+    hvp_full = build_batched_objective_banded_hvp(
+        spec, precomputed_orig=True, gauss_newton=False
+    )
+    got = np.asarray(hvp_full(motion, p, orig_b, *args))
+
+    single = build_objective(dataclasses.replace(spec, iwe_backend="matmul"))
+    for b in range(2):
+        padded, wgt = pad_events(events_list[b], target_n=x2.shape[1] * x2.shape[-1])
+        gf = lambda m: jax.grad(
+            lambda mm: single(mm, jnp.asarray(padded), jnp.asarray(wgt))[0]
+        )(m)
+        _, oracle = jax.jvp(gf, (motion[b],), (p[b],))
+        np.testing.assert_allclose(got[b], np.asarray(oracle), atol=1e-12)
+
+    # the GN default drops exactly the vote-Hessian term A; sanity only
+    gn = build_batched_objective_banded_hvp(spec, precomputed_orig=True)(
+        motion, p, orig_b, *args
+    )
+    assert gn.shape == got.shape and np.all(np.isfinite(np.asarray(gn)))
+
+
+@pytest.mark.slow
+def test_fleet_analytic_hvp_recovers():
+    """hvp_mode: analytic (the per-scale hybrid) on the fleet path: the
+    batched v10 kernels drive the finest-scale lockstep Newton to the
+    same recovery as the FD default; coarse scales keep the FD HVP."""
+    gts = [(10.0, -8.0), (-6.0, 9.0)]
+    slv_cfg = {
+        "method": "fleet_pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 20, "crop_width": 28, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        # force the fused banded fleet objective off-TPU so the analytic
+        # path engages (backend auto = fused only on TPU)
+        "iwe_backend": "pallas",
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 10,
+        "hvp_mode": "analytic",
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    solv = solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, opt_cfg, {}, None
+    )
+    events_list = [_synthetic_events(np.asarray(gt), n=2500, seed=20 + i) for i, gt in enumerate(gts)]
+    results = solv.optimize_batch(events_list)
+    assert not getattr(solv, "_warned_analytic_hvp", False)
+    assert len(results) == 2
+    for res, gt in zip(results, gts):
+        finest = res[max(res)]
+        np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)

@@ -685,3 +685,46 @@ def test_pyramid_analytic_hvp_recovers():
     err = solv.calculate_flow_error(best, gt_disp, timescale=dur, events=ev)
     assert err["EPE"] < 1.0
     assert err["PRED_FWL"] < 1.0
+
+
+@pytest.mark.slow
+def test_pyramid_analytic_warm_mode():
+    """hvp_mode: analytic-warm — cold frames run the hybrid (FD coarse,
+    analytic finest), warm frames run analytic on every scale; both must
+    recover on a small scene (cold first, then warm-chained)."""
+    gt = np.array([10.0, -8.0])
+    ev = _synthetic_events(gt, n=4000, h=36, w=44)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 32, "crop_width": 40, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 10,
+        "hvp_mode": "analytic-warm",
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    solv = solver.collections["pyramidal_patch_contrast_maximization"]((36, 44), {}, slv_cfg, opt_cfg, {}, None)
+    best_cold = solv.optimize(ev)
+    assert not getattr(solv, "_warned_analytic_hvp", False)
+    fin = best_cold[max(best_cold)]
+    assert np.abs(fin[0].mean() - gt[0]) < 1.5
+    assert np.abs(fin[1].mean() - gt[1]) < 1.5
+    # warm frame: every scale now runs the analytic GN HVP
+    solv.set_previous_frame_best_estimation(best_cold)
+    ev2 = _synthetic_events(gt + np.array([0.5, -0.5]), n=4000, h=36, w=44, seed=9)
+    best_warm = solv.optimize(ev2)
+    fin2 = best_warm[max(best_warm)]
+    assert np.abs(fin2[0].mean() - (gt[0] + 0.5)) < 1.5
+    assert np.abs(fin2[1].mean() - (gt[1] - 0.5)) < 1.5

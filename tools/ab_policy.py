@@ -117,20 +117,34 @@ def main():
             "B(central)": ("tile", 96),
         }
         OPT_OVER = {"A(one-sided)": {}, "B(central)": {"hvp_central": True}}
-    elif mode == "hvp-analytic":
+    elif mode.startswith("hvp-analytic"):
         # v10 analytic (fused JVP+HVP kernels, GN curvature + step cap)
         # vs the shipped central-FD default: speed + flowMAE on the
-        # 30%-clutter scene (the family that exposed one-sided FD noise)
+        # 30%-clutter scene (the family that exposed one-sided FD noise).
+        # hvp-analytic-dsec runs at DSEC geometry on the shipped DSEC
+        # budgets (cg 8 + coarse_event_fraction 0.25).
         noise_frac = 0.3
+        base = {}
+        if mode.endswith("-dsec"):
+            # (H/W/N_EV are function-wide globals via the first branch's
+            # declaration)
+            import bench_e2e as _be
+
+            _be.H, _be.W = 480, 640
+            H, W, N_EV = 480, 640, 300000
+            base = {"cg_maxiter": 8, "coarse_event_fraction": 0.25}
         POLICIES = {
             "A(central-fd)": ("flex", 96),
-            "B(analytic-gn)": ("flex", 96),
-            "C(analytic-full)": ("flex", 96),
+            "B(hybrid)": ("flex", 96),
+            "C(analytic-all)": ("flex", 96),
         }
         OPT_OVER = {
-            "A(central-fd)": {},
-            "B(analytic-gn)": {"hvp_mode": "analytic"},
-            "C(analytic-full)": {"hvp_mode": "analytic-full"},
+            "A(central-fd)": dict(base),
+            # the adoptable hybrid: analytic GN on the finest scale only
+            "B(hybrid)": dict(base, hvp_mode="analytic"),
+            # full-chain analytic (cold-start-risky; measured 2026-08-19:
+            # warm parity at 2.6x speed, cold frame misroutes)
+            "C(analytic-all)": dict(base, hvp_mode="analytic-all"),
         }
     elif mode == "tent":
         # v8 vote-block build (OBJECTIVE_TENT consumed at objective BUILD

@@ -100,6 +100,7 @@ def main():
         # numbers; override on the command line to study other budgets)
         OPT_CFG.setdefault("cg_maxiter", 8)
         OPT_CFG.setdefault("coarse_event_fraction", 0.25)
+        OPT_CFG.setdefault("hvp_mode", "analytic")
     if which in ("ref", "ta-ref"):
         from src.solver.patch_contrast_pyramid import PyramidalPatchContrastMaximization as Solver
     else:
