@@ -1498,7 +1498,8 @@ fused_multi_iwe_banded_batched.defvjp(_vjp_fwd_b, _vjp_bwd_b)
 
 def _jvp_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, dflow_ref,
                 out_ref, *, hp, wp, eps, offsets, use_bf16, col_bands=None,
-                row_window=None, col_window=None, row_scale=BAND, chunk_axis=0):
+                row_window=None, col_window=None, row_scale=BAND, chunk_axis=0,
+                emit_value=True):
     assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
 
@@ -1548,10 +1549,23 @@ def _jvp_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, dflow_ref,
             c = _corner_block(cl_loc, cfr, None, csize)
             rd = _corner_deriv_block(fl_loc, wt, size, dtype)
             cd = _corner_deriv_block(cl_loc, None, csize, dtype)
-            img = _dot(r, c, ((1,), (1,)), use_bf16, dtype)
             tan = _dot(rd * (-dt * du_g), c, ((1,), (1,)), use_bf16, dtype) + _dot(
                 r, cd * (-dt * dv_g), ((1,), (1,)), use_bf16, dtype
             )
+            if not emit_value:
+                # tangent-only (the staged HVP path: the value images and
+                # cost cotangent are hoisted out of the CG loop) — one
+                # MXU dot fewer per direction and half the out VMEM
+                if win:
+                    rows = _ds_aligned(w0, row_window)
+                    if col_window is None:
+                        out_ref[k, rows, :] += tan
+                    else:
+                        out_ref[k, rows, _ds_lane_aligned(c0w, col_window)] += tan
+                else:
+                    out_ref[k] += tan
+                continue
+            img = _dot(r, c, ((1,), (1,)), use_bf16, dtype)
             if win:
                 if col_window is None:
                     out_ref[k, _ds_aligned(w0, row_window), :] += img
@@ -1592,14 +1606,18 @@ def _jvp_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, dflow_ref,
 
 def fused_multi_iwe_banded_jvp(flow, dflow, x, y, dtf, wt, band_ids, image_size,
                                offsets, eps=1e-6, use_bf16=True, col_bands=None,
-                               row_window=None, col_window=None, row_scale=BAND):
+                               row_window=None, col_window=None, row_scale=BAND,
+                               emit_value=True):
     """Forward votes AND their directional derivative along ``dflow`` in
     one fused pass: returns (images [K, H, W], dimages [K, H, W]) for the
     direction ``offsets`` (no orig slice — the orig IWE is
     motion-independent, so its tangent is zero and callers hoist it).
     The images half is bit-identical to ``fused_multi_iwe_banded`` with
     the same flags (same gathers, same floor/frac decisions, same
-    accumulation order)."""
+    accumulation order).  ``emit_value=False`` returns the tangent images
+    ONLY (the staged-HVP fast path: the value images are loop-invariant
+    across a CG solve and hoisted by the caller) — one MXU dot fewer per
+    direction."""
     assert offsets, "jvp kernel computes direction images (no orig slice)"
     h, w = image_size
     hp = _round_up(max(h + 1, BAND), 8)
@@ -1608,13 +1626,14 @@ def fused_multi_iwe_banded_jvp(flow, dflow, x, y, dtf, wt, band_ids, image_size,
     flow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(flow)
     dflow_p = jnp.zeros((2, hp_flow, wp), flow.dtype).at[:, :h, :w].set(dflow)
     n_k = len(offsets)
+    k_out = (2 if emit_value else 1) * n_k
     xs, ys, ds, ws, rows, steps = _group_chunks(x, y, dtf, wt, band_ids, 1)
     flow_spec = pl.BlockSpec((2, hp_flow, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _jvp_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             use_bf16=use_bf16, col_bands=col_bands, row_window=row_window,
-            col_window=col_window, row_scale=row_scale,
+            col_window=col_window, row_scale=row_scale, emit_value=emit_value,
         ),
         grid=(steps,),
         in_specs=[
@@ -1623,10 +1642,12 @@ def fused_multi_iwe_banded_jvp(flow, dflow, x, y, dtf, wt, band_ids, image_size,
             flow_spec,
             flow_spec,
         ],
-        out_specs=pl.BlockSpec((2 * n_k, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * n_k, hp, wp), flow.dtype),
+        out_specs=pl.BlockSpec((k_out, hp, wp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_out, hp, wp), flow.dtype),
         interpret=_interpret(),
     )(rows, xs, ys, ds, ws, flow_p, dflow_p)
+    if not emit_value:
+        return out[:, :h, :w]
     return out[:n_k, :h, :w], out[n_k:, :h, :w]
 
 
@@ -1802,12 +1823,12 @@ def fused_multi_iwe_banded_jvp_batched(flow, dflow, x, y, dtf, wt, band_rows,
                                        image_size, offsets, eps=1e-6,
                                        use_bf16=True, col_bands=None,
                                        row_window=None, col_window=None,
-                                       row_scale=BAND):
+                                       row_scale=BAND, emit_value=True):
     """Fleet variant of ``fused_multi_iwe_banded_jvp``: flow/dflow
     [B,2,H,W], packed chunks [B,G,1,CHUNK] (pack_fleet_banded), grid
     (B, G).  Returns (images [B,K,H,W], dimages [B,K,H,W]); the images
     half is bit-identical to ``fused_multi_iwe_banded_batched`` with the
-    same flags."""
+    same flags.  ``emit_value=False``: tangent images only (staged HVP)."""
     assert offsets, "jvp kernel computes direction images (no orig slice)"
     bsz = x.shape[0]
     h, w = image_size
@@ -1816,22 +1837,26 @@ def fused_multi_iwe_banded_jvp_batched(flow, dflow, x, y, dtf, wt, band_rows,
     wp = _round_up(w + 1, 128)
     g_chunks = x.shape[1]
     n_k = len(offsets)
+    k_out = (2 if emit_value else 1) * n_k
     flow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(flow)
     dflow_p = jnp.zeros((bsz, 2, hp_flow, wp), flow.dtype).at[:, :, :h, :w].set(dflow)
-    band, row, flow_spec, _ = _specs_batched(hp, hp_flow, wp, 2 * n_k, x.shape[-1])
-    out_spec = pl.BlockSpec((None, 2 * n_k, hp, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    band, row, flow_spec, _ = _specs_batched(hp, hp_flow, wp, k_out, x.shape[-1])
+    out_spec = pl.BlockSpec((None, k_out, hp, wp), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _jvp_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
             use_bf16=use_bf16, col_bands=col_bands, row_window=row_window,
             col_window=col_window, row_scale=row_scale, chunk_axis=1,
+            emit_value=emit_value,
         ),
         grid=(bsz, g_chunks),
         in_specs=[band, row, row, row, row, flow_spec, flow_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, 2 * n_k, hp, wp), flow.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, k_out, hp, wp), flow.dtype),
         interpret=_interpret(),
     )(band_rows, x, y, dtf, wt, flow_p, dflow_p)
+    if not emit_value:
+        return out[:, :, :h, :w]
     return out[:, :n_k, :h, :w], out[:, n_k:, :h, :w]
 
 

@@ -271,7 +271,8 @@ def build_batched_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool =
 
 def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
                                        precomputed_orig: bool = False,
-                                       gauss_newton: bool = True):
+                                       gauss_newton: bool = True,
+                                       staged: bool = False):
     """Fleet analog of objective.build_objective_banded_hvp (v10):
     hvp(motion [B,M], p [B,M], [orig_b [B,H,W],] x, y, dtf, wt,
     band_rows, t_scales) -> H @ p per frame [B,M].
@@ -281,7 +282,10 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
     evaluations.  Same decomposition and caveats as the single-frame
     builder (Gauss-Newton default; the analytic modes run under the
     batched Newton's per-frame step cap).  Requires
-    objective_supports_analytic_hvp(spec)."""
+    objective_supports_analytic_hvp(spec).  ``staged=True`` returns
+    ``(prep, hvp)`` where prep computes the per-frame value images once
+    per CG solve and hvp runs the tangent-only JVP kernel (see
+    objective.build_objective_banded_hvp_staged)."""
     from .. import config as evconfig
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded_hvp_bwd_batched,
@@ -341,17 +345,25 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
 
     grad_cost = jax.grad(cost_of, argnums=(0, 1))
 
-    def _hvp_body(motion, p, orig_b, x, y, dtf, wt, band_rows, t_scales):
-        def flow_of(m, ts):
-            return motion_to_dense_flow(spec, m, ts) * ts
+    def _flow_of(m, ts):
+        return motion_to_dense_flow(spec, m, ts) * ts
 
+    def _hvp_body(images, motion, p, orig_b, x, y, dtf, wt, band_rows,
+                  t_scales):
         flows, dflows = jax.vmap(
-            lambda m, pp, ts: jax.jvp(lambda mm: flow_of(mm, ts), (m,), (pp,))
+            lambda m, pp, ts: jax.jvp(lambda mm: _flow_of(mm, ts), (m,), (pp,))
         )(motion, p, t_scales)
-        images, dimages = fused_multi_iwe_banded_jvp_batched(
-            flows, dflows, x, y, dtf, wt, band_rows, spec.image_shape,
-            offsets, **flags
-        )
+        if images is None:
+            images, dimages = fused_multi_iwe_banded_jvp_batched(
+                flows, dflows, x, y, dtf, wt, band_rows, spec.image_shape,
+                offsets, **flags
+            )
+        else:
+            # staged: value images precomputed once per CG solve
+            dimages = fused_multi_iwe_banded_jvp_batched(
+                flows, dflows, x, y, dtf, wt, band_rows, spec.image_shape,
+                offsets, emit_value=False, **flags
+            )
         if orig_b is None:
             orig_b = jnp.zeros((motion.shape[0], h, w), images.dtype)
 
@@ -369,18 +381,51 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
         )
 
         def back(m, ts, df):
-            _, f_vjp = jax.vjp(lambda mm: flow_of(mm, ts), m)
+            _, f_vjp = jax.vjp(lambda mm: _flow_of(mm, ts), m)
             return f_vjp(df)[0]
 
         return jax.vmap(back)(motion, t_scales, dgflow) + dgm
 
+    def _prep_body(motion, x, y, dtf, wt, band_rows, t_scales):
+        flows = jax.vmap(_flow_of)(motion, t_scales)
+        from ..ops.pallas_objective_banded import (
+            fused_multi_iwe_banded_batched,
+            objective_tent,
+        )
+
+        return fused_multi_iwe_banded_batched(
+            flows, x, y, dtf, wt, band_rows, spec.image_shape, offsets,
+            False, flags["eps"], use_bf16, flags["col_bands"],
+            flags["row_window"], flags["row_scale"],
+            objective_tent(use_bf16),
+        )
+
     if precomputed_orig:
         def hvp(motion, p, orig_b, x, y, dtf, wt, band_rows, t_scales):
-            return _hvp_body(motion, p, orig_b, x, y, dtf, wt, band_rows, t_scales)
+            return _hvp_body(None, motion, p, orig_b, x, y, dtf, wt,
+                             band_rows, t_scales)
+
+        def prep(motion, orig_b, x, y, dtf, wt, band_rows, t_scales):
+            return _prep_body(motion, x, y, dtf, wt, band_rows, t_scales)
+
+        def hvp_staged(aux, motion, p, orig_b, x, y, dtf, wt, band_rows,
+                       t_scales):
+            return _hvp_body(aux, motion, p, orig_b, x, y, dtf, wt,
+                             band_rows, t_scales)
     else:
         def hvp(motion, p, x, y, dtf, wt, band_rows, t_scales):
-            return _hvp_body(motion, p, None, x, y, dtf, wt, band_rows, t_scales)
+            return _hvp_body(None, motion, p, None, x, y, dtf, wt,
+                             band_rows, t_scales)
 
+        def prep(motion, x, y, dtf, wt, band_rows, t_scales):
+            return _prep_body(motion, x, y, dtf, wt, band_rows, t_scales)
+
+        def hvp_staged(aux, motion, p, x, y, dtf, wt, band_rows, t_scales):
+            return _hvp_body(aux, motion, p, None, x, y, dtf, wt, band_rows,
+                             t_scales)
+
+    if staged:
+        return prep, hvp_staged
     return hvp
 
 
@@ -549,6 +594,7 @@ def build_newton_cg_batched(
     fd_hvp: bool = True,
     fd_central: bool = True,
     hvp_fn=None,
+    hvp_prep_fn=None,
     max_step=None,
 ):
     """Lockstep per-frame truncated Newton.
@@ -576,8 +622,10 @@ def build_newton_cg_batched(
     def rdot(a, b):
         return jnp.sum(a * b, axis=-1)  # [B]
 
-    def hvp(x, d, g0, args):
+    def hvp(x, d, g0, args, aux=None):
         if hvp_fn is not None:
+            if hvp_prep_fn is not None:
+                return hvp_fn(aux, x, d, *args)
             return hvp_fn(x, d, *args)
         if not fd_hvp:
             def gsum_dot(xx):
@@ -597,6 +645,8 @@ def build_newton_cg_batched(
     def cg_solve(x, g, args):
         g_norm = jnp.linalg.norm(g, axis=-1)  # [B]
         eta = jnp.minimum(0.5, jnp.sqrt(g_norm)) * g_norm
+        # staged analytic: per-frame value images hoisted out of the CG loop
+        aux = hvp_prep_fn(x, *args) if hvp_prep_fn is not None else None
 
         def cond(state):
             i, r, d, p, done = state
@@ -606,7 +656,7 @@ def build_newton_cg_batched(
         def body(state):
             i, r, d, p, done = state
             active = (~done) & (jnp.linalg.norm(r, axis=-1) > eta)
-            hd = hvp(x, d, g, args)
+            hd = hvp(x, d, g, args, aux=aux)
             curv = rdot(d, hd)
             rs = rdot(r, r)
             neg = curv <= 1e-16 * rdot(d, d)
@@ -905,6 +955,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         hybrid (v10 analytic GN HVP on the finest scale, FD on coarse)."""
         orig_fn = None
         hvp_fn = None
+        hvp_prep_fn = None
         hvp_mode_cfg = str(self.opt_config.get("hvp_mode", "fd")).lower()
         want_analytic = hvp_mode_cfg in ("analytic", "analytic-warm",
                                          "analytic-all", "analytic-full")
@@ -922,9 +973,10 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 from .objective import objective_supports_analytic_hvp
 
                 if objective_supports_analytic_hvp(spec):
-                    hvp_fn = build_batched_objective_banded_hvp(
+                    hvp_prep_fn, hvp_fn = build_batched_objective_banded_hvp(
                         spec, precomputed_orig=hoist,
                         gauss_newton=hvp_mode_cfg != "analytic-full",
+                        staged=True,
                     )
                 elif not getattr(self, "_warned_analytic_hvp", False):
                     logger.warning(
@@ -970,6 +1022,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 fd_hvp=objective_uses_banded(spec) or objective_uses_fused(spec),
                 fd_central=bool(self.opt_config.get("hvp_central", True)),
                 hvp_fn=hvp_fn,
+                hvp_prep_fn=hvp_prep_fn,
                 max_step=(
                     float(self.opt_config.get("hvp_max_step", 10.0))
                     if hvp_fn is not None else None

@@ -106,6 +106,7 @@ def build_newton_cg(
     hvp_mode: str = "autodiff",
     fd_central: bool = True,
     hvp_fn=None,
+    hvp_prep_fn=None,
     max_step=None,
 ):
     """Return solve(x0, *args) -> (x_best, f_best, n_iters).
@@ -138,12 +139,17 @@ def build_newton_cg(
     steps cannot leap ridges).
     """
     assert hvp_mode != "analytic" or hvp_fn is not None
+    assert hvp_prep_fn is None or hvp_mode == "analytic"
 
     def value_grad(x, args):
         return jax.value_and_grad(lambda xx: value_fn(xx, *args))(x)
 
-    def hvp(x, p, args, g0=None):
+    def hvp(x, p, args, g0=None, aux=None):
         if hvp_mode == "analytic":
+            # staged (build_objective_banded_hvp_staged): ``aux`` holds the
+            # CG-solve-invariant value images computed once by hvp_prep_fn
+            if hvp_prep_fn is not None:
+                return hvp_fn(aux, x, p, *args)
             return hvp_fn(x, p, *args)
         if hvp_mode == "fd":
             # step ~fd_step in parameter units (pixels for CMax tiles):
@@ -174,6 +180,10 @@ def build_newton_cg(
         curvature handling)."""
         g_norm = jnp.linalg.norm(g)
         eta = jnp.minimum(0.5, jnp.sqrt(g_norm)) * g_norm
+        # the staged analytic path hoists the x-dependent (p-independent)
+        # value images out of the CG loop: one forward vote here instead
+        # of one per HVP
+        aux = hvp_prep_fn(x, *args) if hvp_prep_fn is not None else None
 
         def cond(state):
             i, r, d, p, done = state
@@ -181,7 +191,7 @@ def build_newton_cg(
 
         def body(state):
             i, r, d, p, done = state
-            hd = hvp(x, d, args, g0=g)
+            hd = hvp(x, d, args, g0=g, aux=aux)
             curv = jnp.vdot(d, hd)
             rs = jnp.vdot(r, r)
             neg_curv = curv <= 1e-16 * jnp.vdot(d, d)

@@ -673,6 +673,126 @@ def build_objective_banded_hvp(spec: ObjectiveSpec, precomputed_orig: bool = Fal
     return hvp
 
 
+def build_objective_banded_hvp_staged(spec: ObjectiveSpec,
+                                      precomputed_orig: bool = False,
+                                      gauss_newton: bool = True):
+    """Staged variant of :func:`build_objective_banded_hvp` for the CG
+    inner loop: returns ``(prep, hvp)`` where
+
+      aux = prep(motion, [orig_blurred,] x, y, dtf, wt, bands, t_scale)
+      Hp  = hvp(aux, motion, p, [orig_blurred,] ...same args)
+
+    ``prep`` computes the direction VALUE images once per CG solve (they
+    depend on the iterate x only, not on the CG direction p), so each of
+    the cg_maxiter HVPs runs the tangent-ONLY JVP kernel
+    (``emit_value=False``: one MXU dot fewer per direction and half the
+    accumulator VMEM) plus the HVP-backward kernel.  Numerically
+    identical to the unstaged builder (the JVP kernel's value half is
+    bit-identical to the forward kernel; tested).  Same support surface:
+    ``objective_supports_analytic_hvp(spec)``, no event-sharded mesh."""
+    from .. import config as evconfig
+    from ..ops.blur import gaussian_blur3
+    from ..ops.pallas_objective_banded import (
+        fused_multi_iwe_banded,
+        fused_multi_iwe_banded_hvp_bwd,
+        fused_multi_iwe_banded_jvp,
+        objective_col_window,
+        objective_dense_col_bands,
+        objective_row_scale,
+        objective_row_window,
+    )
+
+    assert objective_supports_analytic_hvp(spec)
+    assert spec.outer_padding == 0
+    cost = make_cost(spec)
+    required = set(cost.required_keys)
+    directions = []
+    if required & {"iwe", "backward_iwe"}:
+        directions.append(("backward", 0.0))
+    if "forward_iwe" in required:
+        directions.append(("forward", 1.0))
+    if "middle_iwe" in required:
+        directions.append(("middle", 0.5))
+    need_orig = "orig_iwe" in required
+    assert precomputed_orig or not need_orig
+    backend_raw = spec.iwe_backend or evconfig.raw_iwe_backend()
+    use_bf16 = backend_raw in ("auto", "pallas_bf16")
+    h, w = spec.image_shape
+    offsets = tuple(d for _, d in directions)
+    flags = dict(
+        eps=1e-6,
+        use_bf16=use_bf16,
+        col_bands=objective_dense_col_bands(w),
+        row_window=objective_row_window(h),
+        col_window=objective_col_window(h, w),
+        row_scale=objective_row_scale(w),
+    )
+
+    def cost_of(imgs, motion_flat, orig_blurred):
+        if spec.blur_sigma > 0:
+            imgs = gaussian_blur3(imgs, spec.blur_sigma)
+        arg = {"omit_boundary": True, "clip": True}
+        if need_orig:
+            arg["orig_iwe"] = orig_blurred
+        for k, (name, _) in enumerate(directions):
+            if name == "backward":
+                arg.update({"iwe": imgs[k], "backward_iwe": imgs[k]})
+            else:
+                arg[f"{name}_iwe"] = imgs[k]
+        if "flow" in required:
+            arg["flow"] = motion_flat.reshape((2,) + tuple(spec.patch_image_size))
+        return nan_to_penalty(cost.calculate(arg))
+
+    grad_cost = jax.grad(cost_of, argnums=(0, 1))
+
+    def _prep_body(motion_flat, x, y, dtf, wt, bands, t_scale):
+        flow = motion_to_dense_flow(spec, motion_flat, t_scale) * t_scale
+        # same call shape as the objective's kernel_images (dense branch):
+        # the value images are bit-identical to the JVP kernel's value half
+        return fused_multi_iwe_banded(
+            flow, x, y, dtf, wt, bands, spec.image_shape, offsets, False,
+            flags["eps"], use_bf16, flags["col_bands"], flags["row_window"],
+            flags["col_window"], 1, False, flags["row_scale"], False, False,
+        )
+
+    def _hvp_body(images, motion_flat, p, orig_blurred, x, y, dtf, wt, bands,
+                  t_scale):
+        flow_fn = lambda m: motion_to_dense_flow(spec, m, t_scale) * t_scale
+        flow, dflow = jax.jvp(flow_fn, (motion_flat,), (p,))
+        dimages = fused_multi_iwe_banded_jvp(
+            flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets,
+            emit_value=False, **flags
+        )
+        (g1, _), (g2, dgm) = jax.jvp(
+            lambda ii, mm: grad_cost(ii, mm, orig_blurred),
+            (images, motion_flat),
+            (dimages, p),
+        )
+        dgflow = fused_multi_iwe_banded_hvp_bwd(
+            flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
+            offsets, term_a=not gauss_newton, **flags
+        )
+        _, flow_vjp = jax.vjp(flow_fn, motion_flat)
+        return flow_vjp(dgflow)[0] + dgm
+
+    if precomputed_orig:
+        def prep(motion_flat, orig_blurred, x, y, dtf, wt, bands, t_scale):
+            return _prep_body(motion_flat, x, y, dtf, wt, bands, t_scale)
+
+        def hvp(aux, motion_flat, p, orig_blurred, x, y, dtf, wt, bands, t_scale):
+            return _hvp_body(aux, motion_flat, p, orig_blurred, x, y, dtf, wt,
+                             bands, t_scale)
+    else:
+        def prep(motion_flat, x, y, dtf, wt, bands, t_scale):
+            return _prep_body(motion_flat, x, y, dtf, wt, bands, t_scale)
+
+        def hvp(aux, motion_flat, p, x, y, dtf, wt, bands, t_scale):
+            return _hvp_body(aux, motion_flat, p, None, x, y, dtf, wt, bands,
+                             t_scale)
+
+    return prep, hvp
+
+
 def build_value_grad_hvp(spec: ObjectiveSpec, jit: bool = True):
     """Return (value_and_grad_fn, hvp_fn) over the flat motion vector.
 

@@ -283,6 +283,7 @@ class PatchContrastMaximization(SolverBase):
 
         orig_fn = None
         hvp_fn = None
+        hvp_prep_fn = None
         hvp_mode_cfg = str(self.opt_config.get("hvp_mode", "fd")).lower()
         if hvp_mode_cfg not in ("fd", "analytic", "analytic-warm", "analytic-all",
                                 "analytic-full") \
@@ -321,12 +322,15 @@ class PatchContrastMaximization(SolverBase):
                 orig_fn = build_orig_iwe_banded(spec, mesh=mesh)
             if want_analytic:
                 from .objective import (
-                    build_objective_banded_hvp,
+                    build_objective_banded_hvp_staged,
                     objective_supports_analytic_hvp,
                 )
 
                 if objective_supports_analytic_hvp(spec) and mesh is None:
-                    hvp_fn = build_objective_banded_hvp(
+                    # staged: the value images are computed once per CG
+                    # solve (hvp_prep_fn); every HVP runs the tangent-only
+                    # JVP kernel + the HVP-backward kernel
+                    hvp_prep_fn, hvp_fn = build_objective_banded_hvp_staged(
                         spec, precomputed_orig=hoist,
                         gauss_newton=hvp_mode_cfg != "analytic-full",
                     )
@@ -407,6 +411,7 @@ class PatchContrastMaximization(SolverBase):
                 hvp_mode=hvp_mode,
                 fd_central=bool(self.opt_config.get("hvp_central", True)),
                 hvp_fn=hvp_fn,
+                hvp_prep_fn=hvp_prep_fn,
                 max_step=max_step,
             )
         if orig_fn is None:

@@ -126,6 +126,12 @@ class StreamingFlowEstimator:
         the sensor), so partial overrides like
         ``{"patch": {"scale": 3}}`` keep the remaining keys.  Unknown
         keys warn like the CLI's schema validation.
+    Streaming speed tip: ``optimizer_config={"hvp_mode": "analytic-warm"}``
+    runs the v10 analytic GN HVP on every pyramid scale once windows are
+    warm-chained (cold windows fall back to the cold-safe hybrid) —
+    measured 2.6x the central-FD wall at MVSEC geometry with matched
+    accuracy on warm frames (BENCHMARKS.md, hvp-analytic A/B).
+
     warm_start : chain each window's solution into the next one's
         initialization (the reference eval protocol).
     fixed_event_count : if set, every solved window has exactly this

@@ -456,6 +456,7 @@ def test_fleet_coarse_events_list_semantics():
     assert solo._coarse_events_list([dense, dense]) is None
 
 
+@pytest.mark.slow
 def test_batched_analytic_hvp_matches_single_frame_oracle():
     """build_batched_objective_banded_hvp (v10 fleet path) == jax.jvp of
     the gradient of the per-frame UNFUSED (matmul) objective — the full
@@ -504,6 +505,16 @@ def test_batched_analytic_hvp_matches_single_frame_oracle():
         motion, p, orig_b, *args
     )
     assert gn.shape == got.shape and np.all(np.isfinite(np.asarray(gn)))
+
+    # the STAGED variant (the fleet Newton's production path) is
+    # numerically identical to the fused form
+    prep, hvp_staged = build_batched_objective_banded_hvp(
+        spec, precomputed_orig=True, gauss_newton=False, staged=True
+    )
+    aux = prep(motion, orig_b, *args)
+    np.testing.assert_allclose(
+        np.asarray(hvp_staged(aux, motion, p, orig_b, *args)), got, atol=1e-12
+    )
 
 
 @pytest.mark.slow

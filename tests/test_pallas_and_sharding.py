@@ -545,8 +545,8 @@ def test_fleet_step_runs_and_descends():
     assert float(loss2) <= float(loss1) + 1e-6
 
 
-def test_evflownet_forward_and_voxel_grid():
-    from event_based_optical_flow_tpu.models import EVFlowNet, events_to_voxel_grid
+def test_voxel_grid_padded_rows_inert():
+    from event_based_optical_flow_tpu.models import events_to_voxel_grid
 
     ev = _events(400)
     padded, wgt = pad_events(ev, target_n=512)
@@ -555,6 +555,13 @@ def test_evflownet_forward_and_voxel_grid():
     # padded events contribute nothing
     vox2 = events_to_voxel_grid(jnp.asarray(ev), (H, W), n_bin=4)
     np.testing.assert_allclose(np.asarray(vox), np.asarray(vox2), atol=1e-10)
+
+
+@pytest.mark.slow
+def test_evflownet_forward_shapes():
+    # the model-forward compile dominates (~25 s on CPU); the training
+    # tests in test_models.py cover the same forward — slow tier
+    from event_based_optical_flow_tpu.models import EVFlowNet
 
     model = EVFlowNet(n_bin=4)
     x = jnp.zeros((1, 32, 32, 4))
@@ -925,6 +932,7 @@ def test_v10_hvp_bwd_kernel_matches_fd_of_vjp(row_window):
     np.testing.assert_allclose(np.asarray(out), np.asarray(fd), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_v10_analytic_hvp_matches_autodiff_oracle():
     """build_objective_banded_hvp == jax.jvp of the gradient of the
     UNFUSED (matmul backend, twice-differentiable) objective — the full
@@ -973,3 +981,17 @@ def test_v10_analytic_hvp_matches_autodiff_oracle():
         motion, p, orig, *args
     )
     assert gn.shape == got.shape and np.all(np.isfinite(np.asarray(gn)))
+
+    # the STAGED variant (value images hoisted per CG solve, tangent-only
+    # JVP kernel per HVP) is numerically identical to the fused form
+    from event_based_optical_flow_tpu.solver.objective import (
+        build_objective_banded_hvp_staged,
+    )
+
+    prep, hvp_staged = build_objective_banded_hvp_staged(
+        spec, precomputed_orig=True, gauss_newton=False
+    )
+    aux = prep(motion, orig, *args)
+    got_staged = hvp_staged(aux, motion, p, orig, *args)
+    np.testing.assert_allclose(np.asarray(got_staged), np.asarray(got),
+                               atol=1e-12)

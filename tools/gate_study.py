@@ -34,7 +34,13 @@ N_EV = 300_000
 
 ARMS = {
     "A(unbudgeted)": {"cg_maxiter": 32},
-    "B(dsec-default)": {"cg_maxiter": 8, "coarse_event_fraction": 0.25},
+    "B(budgets)": {"cg_maxiter": 8, "coarse_event_fraction": 0.25},
+    # the SHIPPED DSEC default since round-3 session 3: budgets + the
+    # v10 hybrid analytic HVP (finest-scale analytic GN, FD coarse)
+    "C(dsec-default)": {
+        "cg_maxiter": 8, "coarse_event_fraction": 0.25,
+        "hvp_mode": "analytic",
+    },
 }
 
 

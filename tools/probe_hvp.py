@@ -38,7 +38,7 @@ def main():
         H, W, n_events, grid = 480, 640, 300_000, (30, 40)
     else:
         H, W, n_events, grid = 260, 346, 30_720, (16, 16)
-    modes = sys.argv[2:] or ["central", "onesided", "gn", "full"]
+    modes = sys.argv[2:] or ["central", "onesided", "gn", "gnstaged", "full"]
 
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 0.2, n_events))
@@ -78,6 +78,11 @@ def main():
     hvp_gn = build_objective_banded_hvp(spec, precomputed_orig=True)
     hvp_full = build_objective_banded_hvp(spec, precomputed_orig=True,
                                           gauss_newton=False)
+    from event_based_optical_flow_tpu.solver.objective import (
+        build_objective_banded_hvp_staged,
+    )
+
+    prep_s, hvp_s = build_objective_banded_hvp_staged(spec, precomputed_orig=True)
 
     m_dof = 2 * grid[0] * grid[1]
     motion = jnp.asarray(rng.uniform(-8, 8, m_dof), jnp.float32)
@@ -111,7 +116,31 @@ def main():
 
         return run
 
-    runners = {k: make_runner(bodies[k]) for k in modes}
+    def make_staged_runner(cg=8):
+        # the production CG-loop shape: ONE prep (value images) per
+        # Newton iteration, ``cg`` tangent-only HVPs against it; each
+        # reported sample is per-HVP (amortized prep included)
+        @jax.jit
+        def run(iters, m0, pv):
+            def it(i, acc):
+                m = m0 + (i % 7) * 0.013
+                aux = prep_s(m, orig, *args)
+
+                def inner(j, a):
+                    return a + hvp_s(aux, m, pv + (a + j) * 1e-20, orig, *args).sum()
+
+                return jax.lax.fori_loop(0, cg, inner, acc)
+
+            return jax.lax.fori_loop(0, iters, it, jnp.float32(0.0))
+
+        return run, cg
+
+    runners, scale = {}, {}
+    for k in modes:
+        if k == "gnstaged":
+            runners[k], scale[k] = make_staged_runner()
+        else:
+            runners[k], scale[k] = make_runner(bodies[k]), 1
     est = {}
     for name, run in runners.items():
         t0 = time.perf_counter()
@@ -129,7 +158,8 @@ def main():
             m = motion + 0.013 * (rep + 1)
             t0 = time.perf_counter(); float(run(i1, m, p0)); a = time.perf_counter() - t0
             t0 = time.perf_counter(); float(run(i2, m, p0)); b = time.perf_counter() - t0
-            results[name].append((b - a) / (i2 - i1))
+            # per-HVP (staged: per outer step = 1 prep + cg HVPs -> /cg)
+            results[name].append((b - a) / (i2 - i1) / scale[name])
     print(flush=True)
     for name, ms in results.items():
         ms = sorted(x for x in ms if x > 0)
