@@ -704,8 +704,10 @@ def build_newton_cg_batched(
             x, f, g, k, done, bx, bf = state
             p = cg_solve(x, g, args)
             if max_step is not None:
-                p_inf = jnp.max(jnp.abs(p), axis=-1, keepdims=True) + 1e-12
-                p = p * jnp.minimum(1.0, jnp.asarray(max_step, x.dtype) / p_inf)
+                # per-component clip (see newton_cg: a per-frame inf-norm
+                # rescale crushes small-tile steps on rot/zoom fields)
+                ms = jnp.asarray(max_step, x.dtype)
+                p = jnp.clip(p, -ms, ms)
             alpha, f_ls = line_search(x, f, g, p, args)
             # plateau escape per frame: backtracking failed OR the first
             # iteration only found a negligible decrease (flat/zero inits

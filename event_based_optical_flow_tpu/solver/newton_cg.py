@@ -233,8 +233,14 @@ def build_newton_cg(
             x, f, g, k, done, best_x, best_f = state
             p = cg_solve(x, g, args)
             if max_step is not None:
-                p_inf = jnp.max(jnp.abs(p)) + 1e-12
-                p = p * jnp.minimum(1.0, jnp.asarray(max_step, x.dtype) / p_inf)
+                # per-COMPONENT clip, not a global inf-norm rescale: on
+                # spatially-varying motion fields (rot/zoom) one tile's
+                # large update would otherwise crush every other tile's
+                # step to near zero (measured: the rescale cost +13% EPE
+                # on the rot family at DSEC geometry; clipping restores
+                # parity — BENCHMARKS.md gate table)
+                ms = jnp.asarray(max_step, x.dtype)
+                p = jnp.clip(p, -ms, ms)
             alpha, f_new = line_search(x, f, g, p, args)
             # plateau escape: outward probe when backtracking failed OR the
             # first iteration only found a negligible decrease — flat/zero

@@ -675,7 +675,8 @@ def build_objective_banded_hvp(spec: ObjectiveSpec, precomputed_orig: bool = Fal
 
 def build_objective_banded_hvp_staged(spec: ObjectiveSpec,
                                       precomputed_orig: bool = False,
-                                      gauss_newton: bool = True):
+                                      gauss_newton: bool = True,
+                                      mesh=None):
     """Staged variant of :func:`build_objective_banded_hvp` for the CG
     inner loop: returns ``(prep, hvp)`` where
 
@@ -688,8 +689,12 @@ def build_objective_banded_hvp_staged(spec: ObjectiveSpec,
     (``emit_value=False``: one MXU dot fewer per direction and half the
     accumulator VMEM) plus the HVP-backward kernel.  Numerically
     identical to the unstaged builder (the JVP kernel's value half is
-    bit-identical to the forward kernel; tested).  Same support surface:
-    ``objective_supports_analytic_hvp(spec)``, no event-sharded mesh."""
+    bit-identical to the forward kernel; tested).  Support surface:
+    ``objective_supports_analytic_hvp(spec)``.  With ``mesh`` the packed
+    chunks shard over the "event" axis exactly like the objective
+    (every kernel here is an associative sum over events, so partial
+    results psum to the single-device values; flow/tangents/cotangents
+    replicated)."""
     from .. import config as evconfig
     from ..ops.blur import gaussian_blur3
     from ..ops.pallas_objective_banded import (
@@ -745,8 +750,7 @@ def build_objective_banded_hvp_staged(spec: ObjectiveSpec,
 
     grad_cost = jax.grad(cost_of, argnums=(0, 1))
 
-    def _prep_body(motion_flat, x, y, dtf, wt, bands, t_scale):
-        flow = motion_to_dense_flow(spec, motion_flat, t_scale) * t_scale
+    def call_fwd(flow, x, y, dtf, wt, bands):
         # same call shape as the objective's kernel_images (dense branch):
         # the value images are bit-identical to the JVP kernel's value half
         return fused_multi_iwe_banded(
@@ -755,23 +759,57 @@ def build_objective_banded_hvp_staged(spec: ObjectiveSpec,
             flags["col_window"], 1, False, flags["row_scale"], False, False,
         )
 
+    def call_jvp_tangent(flow, dflow, x, y, dtf, wt, bands):
+        return fused_multi_iwe_banded_jvp(
+            flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets,
+            emit_value=False, **flags
+        )
+
+    def call_hvp_bwd(flow, dflow, g1, g2, x, y, dtf, wt, bands):
+        return fused_multi_iwe_banded_hvp_bwd(
+            flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
+            offsets, term_a=not gauss_newton, **flags
+        )
+
+    if mesh is not None:
+        # chunks shard over the "event" mesh axis; each kernel's partial
+        # result sums over shards (vote images, tangent images, and the
+        # per-pixel dgflow contributions are all event-additive)
+        from jax.sharding import PartitionSpec as P
+
+        chunk_spec, band_spec = _chunk_specs(False)
+        rep = lambda n: (P(),) * n
+        cs4 = (chunk_spec,) * 4
+
+        def _wrap(fn, n_rep):
+            def body(*a):
+                return jax.lax.psum(fn(*a), "event")
+
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=rep(n_rep) + cs4 + (band_spec,),
+                out_specs=P(), check_vma=False,
+            )
+
+        call_fwd = _wrap(call_fwd, 1)
+        call_jvp_tangent = _wrap(call_jvp_tangent, 2)
+        call_hvp_bwd = _wrap(call_hvp_bwd, 4)
+
+    def _prep_body(motion_flat, x, y, dtf, wt, bands, t_scale):
+        flow = motion_to_dense_flow(spec, motion_flat, t_scale) * t_scale
+        return call_fwd(flow, x, y, dtf, wt, bands)
+
     def _hvp_body(images, motion_flat, p, orig_blurred, x, y, dtf, wt, bands,
                   t_scale):
         flow_fn = lambda m: motion_to_dense_flow(spec, m, t_scale) * t_scale
         flow, dflow = jax.jvp(flow_fn, (motion_flat,), (p,))
-        dimages = fused_multi_iwe_banded_jvp(
-            flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets,
-            emit_value=False, **flags
-        )
+        dimages = call_jvp_tangent(flow, dflow, x, y, dtf, wt, bands)
         (g1, _), (g2, dgm) = jax.jvp(
             lambda ii, mm: grad_cost(ii, mm, orig_blurred),
             (images, motion_flat),
             (dimages, p),
         )
-        dgflow = fused_multi_iwe_banded_hvp_bwd(
-            flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
-            offsets, term_a=not gauss_newton, **flags
-        )
+        dgflow = call_hvp_bwd(flow, dflow, g1, g2, x, y, dtf, wt, bands)
         _, flow_vjp = jax.vjp(flow_fn, motion_flat)
         return flow_vjp(dgflow)[0] + dgm
 

@@ -326,19 +326,21 @@ class PatchContrastMaximization(SolverBase):
                     objective_supports_analytic_hvp,
                 )
 
-                if objective_supports_analytic_hvp(spec) and mesh is None:
+                if objective_supports_analytic_hvp(spec):
                     # staged: the value images are computed once per CG
                     # solve (hvp_prep_fn); every HVP runs the tangent-only
-                    # JVP kernel + the HVP-backward kernel
+                    # JVP kernel + the HVP-backward kernel.  Under an
+                    # event mesh the kernels shard like the objective.
                     hvp_prep_fn, hvp_fn = build_objective_banded_hvp_staged(
                         spec, precomputed_orig=hoist,
                         gauss_newton=hvp_mode_cfg != "analytic-full",
+                        mesh=mesh,
                     )
                 elif not getattr(self, "_warned_analytic_hvp", False):
                     logger.warning(
                         "optimizer.hvp_mode: analytic is not supported for "
-                        "this objective (time-aware, nonlinear motion model, "
-                        "or event-sharded mesh) — falling back to the FD HVP"
+                        "this objective (time-aware or nonlinear motion "
+                        "model) — falling back to the FD HVP"
                     )
                     self._warned_analytic_hvp = True
         else:

@@ -995,3 +995,47 @@ def test_v10_analytic_hvp_matches_autodiff_oracle():
     got_staged = hvp_staged(aux, motion, p, orig, *args)
     np.testing.assert_allclose(np.asarray(got_staged), np.asarray(got),
                                atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_sharded_analytic_hvp_matches_single():
+    """Event-sharded staged analytic HVP (v10 kernels psum'ed over the
+    'event' mesh axis, like the objective) == single-device staged HVP."""
+    import dataclasses
+
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.parallel.sharded import (
+        make_mesh,
+        pad_chunks_for_sharding,
+    )
+    from event_based_optical_flow_tpu.solver.objective import (
+        build_objective_banded_hvp_staged,
+        build_orig_iwe_banded,
+    )
+    from tests.test_solver import _spec, _synthetic_events
+
+    spec = dataclasses.replace(_spec(False), iwe_backend="pallas")
+    ev = _synthetic_events(np.asarray([9.0, -5.0]), n=1200, seed=23)
+    padded, wgt = pad_events(ev, target_n=2048)
+    Hs, Ws = spec.image_shape
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    packed = PB.pack_events_dense(padded, wgt, dtf, Hs, Ws)
+    packed = pad_chunks_for_sharding(packed, 8)
+    args = tuple(jnp.asarray(a) for a in packed) + (
+        jnp.asarray(ev[:, 2].max() - ev[:, 2].min()),
+    )
+    rng = np.random.default_rng(29)
+    motion = jnp.asarray(rng.uniform(-5, 5, 8))
+    p = jnp.asarray(rng.normal(0, 1, 8))
+    orig = build_orig_iwe_banded(spec)(*args)
+
+    prep1, hvp1 = build_objective_banded_hvp_staged(spec, precomputed_orig=True)
+    want = hvp1(prep1(motion, orig, *args), motion, p, orig, *args)
+
+    mesh = make_mesh(8, data=1, event=8)
+    prep8, hvp8 = build_objective_banded_hvp_staged(
+        spec, precomputed_orig=True, mesh=mesh
+    )
+    got = hvp8(prep8(motion, orig, *args), motion, p, orig, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)

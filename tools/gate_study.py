@@ -42,6 +42,10 @@ ARMS = {
         "hvp_mode": "analytic",
     },
 }
+# one-off studies can replace the arms without editing the file:
+#   GATE_ARMS_JSON='{"B(fd cg8)": {...}, "D(analytic cg12)": {...}}'
+if os.environ.get("GATE_ARMS_JSON"):
+    ARMS = json.loads(os.environ["GATE_ARMS_JSON"])
 
 
 def make_loader(family):
