@@ -129,6 +129,11 @@ def main():
     # honors EVFLOW_PLATFORM (jax.config, not JAX_PLATFORMS — the tunnel
     # plugin self-registers first) BEFORE any jax device op below
     import event_based_optical_flow_tpu  # noqa: F401
+    from event_based_optical_flow_tpu.config import suppress_benign_aot_warnings
+
+    # keep the bench tail clean: drop the benign same-host cpu_aot_loader
+    # tuning-pref lines (real cross-host ISA mismatches still pass through)
+    suppress_benign_aot_warnings()
     import jax
     import jax.numpy as jnp
 

@@ -61,6 +61,13 @@ class SyntheticDataLoader(DataLoaderBase):
         # round-1 lesson; use dots for any accuracy measurement)
         self.pattern = str(config.get("pattern", "lattice"))
         self.n_dots = int(config.get("n_dots", 1200))
+        # gt_advection: serve GT like MVSEC does — per-GT-frame
+        # displacement stacks advected across the eval window via
+        # flow.gt.estimate_corresponding_gt_flow (ref flow_utils.py:
+        # 763-839) instead of the closed form.  This drives the dt>1
+        # protocol (events spanning multiple GT frames) end-to-end with
+        # the closed form available as truth (see _exact_flow).
+        self.gt_advection = bool(config.get("gt_advection", False))
 
     def set_sequence(self, sequence_name: str, undistort: bool = False) -> None:
         self.sequence_name = sequence_name
@@ -134,6 +141,7 @@ class SyntheticDataLoader(DataLoaderBase):
         self.max_ts = self.duration
         self.data_duration = self.duration
         self.gray_ts = np.linspace(0.02, self.duration - 0.02, self.n_frames)
+        self._gt_adv_cache = None
 
     def _calib4(self):
         """(f_row, f_col, c_row, c_col) of the synthetic pinhole."""
@@ -177,6 +185,36 @@ class SyntheticDataLoader(DataLoaderBase):
         return self.gray_ts
 
     def load_optical_flow(self, t1: float, t2: float) -> np.ndarray:
+        """GT displacement over [t1, t2]: [H, W, 2] (height, width).
+
+        Default: the exact closed form (_exact_flow).  With
+        ``gt_advection: true`` the GT is served the MVSEC way: one
+        displacement frame per gray-frame interval, advected across the
+        window by flow.gt.estimate_corresponding_gt_flow — so eval_dt>1
+        exercises the multi-GT-frame advection path end-to-end."""
+        if self.gt_advection:
+            from ..flow.gt import estimate_corresponding_gt_flow
+
+            U_all, V_all, ts = self._gt_stacks()
+            U, V = estimate_corresponding_gt_flow(U_all, V_all, ts, t1, t2)
+            return np.stack((V, U), axis=2)
+        return self._exact_flow(t1, t2)
+
+    def _gt_stacks(self):
+        """Per-GT-frame displacement stacks in the MVSEC/EV-FlowNet layout
+        (U = width/x component, V = height/y component), one frame per
+        gray-frame interval."""
+        if self._gt_adv_cache is None:
+            ts = np.asarray(self.gray_ts)
+            U, V = [], []
+            for i in range(len(ts) - 1):
+                f = self._exact_flow(ts[i], ts[i + 1])
+                V.append(f[..., 0])
+                U.append(f[..., 1])
+            self._gt_adv_cache = (np.stack(U), np.stack(V), ts)
+        return self._gt_adv_cache
+
+    def _exact_flow(self, t1: float, t2: float) -> np.ndarray:
         """Exact GT displacement over [t1, t2]: [H, W, 2] (height, width).
 
         For rot/zoom this is the closed-form particle displacement of the

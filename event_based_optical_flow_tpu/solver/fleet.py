@@ -322,7 +322,11 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
         use_bf16=use_bf16,
         col_bands=objective_dense_col_bands(w),
         row_window=objective_row_window(h),
-        col_window=objective_col_window(h, w),
+        # The batched forward kernel (fused_multi_iwe_banded_batched, used
+        # for the staged prep images and the fleet objective/gradient) has
+        # no col_window capability — keep the analytic curvature kernels on
+        # the same routing so value and tangent stay consistent.
+        col_window=None,
         row_scale=objective_row_scale(w),
     )
 
@@ -388,16 +392,16 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
 
     def _prep_body(motion, x, y, dtf, wt, band_rows, t_scales):
         flows = jax.vmap(_flow_of)(motion, t_scales)
-        from ..ops.pallas_objective_banded import (
-            fused_multi_iwe_banded_batched,
-            objective_tent,
-        )
+        from ..ops.pallas_objective_banded import fused_multi_iwe_banded_batched
 
+        # tent=False always: the JVP kernel's value half has no tent
+        # support, and the staged analytic HVP documents value/tangent
+        # consistency (mirrors the single-frame staged builder).
         return fused_multi_iwe_banded_batched(
             flows, x, y, dtf, wt, band_rows, spec.image_shape, offsets,
             False, flags["eps"], use_bf16, flags["col_bands"],
             flags["row_window"], flags["row_scale"],
-            objective_tent(use_bf16),
+            False,
         )
 
     if precomputed_orig:

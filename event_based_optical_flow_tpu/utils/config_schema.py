@@ -50,7 +50,7 @@ _KNOWN_DATA_KEYS = {
     # synthetic loader extras
     "duration", "event_rate", "n_frames", "flow_max", "seed",
     "scene", "omega", "zoom_rate", "noise_fraction", "pattern", "n_dots",
-    "omega3", "focal",
+    "omega3", "focal", "gt_advection",
 }
 _KNOWN_SOLVER_KEYS = {
     "method", "time_aware", "time_bin", "flow_interpolation", "t0_flow_location",

@@ -80,3 +80,28 @@ def test_coarse_budget_keys_validate():
     cfg["optimizer"]["coarse_max_iter"] = 2.5
     with pytest.raises(ConfigError, match="coarse_max_iter"):
         validate_config(cfg)
+
+
+def test_aot_warning_filter_pattern():
+    """The fd-2 filter must drop EXACTLY the benign same-host tuning-pref
+    lines (+prefer-no-scatter/-gather, which XLA puts in the compile
+    feature list but never the host list) and pass through a genuine
+    cross-host ISA mismatch line (named real feature)."""
+    import re
+
+    from event_based_optical_flow_tpu.config import _AOT_BENIGN_RE
+
+    pat = re.compile(_AOT_BENIGN_RE)
+    benign = (
+        b"E0819 15:19:45.781945 8512 cpu_aot_loader.cc:210] Loading XLA:CPU"
+        b" AOT result. Target machine feature +prefer-no-scatter is not "
+        b" supported on the host machine. Machine type used for XLA:CPU"
+        b" compilation doesn't match the machine type for execution."
+    )
+    benign2 = benign.replace(b"+prefer-no-scatter", b"+prefer-no-gather")
+    genuine = benign.replace(b"+prefer-no-scatter", b"+avx512f")
+    assert pat.search(benign)
+    assert pat.search(benign2)
+    assert not pat.search(genuine)
+    # unrelated stderr must never match
+    assert not pat.search(b"Traceback (most recent call last):")

@@ -384,3 +384,42 @@ def test_evt_raw_readers_truncated_payload(tmp_path):
     p3.write_bytes(b"% format EVT3\n" + w3.tobytes() + b"\x55")
     x3, *_ = read_raw_evt3(str(p3))
     assert len(x3) == 1
+
+
+def test_synthetic_gt_advection_matches_closed_form():
+    """gt_advection serves GT the MVSEC way (per-GT-frame displacement
+    stacks advected via flow.gt.estimate_corresponding_gt_flow, ref
+    flow_utils.py:763-839).  On a piecewise-constant scene the advected
+    dt=4 window must reproduce the closed form away from the quadrant
+    boundaries (nearest-remap along a constant-velocity path is exact);
+    pixels advected out of frame are masked to zero."""
+    cfg = {"height": 60, "width": 80, "duration": 1.0, "event_rate": 20000.0,
+           "n_frames": 9, "flow_max": 12.0, "seed": 3, "load_gt_flow": True,
+           "gt": ".", "root": "", "dataset": "synthetic",
+           "gt_advection": True}
+    loader = data.collections["synthetic"](config=cfg)
+    loader.set_sequence("adv")
+    ts = loader.eval_frame_time_list()
+    t1, t2 = ts[0], ts[4]  # spans 4 GT intervals -> the advection loop
+    adv = loader.load_optical_flow(t1, t2)
+    exact = loader._exact_flow(t1, t2)
+
+    H, W = 60, 80
+    dt = t2 - t1
+    margin = 12.0 * dt + 3
+    rows = np.arange(H)[:, None] * np.ones((1, W))
+    cols = np.ones((H, 1)) * np.arange(W)[None, :]
+    interior = (
+        (np.abs(rows - H / 2) > margin) & (np.abs(cols - W / 2) > margin)
+        & (rows > margin) & (rows < H - margin)
+        & (cols > margin) & (cols < W - margin)
+    )
+    moved = (adv != 0).any(axis=2)  # advected-out pixels are masked to 0
+    sel = interior & moved
+    assert sel.sum() > 0.5 * interior.sum()
+    np.testing.assert_allclose(adv[sel], exact[sel], atol=0.05)
+
+    # dt=1 (single GT interval) short-circuits to a pure rescale of the
+    # first frame -- must equal the closed form everywhere
+    adv1 = loader.load_optical_flow(ts[0], ts[1])
+    np.testing.assert_allclose(adv1, loader._exact_flow(ts[0], ts[1]), atol=1e-5)

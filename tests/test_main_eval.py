@@ -325,3 +325,31 @@ def test_save_flow_dsec_png_roundtrip_and_eval(tmp_path):
     assert files == [f"{i:06d}.png" for i in range(len(files))] and files
     img0 = DsecDataLoader._read_png16(os.path.join(sub, files[0]))
     assert img0.shape == (36, 44, 3) and np.isfinite(img0).all()
+
+
+@pytest.mark.slow
+def test_eval_pipeline_dt4_gt_advection(tmp_path):
+    """The reference protocol's dt=4 axis (ref main.py:59-69): windows
+    span FOUR gray-frame intervals, the optimization batch renormalizes
+    to the fixed count over the wider window, and GT comes through the
+    multi-GT-frame advection path (gt_advection routes the synthetic
+    loader through flow.gt.estimate_corresponding_gt_flow exactly like
+    the MVSEC loader).  Proves window slicing + GT advection compose."""
+    config = _tiny_config(tmp_path)
+    config["data"].update({
+        "eval_dt": 4, "n_frames": 7, "gt_advection": True,
+        "duration": 1.4, "event_rate": 12000,
+    })
+    del config["data"]["ind1"], config["data"]["ind2"]
+    loader, solv = _build(config)
+    eval_ts = loader.eval_frame_time_list()
+
+    cli.evaluate_dataset_with_gt(eval_ts, config["data"], loader, solv)
+
+    metrics_txt = os.path.join(tmp_path, "flow_error_per_frame_with_mask.txt")
+    lines = open(metrics_txt).read().strip().splitlines()
+    assert len(lines) == len(eval_ts) - 4
+    summary = ckpt.summarize_metrics(str(tmp_path))
+    assert summary and np.isfinite(summary["EPE"]) and np.isfinite(summary["GT_FWL"])
+    # the advected GT really spanned multiple GT frames
+    assert loader.gt_advection and loader._gt_adv_cache is not None

@@ -50,6 +50,7 @@ def build_solver(opt_over=None):
 
 
 def main():
+    global H, W, N_EV
     import event_based_optical_flow_tpu.ops.pallas_objective_banded as PB
 
     n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
@@ -58,7 +59,6 @@ def main():
     noise_frac = 0.0
     if mode.startswith(("flex", "coarse", "budget", "lbfgs")):
         if mode.endswith("-dsec"):
-            global H, W, N_EV
             import bench_e2e as _be
 
             _be.H, _be.W = 480, 640  # synth() reads bench_e2e's globals
@@ -126,8 +126,6 @@ def main():
         noise_frac = 0.3
         base = {}
         if mode.endswith("-dsec"):
-            # (H/W/N_EV are function-wide globals via the first branch's
-            # declaration)
             import bench_e2e as _be
 
             _be.H, _be.W = 480, 640

@@ -1,20 +1,33 @@
 #!/usr/bin/env python3
-"""Default-policy accuracy gate (VERDICT r2 task #7): the adopted DSEC
-config budgets (cg_maxiter 8 + coarse_event_fraction 0.25) re-gated
-across ALL 6 synthetic scene families at DSEC geometry (480x640, 300k
-events/window) — not just quadrants + one clutter scene.
+"""Default-policy accuracy gate (VERDICT r2 task #7 / r3 tasks #1-2):
+the adopted config defaults re-gated across ALL 6 synthetic scene
+families — not just quadrants + one clutter scene.
 
 Per family, interleaved in ONE process (tunnel drift cancels):
   A(unbudgeted)   cg_maxiter 32, full events at every scale
-  B(dsec-default) cg_maxiter 8,  coarse_event_fraction 0.25
+  B(budgets)      cg_maxiter 8,  coarse_event_fraction 0.25
+  C(dsec-default) budgets + hvp_mode analytic (the shipped default)
 
-    python tools/gate_study.py [families...] [n_windows=2]
+    python tools/gate_study.py [families...] [n_windows=2] \
+        [--geometry dsec|mvsec] [--out outputs/gate/NAME.jsonl]
 
-Prints one JSON line per (family, arm) with EPE/wall; gate passes when
-B's EPE is within ~5% of A's on every family.
+Crash resilience (the r3 gate_clip2 crash killed a whole 6-family run
+at family 4): each family runs in its OWN subprocess; a mid-family TPU
+FailedPrecondition loses only that family and is retried once.  Results
+append to a JSONL file; re-running the same command RESUMES (families
+whose every arm is already in the file are skipped).
+
+Geometry:
+  dsec  (default) 480x640, 300k events/window — the DSEC-config gate
+  mvsec 260x346 crop 256x336, 30k events/window — the MVSEC-protocol
+        gate (parity_study geometry; used for the analytic-warm study)
+
+One-off studies can replace the arms without editing the file:
+  GATE_ARMS_JSON='{"B(fd cg8)": {...}, "D(analytic cg12)": {...}}'
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -29,8 +42,11 @@ import numpy as np
 
 import parity_study as PS
 
-H, W = 480, 640
-N_EV = 300_000
+GEOMETRIES = {
+    # name -> (H, W, crop_h, crop_w, n_events, event_rate, n_dots)
+    "dsec": (480, 640, 480, 640, 300_000, 3_000_000.0, 4000),
+    "mvsec": (260, 346, 256, 336, 30_000, 300_000.0, 1200),
+}
 
 ARMS = {
     "A(unbudgeted)": {"cg_maxiter": 32},
@@ -42,21 +58,19 @@ ARMS = {
         "hvp_mode": "analytic",
     },
 }
-# one-off studies can replace the arms without editing the file:
-#   GATE_ARMS_JSON='{"B(fd cg8)": {...}, "D(analytic cg12)": {...}}'
 if os.environ.get("GATE_ARMS_JSON"):
     ARMS = json.loads(os.environ["GATE_ARMS_JSON"])
 
 
-def make_loader(family):
+def make_loader(family, geometry):
     from event_based_optical_flow_tpu import data as data_mod
 
+    h, w, _, _, n_ev, rate, n_dots = GEOMETRIES[geometry]
     cfg = {
-        "height": H, "width": W, "duration": 1.2,
-        "event_rate": 3_000_000.0,  # ~300k per ~0.1 s window
-        "flow_max": 25.0, "n_frames": 13, "seed": 11,
-        "pattern": "dots", "n_dots": 4000,
-        "n_events_per_batch": N_EV, "eval_dt": 1,
+        "height": h, "width": w, "duration": 1.2,
+        "event_rate": rate, "flow_max": 25.0, "n_frames": 13, "seed": 11,
+        "pattern": "dots", "n_dots": n_dots,
+        "n_events_per_batch": n_ev, "eval_dt": 1,
     }
     cfg.update(PS.FAMILIES[family])
     loader = data_mod.collections["synthetic"](config=cfg)
@@ -64,73 +78,167 @@ def make_loader(family):
     return loader, cfg
 
 
-def main():
-    args = sys.argv[1:]
-    unknown = [a for a in args if a not in PS.FAMILIES and not a.isdigit()]
+def run_family(family, n_windows, geometry, out_fh):
+    """One family, all arms, interleaved — runs inside the worker."""
+    h, w, crop_h, crop_w, _, _, _ = GEOMETRIES[geometry]
+    from event_based_optical_flow_tpu import solver as solver_mod
+
+    Solver = solver_mod.collections["pyramidal_patch_contrast_maximization"]
+    slv_cfg = dict(PS.SLV_CFG)
+    slv_cfg["patch"] = dict(
+        slv_cfg["patch"], crop_height=crop_h, crop_width=crop_w
+    )
+
+    loader, cfg = make_loader(family, geometry)
+    ts = loader.eval_frame_time_list()
+    solvers = {
+        arm: Solver((h, w), {}, slv_cfg, dict(PS.OPT_CFG, **over), {}, None)
+        for arm, over in ARMS.items()
+    }
+    # warm window (compiles, untimed), then interleaved timed windows
+    stats = {arm: {"epe": [], "wall": []} for arm in ARMS}
+    for i in range(n_windows + 1):
+        opt_b, gt_b, gt_flow, flow_time = PS.gather(
+            loader, cfg, ts[i], ts[i + 1]
+        )
+        for arm, s in solvers.items():
+            t0 = time.time()
+            best = s.optimize(opt_b)
+            wall = time.time() - t0
+            s.set_previous_frame_best_estimation(best)
+            err = s.calculate_flow_error(
+                best, gt_flow, timescale=flow_time, events=gt_b
+            )
+            if i == 0:
+                print(
+                    f"{family} {arm} warm window: {wall:.1f}s "
+                    f"EPE {float(err['EPE']):.3f}",
+                    flush=True,
+                )
+                continue
+            stats[arm]["epe"].append(float(err["EPE"]))
+            stats[arm]["wall"].append(wall)
+            print(
+                f"{family} w{i} {arm}: {wall:.1f}s "
+                f"EPE {stats[arm]['epe'][-1]:.3f}",
+                flush=True,
+            )
+    for arm in ARMS:
+        row = json.dumps(
+            {
+                "family": family,
+                "arm": arm,
+                "geometry": geometry,
+                "EPE_mean": round(float(np.mean(stats[arm]["epe"])), 4),
+                "EPE_per_window": [round(e, 4) for e in stats[arm]["epe"]],
+                "wall_median_s": round(
+                    float(np.median(stats[arm]["wall"])), 2
+                ),
+            }
+        )
+        print(row, flush=True)
+        if out_fh is not None:
+            out_fh.write(row + "\n")
+            out_fh.flush()
+
+
+def parse_args(args):
+    geometry, out_path, rest = "dsec", None, []
+    it = iter(args)
+    for a in it:
+        if a == "--geometry":
+            geometry = next(it)
+        elif a == "--out":
+            out_path = next(it)
+        elif a == "--worker":
+            rest.append(a)
+        else:
+            rest.append(a)
+    if geometry not in GEOMETRIES:
+        raise SystemExit(f"unknown geometry {geometry!r}")
+    worker = "--worker" in rest
+    rest = [a for a in rest if a != "--worker"]
+    unknown = [a for a in rest if a not in PS.FAMILIES and not a.isdigit()]
     if unknown:
         raise SystemExit(
             f"unknown scene families {unknown!r}: expected names from "
             f"{sorted(PS.FAMILIES)} (a typo would otherwise silently "
             f"launch the full 6-family study)"
         )
-    fams = [a for a in args if a in PS.FAMILIES] or list(PS.FAMILIES)
-    n_windows = next((int(a) for a in args if a.isdigit()), 2)
+    fams = [a for a in rest if a in PS.FAMILIES] or list(PS.FAMILIES)
+    n_windows = next((int(a) for a in rest if a.isdigit()), 2)
+    return fams, n_windows, geometry, out_path, worker
 
-    from event_based_optical_flow_tpu import solver as solver_mod
 
-    Solver = solver_mod.collections["pyramidal_patch_contrast_maximization"]
-    slv_cfg = dict(PS.SLV_CFG)
-    slv_cfg["patch"] = dict(slv_cfg["patch"], crop_height=H, crop_width=W)
+def main():
+    fams, n_windows, geometry, out_path, worker = parse_args(sys.argv[1:])
 
-    for family in fams:
-        loader, cfg = make_loader(family)
-        ts = loader.eval_frame_time_list()
-        solvers = {
-            arm: Solver((H, W), {}, slv_cfg, dict(PS.OPT_CFG, **over), {}, None)
-            for arm, over in ARMS.items()
-        }
-        # warm window (compiles, untimed), then interleaved timed windows
-        stats = {arm: {"epe": [], "wall": []} for arm in ARMS}
-        for i in range(n_windows + 1):
-            opt_b, gt_b, gt_flow, flow_time = PS.gather(
-                loader, cfg, ts[i], ts[i + 1]
-            )
-            for arm, s in solvers.items():
-                t0 = time.time()
-                best = s.optimize(opt_b)
-                wall = time.time() - t0
-                s.set_previous_frame_best_estimation(best)
-                err = s.calculate_flow_error(
-                    best, gt_flow, timescale=flow_time, events=gt_b
+    if worker:
+        # one family inline (the crash-isolated unit) — JSON rows go to
+        # stdout; the parent collects them into the out file
+        assert len(fams) == 1
+        run_family(fams[0], n_windows, geometry, None)
+        return
+
+    if out_path is None:
+        os.makedirs("outputs/gate", exist_ok=True)
+        out_path = f"outputs/gate/gate_{geometry}.jsonl"
+
+    done = set()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            rows = [json.loads(l) for l in f if l.strip().startswith("{")]
+        for fam in set(r["family"] for r in rows):
+            arms_done = {
+                r["arm"] for r in rows
+                if r["family"] == fam and r.get("geometry", "dsec") == geometry
+            }
+            if arms_done >= set(ARMS):
+                done.add(fam)
+    todo = [f for f in fams if f not in done]
+    if done:
+        print(f"resume: skipping complete families {sorted(done & set(fams))}",
+              flush=True)
+
+    base_cmd = [
+        sys.executable, os.path.abspath(__file__), "--worker",
+        "--geometry", geometry, str(n_windows),
+    ]
+    failures = []
+    with open(out_path, "a") as out_fh:
+        for family in todo:
+            for attempt in (1, 2):
+                print(f"=== {family} (attempt {attempt}) ===", flush=True)
+                proc = subprocess.Popen(
+                    base_cmd + [family], stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT, text=True,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 )
-                if i == 0:
-                    print(
-                        f"{family} {arm} warm window: {wall:.1f}s "
-                        f"EPE {float(err['EPE']):.3f}",
-                        flush=True,
-                    )
-                    continue
-                stats[arm]["epe"].append(float(err["EPE"]))
-                stats[arm]["wall"].append(wall)
+                rows = []
+                for line in proc.stdout:
+                    line = line.rstrip("\n")
+                    print(line, flush=True)
+                    if line.startswith("{") and '"EPE_mean"' in line:
+                        rows.append(line)
+                rc = proc.wait()
+                if rc == 0 and len(rows) == len(ARMS):
+                    # write only on family success: a crashed attempt
+                    # leaves NO partial rows (resume stays correct)
+                    for row in rows:
+                        out_fh.write(row + "\n")
+                    out_fh.flush()
+                    break
                 print(
-                    f"{family} w{i} {arm}: {wall:.1f}s EPE {stats[arm]['epe'][-1]:.3f}",
+                    f"!!! {family} attempt {attempt} failed "
+                    f"(rc={rc}, rows={len(rows)}/{len(ARMS)})",
                     flush=True,
                 )
-        for arm in ARMS:
-            print(
-                json.dumps(
-                    {
-                        "family": family,
-                        "arm": arm,
-                        "EPE_mean": round(float(np.mean(stats[arm]["epe"])), 4),
-                        "EPE_per_window": [round(e, 4) for e in stats[arm]["epe"]],
-                        "wall_median_s": round(
-                            float(np.median(stats[arm]["wall"])), 2
-                        ),
-                    }
-                ),
-                flush=True,
-            )
+            else:
+                failures.append(family)
+    if failures:
+        print(f"FAILED families after retry: {failures}", flush=True)
+        sys.exit(1)
+    print(f"gate complete -> {out_path}", flush=True)
 
 
 if __name__ == "__main__":
