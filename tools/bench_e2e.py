@@ -77,7 +77,10 @@ def main():
     for arg in sys.argv[2:]:
         if "=" in arg:
             k, v = arg.split("=", 1)
-            OPT_CFG[k] = float(v) if "." in v else int(v)
+            try:
+                OPT_CFG[k] = float(v) if "." in v else int(v)
+            except ValueError:
+                OPT_CFG[k] = v  # string knobs, e.g. hvp_mode=analytic-warm
     if which == "fleet":
         return run_fleet()
     if which == "fleet-warm":

@@ -7,7 +7,12 @@ production protocol).  Reports warm push latency p50/p99 and
 streams/s = K / p50.  Inputs VARY every push (the tunnel relay memoizes
 identical (program, input) executions).
 
-    python tools/bench_serving.py [n_pushes=12] [K=8] [mode=multi|http]
+    python tools/bench_serving.py [n_pushes=12] [K=8] [mode=multi|http] \
+        [hvp_mode=fd|analytic|analytic-warm]
+
+``hvp_mode`` feeds the estimator's optimizer_config (the serving
+surfaces are warm-dominated: every push after the first is a warm
+frame, so ``analytic-warm`` runs full-analytic GN there).
 
 ``http`` additionally measures the single-stream HTTP front-end
 (serve.FlowServer, npz in/out over localhost): end-to-end POST /flow
@@ -44,11 +49,12 @@ def pct(xs, q):
     return xs[min(len(xs) - 1, int(round(q / 100 * (len(xs) - 1))))]
 
 
-def bench_multi(n_pushes, k):
+def bench_multi(n_pushes, k, hvp_mode="fd"):
     from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
 
     est = MultiStreamFlowEstimator(
-        (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True
+        (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
+        optimizer_config={"hvp_mode": hvp_mode},
     )
     # warm push: compiles the fleet chain
     t0 = time.time()
@@ -69,6 +75,7 @@ def bench_multi(n_pushes, k):
             {
                 "bench": "multistream",
                 "K": k,
+                "hvp_mode": hvp_mode,
                 "geometry": f"{H}x{W}/{N_EV}ev",
                 "p50_s": round(p50, 3),
                 "p99_s": round(p99, 3),
@@ -80,12 +87,68 @@ def bench_multi(n_pushes, k):
     )
 
 
-def bench_http(n_pushes):
+def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
+    """Interleaved in-process A/B of hvp modes on the multistream path
+    (tunnel throughput flips between processes — only interleaved
+    same-process comparisons resolve <2x differences).  Each mode gets
+    its own estimator (own fleet chain + warm state); pushes alternate
+    mode-by-mode within each round on identical windows."""
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    ests = {
+        m: MultiStreamFlowEstimator(
+            (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
+            optimizer_config={"hvp_mode": m},
+        )
+        for m in modes
+    }
+    for m, est in ests.items():
+        t0 = time.time()
+        est.push([make_window(1000 + s) for s in range(k)])
+        print(f"[{m}] K={k} first push (compiles): {time.time() - t0:.1f}s",
+              flush=True)
+        if m == "analytic-warm":
+            # second compile: the warm-frame program differs from cold
+            t0 = time.time()
+            est.push([make_window(1500 + s) for s in range(k)])
+            print(f"[{m}] second push (warm program compiles): "
+                  f"{time.time() - t0:.1f}s", flush=True)
+
+    lats = {m: [] for m in modes}
+    for p in range(n_pushes):
+        wins = [make_window(2000 + p * k + s) for s in range(k)]
+        for m, est in ests.items():
+            t0 = time.time()
+            flows = est.push(wins)
+            lats[m].append(time.time() - t0)
+            assert flows.shape == (k, 2, H, W) and np.isfinite(flows).all()
+        print(
+            f"push {p + 1}/{n_pushes}: "
+            + "  ".join(f"{m} {lats[m][-1]:.2f}s" for m in modes),
+            flush=True,
+        )
+    for m in modes:
+        p50, p99 = pct(lats[m], 50), pct(lats[m], 99)
+        print(
+            json.dumps(
+                {
+                    "bench": "multistream-ab", "K": k, "hvp_mode": m,
+                    "geometry": f"{H}x{W}/{N_EV}ev",
+                    "p50_s": round(p50, 3), "p99_s": round(p99, 3),
+                    "streams_per_s": round(k / p50, 2), "windows": n_pushes,
+                }
+            ),
+            flush=True,
+        )
+
+
+def bench_http(n_pushes, hvp_mode="fd"):
     import urllib.request
 
     from event_based_optical_flow_tpu.serve import FlowServer
 
-    srv = FlowServer((H, W), port=0, fixed_event_count=N_EV)
+    srv = FlowServer((H, W), port=0, fixed_event_count=N_EV,
+                     optimizer_config={"hvp_mode": hvp_mode})
     srv.start()
     url = f"http://127.0.0.1:{srv.port}/flow"
 
@@ -114,6 +177,7 @@ def bench_http(n_pushes):
         json.dumps(
             {
                 "bench": "http",
+                "hvp_mode": hvp_mode,
                 "geometry": f"{H}x{W}/{N_EV}ev",
                 "p50_s": round(pct(lats, 50), 3),
                 "p99_s": round(pct(lats, 99), 3),
@@ -125,10 +189,15 @@ def bench_http(n_pushes):
 
 
 if __name__ == "__main__":
-    n_pushes = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    mode = sys.argv[3] if len(sys.argv) > 3 else "multi"
+    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    pos = [a for a in sys.argv[1:] if "=" not in a]
+    n_pushes = int(pos[0]) if len(pos) > 0 else 12
+    k = int(pos[1]) if len(pos) > 1 else 8
+    mode = pos[2] if len(pos) > 2 else "multi"
+    hvp_mode = kv.get("hvp_mode", "fd")
     if mode == "http":
-        bench_http(n_pushes)
+        bench_http(n_pushes, hvp_mode)
+    elif mode == "ab":
+        bench_multi_ab(n_pushes, k)
     else:
-        bench_multi(n_pushes, k)
+        bench_multi(n_pushes, k, hvp_mode)
