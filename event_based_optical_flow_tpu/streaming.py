@@ -53,6 +53,15 @@ _DEFAULT_OPT = {
     "n_iter": 40,
     "method": "Newton-CG",
     "max_iter": 25,
+    # Serving surfaces are warm-dominated (every window after the first
+    # is a warm frame) and latency-bound, so the v10 analytic GN HVP
+    # runs full-analytic on warm frames by default: ~3x the central-FD
+    # warm wall at a measured +1-2% EPE across all 6 scene families
+    # (BENCHMARKS.md round-4 analytic-warm gate).  Accuracy-critical
+    # deployments override with optimizer_config={"hvp_mode": "fd"}
+    # (the eval-protocol default).  On CPU (or non-fused backends) the
+    # analytic path is inert and the solver falls back to FD.
+    "hvp_mode": "analytic-warm",
     "parameters": {"trans_x": {"min": -150, "max": 150},
                    "trans_y": {"min": -150, "max": 150}},
 }
@@ -126,11 +135,13 @@ class StreamingFlowEstimator:
         the sensor), so partial overrides like
         ``{"patch": {"scale": 3}}`` keep the remaining keys.  Unknown
         keys warn like the CLI's schema validation.
-    Streaming speed tip: ``optimizer_config={"hvp_mode": "analytic-warm"}``
-    runs the v10 analytic GN HVP on every pyramid scale once windows are
-    warm-chained (cold windows fall back to the cold-safe hybrid) —
-    measured 2.6x the central-FD wall at MVSEC geometry with matched
-    accuracy on warm frames (BENCHMARKS.md, hvp-analytic A/B).
+    Default HVP mode is ``analytic-warm`` (the v10 analytic GN HVP on
+    every pyramid scale once windows are warm-chained; cold windows run
+    the cold-safe hybrid): ~3x the central-FD warm-window wall at a
+    measured +1-2% EPE across all 6 scene families (BENCHMARKS.md
+    round-4 analytic-warm gate).  Accuracy-critical deployments pass
+    ``optimizer_config={"hvp_mode": "fd"}`` for the eval-protocol
+    behavior.
 
     warm_start : chain each window's solution into the next one's
         initialization (the reference eval protocol).

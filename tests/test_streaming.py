@@ -100,6 +100,23 @@ def test_partial_configs_merge_and_fit_sensor():
         StreamingFlowEstimator((8, 8))  # too small for the default pyramid
 
 
+def test_serving_default_hvp_mode_is_analytic_warm():
+    """The serving surfaces are warm-dominated and latency-bound, so
+    analytic-warm is their DEFAULT hvp mode (round-4 adoption,
+    BENCHMARKS.md analytic-warm gate); an explicit user hvp_mode must
+    still win (the accuracy escape hatch)."""
+    est = StreamingFlowEstimator(
+        (H, W), optimizer_config={"n_iter": 6, "max_iter": 6},
+    )
+    assert est._solver.opt_config["hvp_mode"] == "analytic-warm"
+
+    est2 = StreamingFlowEstimator(
+        (H, W),
+        optimizer_config={"n_iter": 6, "max_iter": 6, "hvp_mode": "fd"},
+    )
+    assert est2._solver.opt_config["hvp_mode"] == "fd"
+
+
 def test_push_rejects_bad_input(estimator):
     with pytest.raises(ValueError):
         estimator.push(np.zeros((0, 4)))
