@@ -38,7 +38,7 @@ class FlowServer:
 
     def __init__(self, image_shape, host="127.0.0.1", port=8080,
                  solver_config=None, optimizer_config=None,
-                 fixed_event_count=None, state_path=None):
+                 fixed_event_count=None, state_path=None, warmup=False):
         from .streaming import StreamingFlowEstimator
 
         self.estimator = StreamingFlowEstimator(
@@ -58,6 +58,13 @@ class FlowServer:
             if os.path.exists(state_path):
                 self.estimator.load_state(state_path)
                 logger.info(f"resumed serving state from {state_path}")
+        if warmup:
+            # pay the jit compiles at server start, not on the first
+            # client push (cold remote compiles run minutes); a resumed
+            # warm chain survives (warmup restores pre-warmup state)
+            logger.info("warming up solve programs ...")
+            dt = self.estimator.warmup()
+            logger.info(f"warmup done in {dt:.1f}s (cold + warm programs)")
         self._lock = threading.Lock()
         outer = self
 
@@ -154,6 +161,9 @@ def main(argv=None):
     ap.add_argument("--fixed-event-count", type=int, default=None)
     ap.add_argument("--state-path", default=None,
                     help="persist/resume warm-start state across restarts")
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile the solve programs (cold + warm frame) "
+                         "before accepting traffic")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -164,6 +174,7 @@ def main(argv=None):
     FlowServer(
         (args.height, args.width), args.host, args.port,
         fixed_event_count=args.fixed_event_count, state_path=args.state_path,
+        warmup=args.warmup,
     ).serve_forever()
 
 

@@ -79,6 +79,27 @@ def _subsample_fixed(events: np.ndarray, count: int) -> np.ndarray:
     return events[idx]
 
 
+def _warmup_window(image_shape, n_events, seed, t0=0.0, span=0.05):
+    """Aperiodic moving-dots window (global ~14 px/s translation) for
+    compile warmup: a RECOVERABLE scene, so warm-chained warmup windows
+    drive the same cold->warm program sequence as production traffic
+    (random noise would also compile, but its degenerate solves make the
+    warm chain unrepresentative).  Events are clipped (not dropped) at
+    the sensor border so exactly ``n_events`` rows come back."""
+    rng = np.random.default_rng(seed)
+    H, W = image_shape
+    n_dots = max(50, (H * W) // 256)
+    dx = rng.uniform(1.0, H - 2.0, n_dots)
+    dy = rng.uniform(1.0, W - 2.0, n_dots)
+    idx = rng.integers(0, n_dots, n_events)
+    t = np.sort(rng.uniform(0.0, span, n_events))
+    u, v = 12.0, 7.0  # px/s, well inside the default +-150 search bounds
+    x = np.clip(dx[idx] - t * u + rng.normal(0, 0.2, n_events), 0, H - 1)
+    y = np.clip(dy[idx] - t * v + rng.normal(0, 0.2, n_events), 0, W - 1)
+    p = rng.integers(0, 2, n_events).astype(np.float64)
+    return np.stack([x, y, t0 + t, p], axis=1)
+
+
 def _deep_merge(base: dict, override: dict) -> dict:
     """Recursive dict merge (override wins; nested dicts merge instead of
     replace) — partial user configs keep the defaults' remaining keys."""
@@ -211,6 +232,41 @@ class StreamingFlowEstimator:
         self._solver.previous_frame_best_estimation = None
         self._tail = None
 
+    def warmup(self, n_windows: int = 2, n_events: Optional[int] = None,
+               seed: int = 0) -> float:
+        """Compile the solve programs BEFORE real traffic by pushing
+        synthetic moving-dot windows through the full solve path, then
+        restoring the pre-warmup serving state.  Two windows cover both
+        programs a warm-start chain uses (under ``hvp_mode:
+        analytic-warm`` — the serving default — the warm-frame program
+        differs from the cold one and compiles on the SECOND window).
+        Returns the elapsed wall seconds (dominated by remote jit
+        compilation on a cold cache; near-instant on a warm
+        ``~/.cache/evflow_jax``).
+
+        Caveat: the banded event packing buckets its chunk count by the
+        events' spatial distribution (flex G, see BENCHMARKS.md), so a
+        real window landing in a different bucket still retraces once;
+        ``fixed_event_count`` plus the dots scene covers the common
+        bucket.  Warm-chain state, the borrow tail, and the window
+        counter are restored afterwards, so warmup never leaks into
+        real results (a state_path-resumed chain survives it)."""
+        import time as _time
+
+        t_start = _time.time()
+        count = int(n_events or self.fixed_event_count or 30000)
+        warm_prev = self._solver.previous_frame_best_estimation
+        tail_prev, span_prev, n_prev = self._tail, self.last_span, self.n_windows
+        try:
+            for i in range(int(n_windows)):
+                self.push(_warmup_window(
+                    self.image_shape, count, seed + i, t0=0.05 * i))
+        finally:
+            self._solver.previous_frame_best_estimation = warm_prev
+            self._tail, self.last_span, self.n_windows = (
+                tail_prev, span_prev, n_prev)
+        return _time.time() - t_start
+
     def save_state(self, path) -> None:
         """Persist the serving state (warm-start motions + borrow tail +
         window counter) so a restarted process resumes chaining instead
@@ -330,6 +386,31 @@ class MultiStreamFlowEstimator:
                 np.asarray(self._solver.motion_to_dense_flow(best, span)) * span
             )
         return np.stack(flows).astype(np.float64)
+
+    def warmup(self, n_windows: int = 2, n_events: Optional[int] = None,
+               seed: int = 0) -> float:
+        """Compile the fleet-batch programs before real traffic; see
+        :meth:`StreamingFlowEstimator.warmup` (same contract: two pushes
+        cover the cold and warm fleet chains under the analytic-warm
+        serving default; per-stream warm state, tails, and the batch
+        counter are restored afterwards)."""
+        import time as _time
+
+        t_start = _time.time()
+        count = int(n_events or self.fixed_event_count or 30000)
+        warm_prev = self._solver.previous_frame_best_estimation
+        tails_prev, n_prev = list(self._tails), self.n_batches
+        try:
+            for i in range(int(n_windows)):
+                self.push([
+                    _warmup_window(self.image_shape, count,
+                                   seed + 97 * k + i, t0=0.05 * i)
+                    for k in range(self.n_streams)
+                ])
+        finally:
+            self._solver.previous_frame_best_estimation = warm_prev
+            self._tails, self.n_batches = tails_prev, n_prev
+        return _time.time() - t_start
 
     def reset(self, stream: Optional[int] = None) -> None:
         """Drop warm-start state and borrow tails — all streams, or one

@@ -117,6 +117,58 @@ def test_serving_default_hvp_mode_is_analytic_warm():
     assert est2._solver.opt_config["hvp_mode"] == "fd"
 
 
+def test_warmup_compiles_without_leaking_state():
+    """warmup() drives the cold->warm program sequence and restores the
+    pre-warmup serving state: after warmup, the first REAL push must be
+    bit-identical to the same push on a never-warmed estimator (warmup
+    must not leak its chain, tail, or counters into production
+    results)."""
+    def fresh():
+        return StreamingFlowEstimator(
+            (H, W),
+            solver_config={
+                "patch": {"initialize": "zero", "scale": 2,
+                          "crop_height": 20, "crop_width": 28,
+                          "filter_type": "bilinear"},
+            },
+            optimizer_config={"n_iter": 4, "max_iter": 4},
+            fixed_event_count=1500,
+        )
+
+    est = fresh()
+    dt = est.warmup(n_windows=2, n_events=1500)
+    assert dt > 0
+    assert est.n_windows == 0
+    assert est._solver.previous_frame_best_estimation is None
+    assert est._tail is None and est.last_span is None
+
+    win = _window(t0=0.0, seed=11)
+    flow_warmed = est.push(win)
+    flow_plain = fresh().push(win)
+    np.testing.assert_array_equal(flow_warmed, flow_plain)
+
+
+def test_multistream_warmup_restores_state():
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    est = MultiStreamFlowEstimator(
+        (H, W), n_streams=2,
+        solver_config={
+            "patch": {"initialize": "zero", "scale": 2, "crop_height": 20,
+                      "crop_width": 28, "filter_type": "bilinear"},
+        },
+        optimizer_config={"n_iter": 4, "max_iter": 4},
+        fixed_event_count=1500,
+    )
+    dt = est.warmup(n_windows=1, n_events=1500)
+    assert dt > 0
+    assert est.n_batches == 0
+    assert est._solver.previous_frame_best_estimation is None
+    assert est._tails == [None, None]
+    flows = est.push([_window(0.0, seed=3), _window(0.0, seed=4)])
+    assert flows.shape == (2, 2, H, W) and np.isfinite(flows).all()
+
+
 def test_push_rejects_bad_input(estimator):
     with pytest.raises(ValueError):
         estimator.push(np.zeros((0, 4)))
