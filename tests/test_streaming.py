@@ -117,6 +117,7 @@ def test_serving_default_hvp_mode_is_analytic_warm():
     assert est2._solver.opt_config["hvp_mode"] == "fd"
 
 
+@pytest.mark.slow
 def test_warmup_compiles_without_leaking_state():
     """warmup() drives the cold->warm program sequence and restores the
     pre-warmup serving state: after warmup, the first REAL push must be
@@ -148,6 +149,7 @@ def test_warmup_compiles_without_leaking_state():
     np.testing.assert_array_equal(flow_warmed, flow_plain)
 
 
+@pytest.mark.slow
 def test_multistream_warmup_restores_state():
     from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
 

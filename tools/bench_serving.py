@@ -152,19 +152,26 @@ def bench_http(n_pushes, hvp_mode="fd"):
     srv.start()
     url = f"http://127.0.0.1:{srv.port}/flow"
 
-    def post(ev):
+    def post(ev, timeout=600):
         buf = io.BytesIO()
         np.savez_compressed(buf, events=ev)
         req = urllib.request.Request(
             url, data=buf.getvalue(), headers={"Content-Type": "application/npz"}
         )
-        with urllib.request.urlopen(req, timeout=600) as resp:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
             out = np.load(io.BytesIO(resp.read()))
             return out["flow"]
 
+    # cold+warm program compiles can exceed 10 min through the tunnel
+    # (the analytic-warm arm compiles TWO programs); don't let the
+    # client timeout kill the bench mid-compile
     t0 = time.time()
-    post(make_window(1))
+    post(make_window(1), timeout=3600)
     print(f"http first push (compiles): {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    post(make_window(2), timeout=3600)
+    print(f"http second push (warm program compiles under analytic-warm): "
+          f"{time.time() - t0:.1f}s", flush=True)
     lats = []
     for p in range(n_pushes):
         ev = make_window(500 + p)
