@@ -113,7 +113,9 @@ def suppress_benign_aot_warnings() -> None:
     if _AOT_FILTER_INSTALLED:
         return
     _AOT_FILTER_INSTALLED = True
+    import atexit
     import re
+    import sys
     import threading
 
     pat = re.compile(_AOT_BENIGN_RE)
@@ -139,7 +141,25 @@ def suppress_benign_aot_warnings() -> None:
         if buf:
             os.write(orig, buf)
 
-    threading.Thread(target=pump, daemon=True, name="aot-warn-filter").start()
+    t = threading.Thread(target=pump, daemon=True, name="aot-warn-filter")
+    t.start()
+
+    def _restore_stderr():
+        # Uncaught-exception tracebacks are printed BEFORE atexit runs,
+        # into the pipe; without this drain a crashing process exits
+        # with an EMPTY stderr (the daemon pump dies mid-buffer).
+        # Restoring fd 2 closes the pipe's last writer, so the pump
+        # reads EOF, forwards everything pending (including the
+        # traceback), and exits — then later writes go straight to the
+        # original stderr.
+        try:
+            sys.stderr.flush()
+        except Exception:
+            pass
+        os.dup2(orig, 2)
+        t.join(timeout=5)
+
+    atexit.register(_restore_stderr)
 
 
 def _platform_override() -> None:

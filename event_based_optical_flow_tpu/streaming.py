@@ -100,6 +100,30 @@ def _warmup_window(image_shape, n_events, seed, t0=0.0, span=0.05):
     return np.stack([x, y, t0 + t, p], axis=1)
 
 
+def _snapshot_solver_rng(solver):
+    """Capture the solver's RNG state so warmup pushes don't advance it
+    (each push consumes jax PRNG splits for the init sweeps/chain and,
+    under ``initialize: random``, the numpy generator too — without the
+    restore, the first real push after warmup would draw different init
+    candidates than a never-warmed estimator)."""
+    key = getattr(solver, "_key", None)
+    rng = getattr(solver, "_rng", None)
+    return (
+        None if key is None else np.asarray(key).copy(),
+        None if rng is None else rng.bit_generator.state,
+    )
+
+
+def _restore_solver_rng(solver, snap):
+    key, rng_state = snap
+    if key is not None:
+        import jax.numpy as jnp
+
+        solver._key = jnp.asarray(key)
+    if rng_state is not None:
+        solver._rng.bit_generator.state = rng_state
+
+
 def _deep_merge(base: dict, override: dict) -> dict:
     """Recursive dict merge (override wins; nested dicts merge instead of
     replace) — partial user configs keep the defaults' remaining keys."""
@@ -257,6 +281,7 @@ class StreamingFlowEstimator:
         count = int(n_events or self.fixed_event_count or 30000)
         warm_prev = self._solver.previous_frame_best_estimation
         tail_prev, span_prev, n_prev = self._tail, self.last_span, self.n_windows
+        rng_snap = _snapshot_solver_rng(self._solver)
         try:
             for i in range(int(n_windows)):
                 self.push(_warmup_window(
@@ -265,6 +290,7 @@ class StreamingFlowEstimator:
             self._solver.previous_frame_best_estimation = warm_prev
             self._tail, self.last_span, self.n_windows = (
                 tail_prev, span_prev, n_prev)
+            _restore_solver_rng(self._solver, rng_snap)
         return _time.time() - t_start
 
     def save_state(self, path) -> None:
@@ -400,6 +426,7 @@ class MultiStreamFlowEstimator:
         count = int(n_events or self.fixed_event_count or 30000)
         warm_prev = self._solver.previous_frame_best_estimation
         tails_prev, n_prev = list(self._tails), self.n_batches
+        rng_snap = _snapshot_solver_rng(self._solver)
         try:
             for i in range(int(n_windows)):
                 self.push([
@@ -410,6 +437,7 @@ class MultiStreamFlowEstimator:
         finally:
             self._solver.previous_frame_best_estimation = warm_prev
             self._tails, self.n_batches = tails_prev, n_prev
+            _restore_solver_rng(self._solver, rng_snap)
         return _time.time() - t_start
 
     def reset(self, stream: Optional[int] = None) -> None:

@@ -105,3 +105,31 @@ def test_aot_warning_filter_pattern():
     assert not pat.search(genuine)
     # unrelated stderr must never match
     assert not pat.search(b"Traceback (most recent call last):")
+
+
+def test_aot_warning_filter_preserves_crash_traceback():
+    """Regression (round-4 review): the fd-2 filter's daemon pump used to
+    die before draining at process exit, so a CRASHING harness process
+    (the exact case the filter claims to keep readable) exited with an
+    EMPTY stderr.  The atexit restore must flush the pending pipe
+    content — real lines and the uncaught traceback — while still
+    dropping the benign AOT lines."""
+    import subprocess
+    import sys
+
+    code = (
+        "import event_based_optical_flow_tpu.config as c\n"
+        "c.suppress_benign_aot_warnings()\n"
+        "import os\n"
+        "os.write(2, b'cpu_aot_loader blah feature +prefer-no-scatter"
+        " is not  supported\\n')\n"
+        "os.write(2, b'REAL SIGNAL LINE\\n')\n"
+        "raise RuntimeError('boom')\n"
+    )
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=120)
+    err = p.stderr.decode()
+    assert p.returncode == 1
+    assert "RuntimeError: boom" in err  # traceback survives the filter
+    assert "REAL SIGNAL LINE" in err
+    assert "prefer-no-scatter" not in err

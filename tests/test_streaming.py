@@ -122,13 +122,14 @@ def test_warmup_compiles_without_leaking_state():
     """warmup() drives the cold->warm program sequence and restores the
     pre-warmup serving state: after warmup, the first REAL push must be
     bit-identical to the same push on a never-warmed estimator (warmup
-    must not leak its chain, tail, or counters into production
-    results)."""
+    must not leak its chain, tail, counters, OR RNG state into
+    production results — `initialize: random` here exercises the numpy
+    generator and the jax PRNG splits that every push consumes)."""
     def fresh():
         return StreamingFlowEstimator(
             (H, W),
             solver_config={
-                "patch": {"initialize": "zero", "scale": 2,
+                "patch": {"initialize": "random", "scale": 2,
                           "crop_height": 20, "crop_width": 28,
                           "filter_type": "bilinear"},
             },

@@ -78,9 +78,12 @@ def main():
         if "=" in arg:
             k, v = arg.split("=", 1)
             try:
-                OPT_CFG[k] = float(v) if "." in v else int(v)
+                OPT_CFG[k] = int(v)
             except ValueError:
-                OPT_CFG[k] = v  # string knobs, e.g. hvp_mode=analytic-warm
+                try:
+                    OPT_CFG[k] = float(v)  # incl. scientific notation, 1e-6
+                except ValueError:
+                    OPT_CFG[k] = v  # string knobs, e.g. hvp_mode=analytic-warm
     if which == "fleet":
         return run_fleet()
     if which == "fleet-warm":

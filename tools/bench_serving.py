@@ -107,8 +107,8 @@ def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
         est.push([make_window(1000 + s) for s in range(k)])
         print(f"[{m}] K={k} first push (compiles): {time.time() - t0:.1f}s",
               flush=True)
-        if m == "analytic-warm":
-            # second compile: the warm-frame program differs from cold
+        if m.startswith("analytic"):
+            # second compile: the warm-frame program can differ from cold
             t0 = time.time()
             est.push([make_window(1500 + s) for s in range(k)])
             print(f"[{m}] second push (warm program compiles): "
@@ -205,6 +205,12 @@ if __name__ == "__main__":
     if mode == "http":
         bench_http(n_pushes, hvp_mode)
     elif mode == "ab":
-        bench_multi_ab(n_pushes, k)
+        if "hvp_mode" in kv:
+            raise SystemExit(
+                "mode 'ab' interleaves a PAIR of modes; pass "
+                "modes=<m1>,<m2> (default fd,analytic-warm), not hvp_mode="
+            )
+        modes = tuple(kv.get("modes", "fd,analytic-warm").split(","))
+        bench_multi_ab(n_pushes, k, modes)
     else:
         bench_multi(n_pushes, k, hvp_mode)

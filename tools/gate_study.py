@@ -78,8 +78,9 @@ def make_loader(family, geometry):
     return loader, cfg
 
 
-def run_family(family, n_windows, geometry, out_fh):
-    """One family, all arms, interleaved — runs inside the worker."""
+def run_family(family, n_windows, geometry):
+    """One family, all arms, interleaved — runs inside the worker (the
+    parent collects the printed JSONL rows from worker stdout)."""
     h, w, crop_h, crop_w, _, _, _ = GEOMETRIES[geometry]
     from event_based_optical_flow_tpu import solver as solver_mod
 
@@ -137,27 +138,26 @@ def run_family(family, n_windows, geometry, out_fh):
             }
         )
         print(row, flush=True)
-        if out_fh is not None:
-            out_fh.write(row + "\n")
-            out_fh.flush()
 
 
 def parse_args(args):
-    geometry, out_path, rest = "dsec", None, []
+    geometry, out_path, worker, rest = "dsec", None, False, []
     it = iter(args)
     for a in it:
-        if a == "--geometry":
-            geometry = next(it)
-        elif a == "--out":
-            out_path = next(it)
+        if a in ("--geometry", "--out"):
+            val = next(it, None)
+            if val is None:
+                raise SystemExit(f"{a} requires a value")
+            if a == "--geometry":
+                geometry = val
+            else:
+                out_path = val
         elif a == "--worker":
-            rest.append(a)
+            worker = True
         else:
             rest.append(a)
     if geometry not in GEOMETRIES:
         raise SystemExit(f"unknown geometry {geometry!r}")
-    worker = "--worker" in rest
-    rest = [a for a in rest if a != "--worker"]
     unknown = [a for a in rest if a not in PS.FAMILIES and not a.isdigit()]
     if unknown:
         raise SystemExit(
@@ -177,7 +177,7 @@ def main():
         # one family inline (the crash-isolated unit) — JSON rows go to
         # stdout; the parent collects them into the out file
         assert len(fams) == 1
-        run_family(fams[0], n_windows, geometry, None)
+        run_family(fams[0], n_windows, geometry)
         return
 
     if out_path is None:

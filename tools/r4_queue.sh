@@ -4,6 +4,7 @@
 # invocation with per-family subprocess isolation + JSONL resume, so a
 # mid-run tunnel crash costs one family, not the queue.
 set -u
+echo $$ > /tmp/r4_queue.pid  # the next stage gates on this pid
 cd /root/repo
 mkdir -p outputs/gate
 

@@ -3,6 +3,7 @@
 # modes (VERDICT r3 task #1 second half — the r3 serving numbers predate
 # v10 and are stale upper bounds).  Waits for stage 1 (gate studies).
 set -u
+echo $$ > /tmp/r4_queue2.pid  # the next stage gates on this pid
 cd /root/repo
 mkdir -p outputs/gate
 

@@ -6,6 +6,7 @@
 # which should cut the steady DSEC wall further.  Gate: shipped
 # C(analytic) vs W(analytic-warm), all 6 families, 3 windows (2 warm).
 set -u
+echo $$ > /tmp/r4_queue3.pid  # the next stage gates on this pid
 cd /root/repo
 mkdir -p outputs/gate
 

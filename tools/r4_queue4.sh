@@ -4,6 +4,7 @@
 # bench_serving now uses a 3600 s timeout for the compile pushes and
 # excludes both compile pushes from the latency sample).
 set -u
+echo $$ > /tmp/r4_queue4.pid  # the next stage gates on this pid
 cd /root/repo
 mkdir -p outputs/gate
 
