@@ -964,8 +964,14 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         hvp_prep_fn = None
         hvp_mode_cfg = str(self.opt_config.get("hvp_mode", "fd")).lower()
         want_analytic = hvp_mode_cfg in ("analytic", "analytic-warm",
-                                         "analytic-all", "analytic-full")
-        if not finest:
+                                         "analytic-coldfd", "analytic-all",
+                                         "analytic-full")
+        if hvp_mode_cfg == "analytic-coldfd":
+            # accuracy-first hybrid: FD everywhere on cold frames (the
+            # plain hybrid's rot regression is cold-only), analytic
+            # finest on warm frames — see patch_base._build_newton
+            want_analytic = warm and finest
+        elif not finest:
             if hvp_mode_cfg == "analytic":
                 want_analytic = False
             elif hvp_mode_cfg == "analytic-warm":

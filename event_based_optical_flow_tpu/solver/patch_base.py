@@ -179,7 +179,7 @@ class PatchContrastMaximization(SolverBase):
         (measured: +17-34 s/arm in the DSEC hvp A/B before this guard)."""
         return bool(warm) and str(
             self.opt_config.get("hvp_mode", "fd")
-        ).lower() == "analytic-warm"
+        ).lower() in ("analytic-warm", "analytic-coldfd")
 
     def _get_newton_solver(self, spec, maxiter: int, gtol: float, cg_maxiter=None,
                            finest=True, warm=False):
@@ -285,13 +285,14 @@ class PatchContrastMaximization(SolverBase):
         hvp_fn = None
         hvp_prep_fn = None
         hvp_mode_cfg = str(self.opt_config.get("hvp_mode", "fd")).lower()
-        if hvp_mode_cfg not in ("fd", "analytic", "analytic-warm", "analytic-all",
+        if hvp_mode_cfg not in ("fd", "analytic", "analytic-warm",
+                                "analytic-coldfd", "analytic-all",
                                 "analytic-full") \
                 and not getattr(self, "_warned_hvp_mode", False):
             logger.warning(
                 f"optimizer.hvp_mode: {hvp_mode_cfg!r} is not recognized "
-                "(fd | analytic | analytic-warm | analytic-all | "
-                "analytic-full) — using fd"
+                "(fd | analytic | analytic-warm | analytic-coldfd | "
+                "analytic-all | analytic-full) — using fd"
             )
             self._warned_hvp_mode = True
         # "analytic" = the ADOPTABLE hybrid: Gauss-Newton curvature via the
@@ -305,11 +306,18 @@ class PatchContrastMaximization(SolverBase):
         # hybrid, WARM frames (a previous-frame estimate seeds every
         # scale) run analytic GN on every scale — measured safe warm and
         # 2.6x the central-FD wall (ab_policy hvp-analytic arm C, warm
-        # rounds).  "analytic-all"/"analytic-full" run GN / full-H
+        # rounds).  "analytic-coldfd" = the accuracy-first hybrid: COLD
+        # frames run central-FD on every scale (the rot cold-frame
+        # basin-selection regression of the plain hybrid is cold-only —
+        # round-4 rot CG study), warm frames run the hybrid (analytic
+        # finest).  "analytic-all"/"analytic-full" run GN / full-H
         # analytic on every scale unconditionally (study modes).
         want_analytic = hvp_mode_cfg in ("analytic", "analytic-warm",
-                                         "analytic-all", "analytic-full")
-        if not finest:
+                                         "analytic-coldfd", "analytic-all",
+                                         "analytic-full")
+        if hvp_mode_cfg == "analytic-coldfd":
+            want_analytic = warm and finest
+        elif not finest:
             if hvp_mode_cfg == "analytic":
                 want_analytic = False
             elif hvp_mode_cfg == "analytic-warm":

@@ -728,3 +728,51 @@ def test_pyramid_analytic_warm_mode():
     fin2 = best_warm[max(best_warm)]
     assert np.abs(fin2[0].mean() - (gt[0] + 0.5)) < 1.5
     assert np.abs(fin2[1].mean() - (gt[1] - 0.5)) < 1.5
+
+
+@pytest.mark.slow
+def test_pyramid_analytic_coldfd_mode():
+    """hvp_mode: analytic-coldfd — the accuracy-first hybrid: COLD frames
+    must run central-FD on EVERY scale (bit-identical to hvp_mode: fd —
+    the plain hybrid's rot cold-frame regression motivates this mode),
+    warm frames run the hybrid (analytic finest) and must recover."""
+    gt = np.array([10.0, -8.0])
+    ev = _synthetic_events(gt, n=4000, h=36, w=44)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 32, "crop_width": 40, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",
+        "precision": "64",
+    }
+    opt_base = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 10,
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    mk = solver.collections["pyramidal_patch_contrast_maximization"]
+    solv_fd = mk((36, 44), {}, slv_cfg, dict(opt_base, hvp_mode="fd"), {}, None)
+    solv_cf = mk((36, 44), {}, slv_cfg, dict(opt_base, hvp_mode="analytic-coldfd"), {}, None)
+    best_fd = solv_fd.optimize(ev)
+    best_cf = solv_cf.optimize(ev)
+    for s in best_fd:
+        np.testing.assert_array_equal(
+            np.asarray(best_fd[s]), np.asarray(best_cf[s]),
+            err_msg=f"cold frame diverged from fd at scale {s}",
+        )
+    # warm frame: the analytic finest scale engages (no silent fallback)
+    solv_cf.set_previous_frame_best_estimation(best_cf)
+    ev2 = _synthetic_events(gt + np.array([0.5, -0.5]), n=4000, h=36, w=44, seed=9)
+    best_warm = solv_cf.optimize(ev2)
+    assert not getattr(solv_cf, "_warned_analytic_hvp", False)
+    fin2 = best_warm[max(best_warm)]
+    assert np.abs(fin2[0].mean() - (gt[0] + 0.5)) < 1.5
+    assert np.abs(fin2[1].mean() - (gt[1] - 0.5)) < 1.5
