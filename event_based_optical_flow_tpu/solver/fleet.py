@@ -1280,7 +1280,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             # subsampled pack and returned the finest init vectors)
             outs_c, fs_c, x0_fin = out_all
             fin = self._get_fleet_finest_solver(
-                specs[scales[-1]], bsz, maxiter, gtol=1e-5
+                specs[scales[-1]], bsz, maxiter, gtol=1e-5, warm=use_warm
             )
             bx, bf = fin(x0_fin, *solver_args)
             outs = list(outs_c) + [
@@ -1410,13 +1410,19 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 self._fun_cache[key] = jax.jit(chain)
         return self._fun_cache[key]
 
-    def _get_fleet_finest_solver(self, spec, bsz, maxiter, gtol):
+    def _get_fleet_finest_solver(self, spec, bsz, maxiter, gtol, warm=False):
         """Finest-scale lockstep Newton on the full fleet pack — the
         second dispatch of the split coarse fleet chain (mirrors
-        pyramid._get_finest_solver; shards over 'data' like the chain)."""
-        key = (spec, "fleet_finest", bsz, maxiter, gtol, self.mesh is not None)
+        pyramid._get_finest_solver; shards over 'data' like the chain).
+        ``warm`` must reach the builder: ``hvp_mode: analytic-coldfd``
+        picks FD vs analytic on the finest scale by warmth (same
+        round-4 bug as the sequential finest solver)."""
+        warm = self._warm_key(warm)
+        key = (spec, "fleet_finest", bsz, maxiter, gtol,
+               self.mesh is not None, warm)
         if key not in self._fun_cache:
-            solve_inner = self._build_fleet_newton(spec, maxiter, gtol)
+            solve_inner = self._build_fleet_newton(spec, maxiter, gtol,
+                                                   warm=warm)
 
             def finest(x0, *newton_args):
                 bx, bf, _ = solve_inner(x0, *newton_args)

@@ -338,7 +338,8 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         if split:
             outs_c, fs_c, its_c, x0_fin = out_all
             fin_fn = self._get_finest_solver(
-                specs[scales[-1]], maxiter, 1e-5, bool(metric_in)
+                specs[scales[-1]], maxiter, 1e-5, bool(metric_in),
+                warm=use_warm,
             )
             fin_all = fin_fn(x0_fin, tuple(metric_in), *newton_args)
             if metric_in:
@@ -445,15 +446,21 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
             self._fun_cache[key] = jax.jit(chain)
         return self._fun_cache[key]
 
-    def _get_finest_solver(self, spec, maxiter, gtol, with_metrics):
+    def _get_finest_solver(self, spec, maxiter, gtol, with_metrics, warm=False):
         """Finest-scale Newton solve (+ optional fused AEE/FWL metrics) as
         one device program — the second dispatch of the split coarse
-        chain."""
+        chain.  ``warm`` must reach the Newton builder (normalized for
+        the cache key like everywhere else): ``hvp_mode:
+        analytic-coldfd`` picks FD vs analytic on the FINEST scale by
+        warmth, and dropping the flag here silently ran FD on warm
+        frames whenever the split-coarse path was active (the round-4
+        DSEC gate caught F == B bit-identical)."""
         import jax
 
-        key = (spec, "chain_finest", maxiter, gtol, with_metrics)
+        warm = self._warm_key(warm)
+        key = (spec, "chain_finest", maxiter, gtol, with_metrics, warm)
         if key not in self._fun_cache:
-            solve = self._build_newton(spec, maxiter, gtol)
+            solve = self._build_newton(spec, maxiter, gtol, warm=warm)
             metrics_body = self._build_metrics_body() if with_metrics else None
 
             def finest(x0, metric_in, *newton_args):

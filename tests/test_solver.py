@@ -776,3 +776,58 @@ def test_pyramid_analytic_coldfd_mode():
     fin2 = best_warm[max(best_warm)]
     assert np.abs(fin2[0].mean() - (gt[0] + 0.5)) < 1.5
     assert np.abs(fin2[1].mean() - (gt[1] - 0.5)) < 1.5
+
+
+@pytest.mark.slow
+def test_pyramid_analytic_coldfd_split_coarse_warm_engages():
+    """Regression (round-4 DSEC gate): under the split-coarse chain
+    (coarse_event_fraction) the finest scale solves in its own device
+    program, and _get_finest_solver dropped the warm flag — so
+    analytic-coldfd silently ran FD on WARM frames exactly on the DSEC
+    configuration it was built for.  With identical warm state,
+    coldfd's warm solve must be bit-identical to the analytic hybrid's
+    (same programs) and must differ from fd's."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt, n=2600, h=20, w=28)
+    slv_cfg = {
+        "method": "pyramidal_patch_contrast_maximization",
+        "time_aware": False,
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 16, "crop_width": 24, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",
+        "precision": "64",
+    }
+    opt_base = {
+        "n_iter": 4, "method": "Newton-CG", "max_iter": 6,
+        "coarse_event_fraction": 0.5,  # forces the two-program split
+        "parameters": {"trans_x": {"min": -20, "max": 20}, "trans_y": {"min": -20, "max": 20}},
+    }
+    mk = solver.collections["pyramidal_patch_contrast_maximization"]
+
+    # ONE shared cold state so every arm's warm frame sees identical
+    # inputs — the arms then differ only by their warm-frame programs
+    cold_solver = mk((20, 28), {}, slv_cfg, dict(opt_base, hvp_mode="fd"), {}, None)
+    cold = cold_solver.optimize(ev)
+    assert cold_solver._coarse_sub is not None  # the split path is active
+    ev2 = _synthetic_events(gt + np.array([0.5, -0.5]), n=2600, h=20, w=28, seed=9)
+
+    def warm_solve(hvp_mode):
+        solv = mk((20, 28), {}, slv_cfg, dict(opt_base, hvp_mode=hvp_mode), {}, None)
+        solv.set_previous_frame_best_estimation(cold)
+        warm = solv.optimize(ev2)
+        return {s: np.asarray(v) for s, v in warm.items()}
+
+    warm_fd = warm_solve("fd")
+    warm_an = warm_solve("analytic")
+    warm_cf = warm_solve("analytic-coldfd")
+    finest = max(warm_fd)
+    assert not np.array_equal(warm_cf[finest], warm_fd[finest]), (
+        "coldfd's warm finest scale ran FD — the warm flag was dropped"
+    )
+    np.testing.assert_array_equal(warm_cf[finest], warm_an[finest])

@@ -10,8 +10,10 @@ echo $$ > /tmp/r4_queue5.pid  # the next stage gates on this pid
 cd /root/repo
 mkdir -p outputs/gate
 
-if [ -f /tmp/r4_queue4.pid ]; then
-  while kill -0 "$(cat /tmp/r4_queue4.pid)" 2>/dev/null; do sleep 30; done
+# relaunched after the finest-solver warm-flag fix; queue6 (MVSEC
+# coldfd gate) took the chip in the meantime — wait for it
+if [ -f /tmp/r4_queue6.pid ]; then
+  while kill -0 "$(cat /tmp/r4_queue6.pid)" 2>/dev/null; do sleep 30; done
 fi
 
 echo "=== study 5: analytic-coldfd 6-family gate at DSEC geometry ==="
