@@ -571,7 +571,15 @@ def test_evflownet_forward_shapes():
     assert flows["flow0"].shape == (1, 2, 4, 4)
 
 
-@pytest.mark.parametrize("time_aware", [False, True])
+@pytest.mark.parametrize(
+    "time_aware",
+    [
+        # the dense variant is the 25 s outlier of the fast tier; the
+        # time-aware variant keeps the capability covered there
+        pytest.param(False, marks=pytest.mark.slow),
+        True,
+    ],
+)
 def test_precomputed_orig_objective_matches(time_aware):
     """Hoisted motion-independent orig IWE (build_orig_iwe_banded +
     build_objective_banded(precomputed_orig=True)) == the fused-orig
