@@ -963,19 +963,9 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         hvp_fn = None
         hvp_prep_fn = None
         hvp_mode_cfg = str(self.opt_config.get("hvp_mode", "fd")).lower()
-        want_analytic = hvp_mode_cfg in ("analytic", "analytic-warm",
-                                         "analytic-coldfd", "analytic-all",
-                                         "analytic-full")
-        if hvp_mode_cfg == "analytic-coldfd":
-            # accuracy-first hybrid: FD everywhere on cold frames (the
-            # plain hybrid's rot regression is cold-only), analytic
-            # finest on warm frames — see patch_base._build_newton
-            want_analytic = warm and finest
-        elif not finest:
-            if hvp_mode_cfg == "analytic":
-                want_analytic = False
-            elif hvp_mode_cfg == "analytic-warm":
-                want_analytic = warm
+        # routing is single-sourced with the sequential builder so the
+        # fleet and per-frame paths can never diverge on a new mode
+        want_analytic = self._want_analytic(warm, finest)
         if objective_uses_banded(spec):
             hoist = "orig_iwe" in make_cost(spec).required_keys
             batched = build_batched_objective_banded(spec, precomputed_orig=hoist)
@@ -1050,7 +1040,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
 
     def _get_fleet_solver(self, spec, bsz: int, maxiter: int, gtol: float,
                           cg_maxiter=None, finest=True, warm=False):
-        warm = self._warm_key(warm)
+        warm = self._warm_key(warm, finest)
         key = (spec, "fleet", bsz, maxiter, gtol, cg_maxiter, finest, warm)
         if key not in self._fun_cache:
             self._fun_cache[key] = jax.jit(
@@ -1417,7 +1407,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         ``warm`` must reach the builder: ``hvp_mode: analytic-coldfd``
         picks FD vs analytic on the finest scale by warmth (same
         round-4 bug as the sequential finest solver)."""
-        warm = self._warm_key(warm)
+        warm = self._warm_key(warm, finest=True)
         key = (spec, "fleet_finest", bsz, maxiter, gtol,
                self.mesh is not None, warm)
         if key not in self._fun_cache:

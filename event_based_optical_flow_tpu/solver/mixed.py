@@ -94,6 +94,8 @@ class MixedPatchContrastMaximization(PatchContrastMaximization):
                 spec, ev, w, motion0,
                 maxiter=self.opt_config.get("max_iter", 25), gtol=1e-7,
                 events_np=events,
+                # warmth gates the hvp_mode routing (analytic-warm/-coldfd)
+                warm=self.previous_frame_best_estimation is not None,
             )
         elif self.opt_method in SCIPY_OPTIMIZERS:
             result = self._run_scipy_on_spec(

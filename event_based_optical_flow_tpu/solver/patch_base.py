@@ -171,19 +171,37 @@ class PatchContrastMaximization(SolverBase):
     def _uses_banded(self, spec) -> bool:
         return objective_uses_banded(spec)
 
-    def _warm_key(self, warm: bool) -> bool:
-        """Normalize the per-call warm flag for solver cache keys: only
-        ``hvp_mode: analytic-warm`` builds different programs for cold vs
-        warm frames — every other mode must key identically or the first
-        warm frame pays a full redundant retrace of every solver
+    def _want_analytic(self, warm: bool, finest: bool) -> bool:
+        """THE hvp-mode routing table (single-sourced for the sequential
+        AND fleet Newton builders): does a solver for this (warmth,
+        scale) pair use the v10 analytic HVP kernels?  See
+        _build_newton's mode docs for the measured rationale."""
+        mode = str(self.opt_config.get("hvp_mode", "fd")).lower()
+        if mode in ("analytic-all", "analytic-full"):
+            return True
+        if mode == "analytic":
+            return bool(finest)
+        if mode == "analytic-warm":
+            return bool(finest or warm)
+        if mode == "analytic-coldfd":
+            return bool(warm and finest)
+        return False
+
+    def _warm_key(self, warm: bool, finest: bool = True) -> bool:
+        """Normalize the per-call warm flag for solver cache keys:
+        include warm only when the built program for THIS scale actually
+        differs by warmth (analytic-warm: coarse scales only;
+        analytic-coldfd: finest scale only) — otherwise the first warm
+        frame pays a full redundant retrace of bit-identical solvers
         (measured: +17-34 s/arm in the DSEC hvp A/B before this guard)."""
-        return bool(warm) and str(
-            self.opt_config.get("hvp_mode", "fd")
-        ).lower() in ("analytic-warm", "analytic-coldfd")
+        return bool(warm) and (
+            self._want_analytic(True, finest)
+            != self._want_analytic(False, finest)
+        )
 
     def _get_newton_solver(self, spec, maxiter: int, gtol: float, cg_maxiter=None,
                            finest=True, warm=False):
-        warm = self._warm_key(warm)
+        warm = self._warm_key(warm, finest)
         key = (spec, "newton", maxiter, gtol, cg_maxiter, self._uses_banded(spec),
                finest, warm)
         if key not in self._fun_cache:
@@ -312,16 +330,7 @@ class PatchContrastMaximization(SolverBase):
         # round-4 rot CG study), warm frames run the hybrid (analytic
         # finest).  "analytic-all"/"analytic-full" run GN / full-H
         # analytic on every scale unconditionally (study modes).
-        want_analytic = hvp_mode_cfg in ("analytic", "analytic-warm",
-                                         "analytic-coldfd", "analytic-all",
-                                         "analytic-full")
-        if hvp_mode_cfg == "analytic-coldfd":
-            want_analytic = warm and finest
-        elif not finest:
-            if hvp_mode_cfg == "analytic":
-                want_analytic = False
-            elif hvp_mode_cfg == "analytic-warm":
-                want_analytic = warm
+        want_analytic = self._want_analytic(warm, finest)
         if self._uses_banded(spec):
             mesh = self.mesh if self.n_event_shards > 1 else None
             hoist = "orig_iwe" in make_cost(spec).required_keys
@@ -440,7 +449,7 @@ class PatchContrastMaximization(SolverBase):
         the two per-scale calls halves that overhead.  Signature:
         fused(patch_events, weights, counts, motion0 [P,2], key, *newton_args)
           -> (best_x, best_f, n_iter)."""
-        warm = self._warm_key(warm)
+        warm = self._warm_key(warm, finest)
         key = (spec, "fused_scale", search_key, maxiter, gtol, cg_maxiter,
                self._uses_banded(spec), finest, warm)
         if key not in self._fun_cache:

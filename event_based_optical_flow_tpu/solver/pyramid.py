@@ -457,7 +457,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         DSEC gate caught F == B bit-identical)."""
         import jax
 
-        warm = self._warm_key(warm)
+        warm = self._warm_key(warm, finest=True)
         key = (spec, "chain_finest", maxiter, gtol, with_metrics, warm)
         if key not in self._fun_cache:
             solve = self._build_newton(spec, maxiter, gtol, warm=warm)

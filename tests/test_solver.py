@@ -831,3 +831,87 @@ def test_pyramid_analytic_coldfd_split_coarse_warm_engages():
         "coldfd's warm finest scale ran FD — the warm flag was dropped"
     )
     np.testing.assert_array_equal(warm_cf[finest], warm_an[finest])
+
+
+def test_hvp_mode_routing_table_and_warm_key():
+    """_want_analytic is THE single-sourced hvp-mode routing table
+    (sequential + fleet builders), and _warm_key must put warm in a
+    solver cache key ONLY where the built program differs by warmth —
+    keying a warm-independent scale by warmth retraces a bit-identical
+    program on the first warm frame (the documented +17-34 s/arm
+    gotcha, regressed by analytic-coldfd for the coarse scales until
+    round-4 session 4)."""
+    slv_cfg, opt_cfg = _mixed_cfg()
+    mk = solver.collections["mixed_patch_contrast_maximization"]
+
+    def make(mode):
+        return mk((H, W), {}, slv_cfg, dict(opt_cfg, hvp_mode=mode), {}, None)
+
+    # (mode, warm, finest) -> uses the analytic HVP?
+    table = {
+        ("fd", False, True): False, ("fd", True, True): False,
+        ("fd", True, False): False,
+        ("analytic", False, True): True, ("analytic", True, True): True,
+        ("analytic", False, False): False, ("analytic", True, False): False,
+        ("analytic-warm", False, True): True, ("analytic-warm", True, True): True,
+        ("analytic-warm", False, False): False, ("analytic-warm", True, False): True,
+        ("analytic-coldfd", False, True): False, ("analytic-coldfd", True, True): True,
+        ("analytic-coldfd", False, False): False, ("analytic-coldfd", True, False): False,
+        ("analytic-all", False, False): True, ("analytic-full", True, False): True,
+    }
+    solvers = {m: make(m) for m in {k[0] for k in table}}
+    for (mode, warm, finest), want in table.items():
+        assert solvers[mode]._want_analytic(warm, finest) is want, (mode, warm, finest)
+
+    # warm belongs in the cache key exactly where routing is warm-dependent
+    key_table = {
+        "fd": {True: False, False: False},
+        "analytic": {True: False, False: False},
+        "analytic-warm": {True: False, False: True},    # coarse scales only
+        "analytic-coldfd": {True: True, False: False},  # finest scale only
+        "analytic-all": {True: False, False: False},
+    }
+    for mode, per_scale in key_table.items():
+        s = solvers[mode]
+        for finest, expect in per_scale.items():
+            assert s._warm_key(True, finest) is expect, (mode, finest)
+            assert s._warm_key(False, finest) is False, (mode, finest)
+
+
+@pytest.mark.parametrize("name", [
+    "mixed_patch_contrast_maximization",
+    "global_contrast_maximization",
+])
+def test_single_scale_solvers_pass_warm_flag(name):
+    """Regression (round-4 review): GlobalMotion / Mixed optimize()
+    never passed warm into _run_newton_device, so the warm-gated hvp
+    modes (analytic-coldfd) silently ran FD on warm frames forever on
+    these solvers — the same dropped-flag class as the split-coarse
+    finest-solver bug.  Intercept the device-Newton entry point and
+    assert warmth arrives on the warm-chained frame."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt)
+    if name == "mixed_patch_contrast_maximization":
+        slv_cfg, opt_cfg = _mixed_cfg(optimizer={"max_iter": 2, "n_iter": 2})
+    else:
+        slv_cfg, opt_cfg = _mixed_cfg(optimizer={"max_iter": 2, "n_iter": 2})
+        slv_cfg = dict(
+            slv_cfg,
+            method="global_contrast_maximization",
+            # the global solver has no tile grid (rejects total_variation)
+            cost_with_weight={"multi_focal_normalized_gradient_magnitude": 1.0},
+        )
+    solv = solver.collections[name]((H, W), {}, slv_cfg, opt_cfg, {}, None)
+
+    seen = []
+    orig = type(solv)._run_newton_device
+
+    def spy(self, *a, **kw):
+        seen.append(bool(kw.get("warm", False)))
+        return orig(self, *a, **kw)
+
+    solv._run_newton_device = spy.__get__(solv)
+    best = solv.optimize(ev)
+    solv.set_previous_frame_best_estimation(best)
+    solv.optimize(ev)
+    assert seen == [False, True], seen

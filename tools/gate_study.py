@@ -96,8 +96,9 @@ def run_family(family, n_windows, geometry):
         arm: Solver((h, w), {}, slv_cfg, dict(PS.OPT_CFG, **over), {}, None)
         for arm, over in ARMS.items()
     }
-    # warm window (compiles, untimed), then interleaved timed windows
-    stats = {arm: {"epe": [], "wall": []} for arm in ARMS}
+    # window 0 = the COLD window (compiles ride it, so it is untimed and
+    # excluded from the stats), then n_windows timed warm-chained windows
+    stats = {arm: {"epe": [], "wall": [], "cold_epe": None} for arm in ARMS}
     for i in range(n_windows + 1):
         opt_b, gt_b, gt_flow, flow_time = PS.gather(
             loader, cfg, ts[i], ts[i + 1]
@@ -111,9 +112,10 @@ def run_family(family, n_windows, geometry):
                 best, gt_flow, timescale=flow_time, events=gt_b
             )
             if i == 0:
+                stats[arm]["cold_epe"] = float(err["EPE"])
                 print(
-                    f"{family} {arm} warm window: {wall:.1f}s "
-                    f"EPE {float(err['EPE']):.3f}",
+                    f"{family} {arm} cold window (untimed, compiles): "
+                    f"{wall:.1f}s EPE {float(err['EPE']):.3f}",
                     flush=True,
                 )
                 continue
@@ -132,9 +134,15 @@ def run_family(family, n_windows, geometry):
                 "geometry": geometry,
                 "EPE_mean": round(float(np.mean(stats[arm]["epe"])), 4),
                 "EPE_per_window": [round(e, 4) for e in stats[arm]["epe"]],
+                # cold-window accuracy (its wall is compile-dominated and
+                # meaningless); warm-mode studies need this in the record
+                "EPE_cold": round(stats[arm]["cold_epe"], 4),
                 "wall_median_s": round(
                     float(np.median(stats[arm]["wall"])), 2
                 ),
+                "wall_per_window_s": [
+                    round(w_, 2) for w_ in stats[arm]["wall"]
+                ],
             }
         )
         print(row, flush=True)
