@@ -544,14 +544,23 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
 
 def objective_supports_analytic_hvp(spec: ObjectiveSpec) -> bool:
     """Whether build_objective_banded_hvp applies: the dense banded
-    kernel path with a LINEAR motion->flow map (tiles / 2d-translation —
-    the transpose-of-jvp assembly is exact only for linear maps; the
-    nonlinear global models and the time-aware voxel chain fall back to
-    the FD HVP)."""
+    kernel path with a motion->flow map that is LINEAR in the
+    parameters — which is every shipped model: tile interpolation and
+    the global similarity/rotation fields are fixed spatial coefficient
+    fields contracted with the parameter vector (ops/warp.py
+    flow_from_similarity/flow_from_rotation), so the transpose-of-jvp
+    assembly is exact, full Hessian included.  The time-aware voxel
+    chain falls back to the FD HVP (the banded voxel kernels have no
+    JVP/HVP variants).  A future genuinely NONLINEAR model (e.g. a
+    homography) must be gated to gauss_newton=True only: the builders
+    never assemble the flow-curvature term d2flow/dm2."""
     return (
         objective_uses_banded(spec)
         and not spec.time_aware
-        and spec.motion_model in ("tiles", "2d-translation", "rigid-optical-flow")
+        and spec.motion_model in (
+            "tiles", "2d-translation", "rigid-optical-flow",
+            "4-param-similarity", "3-rotation",
+        )
     )
 
 

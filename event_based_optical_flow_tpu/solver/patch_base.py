@@ -356,8 +356,8 @@ class PatchContrastMaximization(SolverBase):
                 elif not getattr(self, "_warned_analytic_hvp", False):
                     logger.warning(
                         "optimizer.hvp_mode: analytic is not supported for "
-                        "this objective (time-aware or nonlinear motion "
-                        "model) — falling back to the FD HVP"
+                        "this objective (time-aware voxel chain) — falling "
+                        "back to the FD HVP"
                     )
                     self._warned_analytic_hvp = True
         else:

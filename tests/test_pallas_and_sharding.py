@@ -1047,3 +1047,68 @@ def test_sharded_analytic_hvp_matches_single():
     )
     got = hvp8(prep8(motion, orig, *args), motion, p, orig, *args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+
+
+@pytest.mark.parametrize("model", ["4-param-similarity", "3-rotation"])
+def test_v10_analytic_hvp_global_models_match_oracle(model):
+    """The global motion models' flow fields are LINEAR in their
+    parameters (fixed spatial coefficient fields — flow_from_similarity
+    / flow_from_rotation), so the analytic HVP's transpose-of-jvp
+    assembly is exact for them too, full Hessian included.  Full
+    analytic HVP == jvp-of-grad of the matmul (twice-differentiable)
+    objective; the staged GN form stays finite and staged==unstaged."""
+    import dataclasses
+
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.solver.objective import (
+        build_objective,
+        build_objective_banded_hvp,
+        build_objective_banded_hvp_staged,
+        build_orig_iwe_banded,
+        objective_supports_analytic_hvp,
+    )
+    from tests.test_solver import _spec, _synthetic_events
+
+    n_par = 4 if model == "4-param-similarity" else 3
+    spec = dataclasses.replace(
+        _spec(False),
+        iwe_backend="pallas",
+        motion_model=model,
+        # the global models have no tile grid: hybrid cost without TV
+        cost_with_weight=(("multi_focal_normalized_gradient_magnitude", 1.0),),
+        param_scale=tuple([1.0, 1.0, 1 / 14.0, 1 / 14.0][:n_par])
+        if model == "4-param-similarity" else (1 / 20.0,) * 3,
+        calib=(20.0, 20.0, 11.5, 15.5) if model == "3-rotation" else None,
+    )
+    assert objective_supports_analytic_hvp(spec)
+    ev = _synthetic_events(np.asarray([6.0, -4.0]), n=1200, seed=72)
+    padded, wgt = pad_events(ev, target_n=2048)
+    Hs, Ws = spec.image_shape
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    packed = PB.pack_events_dense(padded, wgt, dtf, Hs, Ws)
+    args = tuple(jnp.asarray(a) for a in packed) + (
+        jnp.asarray(ev[:, 2].max() - ev[:, 2].min()),
+    )
+    rng = np.random.default_rng(6)
+    motion = jnp.asarray(rng.uniform(-4, 4, n_par))
+    p = jnp.asarray(rng.normal(0, 1, n_par))
+
+    oracle_obj = build_objective(dataclasses.replace(spec, iwe_backend="matmul"))
+    gf = lambda m: jax.grad(
+        lambda mm: oracle_obj(mm, jnp.asarray(padded), jnp.asarray(wgt))[0]
+    )(m)
+    _, oracle = jax.jvp(gf, (motion,), (p,))
+
+    orig = build_orig_iwe_banded(spec)(*args)
+    hvp = build_objective_banded_hvp(spec, precomputed_orig=True,
+                                     gauss_newton=False)
+    got = hvp(motion, p, orig, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=1e-9, atol=1e-10)
+
+    prep, hvp_staged = build_objective_banded_hvp_staged(
+        spec, precomputed_orig=True, gauss_newton=True
+    )
+    aux = prep(motion, orig, *args)
+    gn = hvp_staged(aux, motion, p, orig, *args)
+    assert gn.shape == got.shape and np.all(np.isfinite(np.asarray(gn)))

@@ -915,3 +915,32 @@ def test_single_scale_solvers_pass_warm_flag(name):
     solv.set_previous_frame_best_estimation(best)
     solv.optimize(ev)
     assert seen == [False, True], seen
+
+
+def test_global_solver_analytic_hvp_engages():
+    """hvp_mode: analytic on the global-motion solver: the similarity
+    flow field is linear in its parameters, so the analytic HVP must
+    engage (no FD-fallback warning) and the solve must still recover
+    the translation component."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt, n=2000)
+    slv_cfg, opt_cfg = _mixed_cfg(optimizer={"max_iter": 6, "n_iter": 2,
+                                             "hvp_mode": "analytic"})
+    slv_cfg = dict(
+        slv_cfg,
+        method="global_contrast_maximization",
+        motion_model="4-param-similarity",
+        parameters=["trans_x", "trans_y", "rot", "zoom"],
+        iwe_backend="pallas",
+        cost_with_weight={"multi_focal_normalized_gradient_magnitude": 1.0},
+    )
+    opt_cfg = dict(opt_cfg, parameters={
+        "trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25},
+        "rot": {"min": -3, "max": 3}, "zoom": {"min": -3, "max": 3},
+    })
+    solv = solver.collections["global_contrast_maximization"]((H, W), {}, slv_cfg, opt_cfg, {}, None)
+    best = solv.optimize(ev)
+    assert not getattr(solv, "_warned_analytic_hvp", False), (
+        "the analytic HVP fell back to FD on a linear global model"
+    )
+    np.testing.assert_allclose(best[:2], gt, atol=2.5)
