@@ -1499,11 +1499,16 @@ fused_multi_iwe_banded_batched.defvjp(_vjp_fwd_b, _vjp_bwd_b)
 def _jvp_kernel(band_ref, x_ref, y_ref, dtf_ref, w_ref, flow_ref, dflow_ref,
                 out_ref, *, hp, wp, eps, offsets, use_bf16, col_bands=None,
                 row_window=None, col_window=None, row_scale=BAND, chunk_axis=0,
-                emit_value=True):
+                init_axes=None, emit_value=True):
     assert col_window is None or (row_window is not None and col_bands is not None)
     i = pl.program_id(chunk_axis)
+    init = i == 0
+    # voxel grids share one image accumulator across the bin axis too
+    for ax in init_axes or ():
+        if ax != chunk_axis:
+            init = init & (pl.program_id(ax) == 0)
 
-    @pl.when(i == 0)
+    @pl.when(init)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -1898,4 +1903,96 @@ def fused_multi_iwe_banded_hvp_bwd_batched(flow, dflow, g1, g2, x, y, dtf, wt,
         out_shape=jax.ShapeDtypeStruct((bsz, 2, hp_flow, wp), flow.dtype),
         interpret=_interpret(),
     )(band_rows, x, y, dtf, wt, flow_p, dflow_p, g_p)
+    return out[:, :, :h, :w]
+
+
+# ----- voxel (time-aware) variants of the JVP / HVP-backward kernels -------
+# Same kernel bodies as the dense v10 pair: the bin is a grid dimension
+# (grid (T, G), as in fused_multi_iwe_banded_voxel), so only one bin
+# slice of the voxel AND of its tangent is VMEM-resident per step.  The
+# motion->voxel map (tile interpolation + Burgers/upwind propagation) is
+# NONLINEAR in the motion, so the solver-level assembly around these
+# kernels is Gauss-Newton ONLY (solver.objective gates analytic-full off
+# for time-aware specs — the flow-map curvature term is never built).
+
+
+def fused_multi_iwe_banded_voxel_jvp(voxel, dvoxel, x, y, dtf, wt, band_ids,
+                                     image_size, offsets, eps=1e-6,
+                                     use_bf16=True, row_window=None,
+                                     emit_value=True):
+    """Time-aware variant of ``fused_multi_iwe_banded_jvp``: voxel /
+    dvoxel [T,2,H,W], (bin, band)-packed chunks [T,G,1,CHUNK]
+    (pack_events_by_band_bin), grid (T, G).  Returns (images, dimages)
+    [K,H,W] for the direction ``offsets`` (tangents only with
+    ``emit_value=False`` — the staged-HVP fast path); the images half is
+    bit-identical to ``fused_multi_iwe_banded_voxel`` with the same
+    flags."""
+    assert offsets, "jvp kernel computes direction images (no orig slice)"
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    t_bins, g_chunks = x.shape[0], x.shape[1]
+    n_k = len(offsets)
+    k_out = (2 if emit_value else 1) * n_k
+    voxel_p = jnp.zeros((t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :h, :w].set(voxel)
+    dvoxel_p = jnp.zeros((t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :h, :w].set(dvoxel)
+    band, row, flow_spec, out_spec = _vox_specs(hp, hp_flow, wp, k_out)
+    out = pl.pallas_call(
+        functools.partial(
+            _jvp_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            use_bf16=use_bf16, row_window=row_window, chunk_axis=1,
+            init_axes=(0, 1), emit_value=emit_value,
+        ),
+        grid=(t_bins, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, flow_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((k_out, hp, wp), voxel.dtype),
+        interpret=_interpret(),
+    )(_band_rows_2d(band_ids), x, y, dtf, wt, voxel_p, dvoxel_p)
+    if not emit_value:
+        return out[:, :h, :w]
+    return out[:n_k, :h, :w], out[n_k:, :h, :w]
+
+
+def fused_multi_iwe_banded_voxel_hvp_bwd(voxel, dvoxel, g1, g2, x, y, dtf, wt,
+                                         band_ids, image_size, offsets,
+                                         eps=1e-6, use_bf16=True,
+                                         row_window=None, term_a=True):
+    """Time-aware variant of ``fused_multi_iwe_banded_hvp_bwd``: the
+    directional derivative of the implemented voxel backward, emitted as
+    PER-BIN flow-space contributions [T,2,H,W] (the caller's jax.vjp of
+    the motion->voxel map carries them back through the Burgers/upwind
+    chain).  ``term_a=False`` = the Gauss-Newton form (see the dense
+    kernel's doc) — the only form the solver assembles for time-aware
+    objectives (the motion->voxel map is nonlinear)."""
+    assert offsets, "hvp kernel computes direction contributions (no orig)"
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    t_bins, g_chunks = x.shape[0], x.shape[1]
+    n_k = len(offsets)
+    voxel_p = jnp.zeros((t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :h, :w].set(voxel)
+    dvoxel_p = jnp.zeros((t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :h, :w].set(dvoxel)
+    g_p = (
+        jnp.zeros((2 * n_k, hp, wp), voxel.dtype)
+        .at[:n_k, :h, :w].set(g1)
+        .at[n_k:, :h, :w].set(g2)
+    )
+    band, row, flow_spec, _ = _vox_specs(hp, hp_flow, wp, 2 * n_k)
+    g_spec = pl.BlockSpec((2 * n_k, hp, wp), lambda t, i: (0, 0, 0), memory_space=pltpu.VMEM)
+    dvox_spec = pl.BlockSpec((None, 2, hp_flow, wp), lambda t, i: (t, 0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _hvp_bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            use_bf16=use_bf16, row_window=row_window, term_a=term_a,
+            chunk_axis=1,
+        ),
+        grid=(t_bins, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, flow_spec, g_spec],
+        out_specs=dvox_spec,
+        out_shape=jax.ShapeDtypeStruct((t_bins, 2, hp_flow, wp), voxel.dtype),
+        interpret=_interpret(),
+    )(_band_rows_2d(band_ids), x, y, dtf, wt, voxel_p, dvoxel_p, g_p)
     return out[:, :, :h, :w]

@@ -297,7 +297,8 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
     )
     from .objective import motion_to_dense_flow, objective_supports_analytic_hvp
 
-    assert objective_supports_analytic_hvp(spec)
+    assert objective_supports_analytic_hvp(spec, gauss_newton=gauss_newton,
+                                            fleet=True)
     assert spec.outer_padding == 0
     cost = make_cost(spec)
     required = set(cost.required_keys)
@@ -974,17 +975,19 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             if want_analytic:
                 from .objective import objective_supports_analytic_hvp
 
-                if objective_supports_analytic_hvp(spec):
+                gn = hvp_mode_cfg != "analytic-full"
+                if objective_supports_analytic_hvp(spec, gauss_newton=gn,
+                                                   fleet=True):
                     hvp_prep_fn, hvp_fn = build_batched_objective_banded_hvp(
-                        spec, precomputed_orig=hoist,
-                        gauss_newton=hvp_mode_cfg != "analytic-full",
+                        spec, precomputed_orig=hoist, gauss_newton=gn,
                         staged=True,
                     )
                 elif not getattr(self, "_warned_analytic_hvp", False):
                     logger.warning(
                         "optimizer.hvp_mode: analytic is not supported for "
-                        "this fleet objective (time-aware voxel chain) — "
-                        "falling back to the FD HVP"
+                        "this fleet objective (time-aware voxel chain: no "
+                        "batched voxel JVP/HVP kernels) — falling back to "
+                        "the FD HVP"
                     )
                     self._warned_analytic_hvp = True
         else:

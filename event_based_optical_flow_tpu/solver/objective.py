@@ -542,25 +542,51 @@ def build_objective_banded(spec: ObjectiveSpec, precomputed_orig: bool = False, 
     return objective
 
 
-def objective_supports_analytic_hvp(spec: ObjectiveSpec) -> bool:
-    """Whether build_objective_banded_hvp applies: the dense banded
-    kernel path with a motion->flow map that is LINEAR in the
-    parameters — which is every shipped model: tile interpolation and
-    the global similarity/rotation fields are fixed spatial coefficient
-    fields contracted with the parameter vector (ops/warp.py
-    flow_from_similarity/flow_from_rotation), so the transpose-of-jvp
-    assembly is exact, full Hessian included.  The time-aware voxel
-    chain falls back to the FD HVP (the banded voxel kernels have no
-    JVP/HVP variants).  A future genuinely NONLINEAR model (e.g. a
-    homography) must be gated to gauss_newton=True only: the builders
-    never assemble the flow-curvature term d2flow/dm2."""
+def _voxel_hvp_vmem_bytes(spec: ObjectiveSpec) -> int:
+    """Peak VMEM of the voxel HVP-backward step: the bin slice, its
+    tangent, AND the per-bin output slice resident together, plus the
+    doubled (g1, g2) cotangent stack."""
+    h, w = spec.image_shape
+    hp_flow = -(-h // 64) * 64
+    wp = -(-(w + 1) // 128) * 128
+    slice_bytes = 2 * hp_flow * wp * 4
+    iwe_stack = 4 * (h + 8) * wp * 4
+    return 3 * slice_bytes + 2 * iwe_stack
+
+
+def objective_supports_analytic_hvp(spec: ObjectiveSpec,
+                                    gauss_newton: bool = True,
+                                    fleet: bool = False) -> bool:
+    """Whether build_objective_banded_hvp applies: the banded kernel
+    path with a motion->flow map whose curvature the assembly handles.
+
+    Every shipped DENSE map is LINEAR in the parameters — tile
+    interpolation and the global similarity/rotation fields are fixed
+    spatial coefficient fields contracted with the parameter vector
+    (ops/warp.py flow_from_similarity/flow_from_rotation) — so the
+    transpose-of-jvp assembly is exact there, full Hessian included.
+
+    The TIME-AWARE voxel chain routes to the voxel JVP/HVP kernels but
+    its motion->voxel map (Burgers/upwind propagation) is NONLINEAR, so
+    it qualifies for the Gauss-Newton assembly only (``gauss_newton``;
+    the flow-curvature term d2voxel/dm2 is never built) and needs the
+    larger HVP VMEM footprint to fit (slice + tangent + output slice
+    resident together).  The FLEET builders have no batched voxel
+    JVP/HVP kernels (``fleet``).  A future genuinely nonlinear dense
+    model (e.g. a homography) must also be gated to gauss_newton."""
+    if not objective_uses_banded(spec):
+        return False
+    if spec.motion_model not in (
+        "tiles", "2d-translation", "rigid-optical-flow",
+        "4-param-similarity", "3-rotation",
+    ):
+        return False
+    if not spec.time_aware:
+        return True
     return (
-        objective_uses_banded(spec)
-        and not spec.time_aware
-        and spec.motion_model in (
-            "tiles", "2d-translation", "rigid-optical-flow",
-            "4-param-similarity", "3-rotation",
-        )
+        gauss_newton
+        and not fleet
+        and _voxel_hvp_vmem_bytes(spec) <= _VOXEL_VMEM_LIMIT
     )
 
 
@@ -598,13 +624,15 @@ def build_objective_banded_hvp(spec: ObjectiveSpec, precomputed_orig: bool = Fal
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded_hvp_bwd,
         fused_multi_iwe_banded_jvp,
+        fused_multi_iwe_banded_voxel_hvp_bwd,
+        fused_multi_iwe_banded_voxel_jvp,
         objective_col_window,
         objective_dense_col_bands,
         objective_row_scale,
         objective_row_window,
     )
 
-    assert objective_supports_analytic_hvp(spec)
+    assert objective_supports_analytic_hvp(spec, gauss_newton=gauss_newton)
     assert spec.outer_padding == 0
     cost = make_cost(spec)
     required = set(cost.required_keys)
@@ -656,19 +684,36 @@ def build_objective_banded_hvp(spec: ObjectiveSpec, precomputed_orig: bool = Fal
     def _hvp_body(motion_flat, p, orig_blurred, x, y, dtf, wt, bands, t_scale):
         flow_fn = lambda m: motion_to_dense_flow(spec, m, t_scale) * t_scale
         flow, dflow = jax.jvp(flow_fn, (motion_flat,), (p,))
-        images, dimages = fused_multi_iwe_banded_jvp(
-            flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets, **flags
-        )
+        if spec.time_aware:
+            # voxel kernels (grid (T, G)); GN only — asserted above
+            images, dimages = fused_multi_iwe_banded_voxel_jvp(
+                flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets,
+                eps=flags["eps"], use_bf16=use_bf16,
+                row_window=flags["row_window"],
+            )
+        else:
+            images, dimages = fused_multi_iwe_banded_jvp(
+                flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets,
+                **flags
+            )
         (g1, _), (g2, dgm) = jax.jvp(
             lambda ii, mm: grad_cost(ii, mm, orig_blurred),
             (images, motion_flat),
             (dimages, p),
         )
-        dgflow = fused_multi_iwe_banded_hvp_bwd(
-            flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
-            offsets, term_a=not gauss_newton, **flags
-        )
-        # transpose the (linear) motion->flow map back to motion space
+        if spec.time_aware:
+            dgflow = fused_multi_iwe_banded_voxel_hvp_bwd(
+                flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
+                offsets, eps=flags["eps"], use_bf16=use_bf16,
+                row_window=flags["row_window"], term_a=not gauss_newton,
+            )
+        else:
+            dgflow = fused_multi_iwe_banded_hvp_bwd(
+                flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
+                offsets, term_a=not gauss_newton, **flags
+            )
+        # transpose the motion->flow map back to motion space (exact for
+        # the linear dense maps; the GN linearization for the voxel chain)
         _, flow_vjp = jax.vjp(flow_fn, motion_flat)
         return flow_vjp(dgflow)[0] + dgm
 
@@ -710,13 +755,16 @@ def build_objective_banded_hvp_staged(spec: ObjectiveSpec,
         fused_multi_iwe_banded,
         fused_multi_iwe_banded_hvp_bwd,
         fused_multi_iwe_banded_jvp,
+        fused_multi_iwe_banded_voxel,
+        fused_multi_iwe_banded_voxel_hvp_bwd,
+        fused_multi_iwe_banded_voxel_jvp,
         objective_col_window,
         objective_dense_col_bands,
         objective_row_scale,
         objective_row_window,
     )
 
-    assert objective_supports_analytic_hvp(spec)
+    assert objective_supports_analytic_hvp(spec, gauss_newton=gauss_newton)
     assert spec.outer_padding == 0
     cost = make_cost(spec)
     required = set(cost.required_keys)
@@ -759,26 +807,50 @@ def build_objective_banded_hvp_staged(spec: ObjectiveSpec,
 
     grad_cost = jax.grad(cost_of, argnums=(0, 1))
 
-    def call_fwd(flow, x, y, dtf, wt, bands):
-        # same call shape as the objective's kernel_images (dense branch):
-        # the value images are bit-identical to the JVP kernel's value half
-        return fused_multi_iwe_banded(
-            flow, x, y, dtf, wt, bands, spec.image_shape, offsets, False,
-            flags["eps"], use_bf16, flags["col_bands"], flags["row_window"],
-            flags["col_window"], 1, False, flags["row_scale"], False, False,
-        )
+    if spec.time_aware:
+        # voxel kernels, grid (T, G) — one bin slice of the voxel and of
+        # its tangent VMEM-resident at a time; GN only (asserted above)
+        def call_fwd(flow, x, y, dtf, wt, bands):
+            return fused_multi_iwe_banded_voxel(
+                flow, x, y, dtf, wt, bands, spec.image_shape, offsets,
+                False, flags["eps"], use_bf16, flags["row_window"], False,
+            )
 
-    def call_jvp_tangent(flow, dflow, x, y, dtf, wt, bands):
-        return fused_multi_iwe_banded_jvp(
-            flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets,
-            emit_value=False, **flags
-        )
+        def call_jvp_tangent(flow, dflow, x, y, dtf, wt, bands):
+            return fused_multi_iwe_banded_voxel_jvp(
+                flow, dflow, x, y, dtf, wt, bands, spec.image_shape,
+                offsets, eps=flags["eps"], use_bf16=use_bf16,
+                row_window=flags["row_window"], emit_value=False,
+            )
 
-    def call_hvp_bwd(flow, dflow, g1, g2, x, y, dtf, wt, bands):
-        return fused_multi_iwe_banded_hvp_bwd(
-            flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
-            offsets, term_a=not gauss_newton, **flags
-        )
+        def call_hvp_bwd(flow, dflow, g1, g2, x, y, dtf, wt, bands):
+            return fused_multi_iwe_banded_voxel_hvp_bwd(
+                flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
+                offsets, eps=flags["eps"], use_bf16=use_bf16,
+                row_window=flags["row_window"], term_a=not gauss_newton,
+            )
+    else:
+        def call_fwd(flow, x, y, dtf, wt, bands):
+            # same call shape as the objective's kernel_images (dense
+            # branch): the value images are bit-identical to the JVP
+            # kernel's value half
+            return fused_multi_iwe_banded(
+                flow, x, y, dtf, wt, bands, spec.image_shape, offsets, False,
+                flags["eps"], use_bf16, flags["col_bands"], flags["row_window"],
+                flags["col_window"], 1, False, flags["row_scale"], False, False,
+            )
+
+        def call_jvp_tangent(flow, dflow, x, y, dtf, wt, bands):
+            return fused_multi_iwe_banded_jvp(
+                flow, dflow, x, y, dtf, wt, bands, spec.image_shape, offsets,
+                emit_value=False, **flags
+            )
+
+        def call_hvp_bwd(flow, dflow, g1, g2, x, y, dtf, wt, bands):
+            return fused_multi_iwe_banded_hvp_bwd(
+                flow, dflow, g1, g2, x, y, dtf, wt, bands, spec.image_shape,
+                offsets, term_a=not gauss_newton, **flags
+            )
 
     if mesh is not None:
         # chunks shard over the "event" mesh axis; each kernel's partial
@@ -786,7 +858,7 @@ def build_objective_banded_hvp_staged(spec: ObjectiveSpec,
         # per-pixel dgflow contributions are all event-additive)
         from jax.sharding import PartitionSpec as P
 
-        chunk_spec, band_spec = _chunk_specs(False)
+        chunk_spec, band_spec = _chunk_specs(spec.time_aware)
         rep = lambda n: (P(),) * n
         cs4 = (chunk_spec,) * 4
 

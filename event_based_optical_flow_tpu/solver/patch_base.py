@@ -343,21 +343,24 @@ class PatchContrastMaximization(SolverBase):
                     objective_supports_analytic_hvp,
                 )
 
-                if objective_supports_analytic_hvp(spec):
+                gn = hvp_mode_cfg != "analytic-full"
+                if objective_supports_analytic_hvp(spec, gauss_newton=gn):
                     # staged: the value images are computed once per CG
                     # solve (hvp_prep_fn); every HVP runs the tangent-only
                     # JVP kernel + the HVP-backward kernel.  Under an
                     # event mesh the kernels shard like the objective.
+                    # Time-aware specs route to the voxel JVP/HVP kernels
+                    # (Gauss-Newton assembly only).
                     hvp_prep_fn, hvp_fn = build_objective_banded_hvp_staged(
-                        spec, precomputed_orig=hoist,
-                        gauss_newton=hvp_mode_cfg != "analytic-full",
+                        spec, precomputed_orig=hoist, gauss_newton=gn,
                         mesh=mesh,
                     )
                 elif not getattr(self, "_warned_analytic_hvp", False):
                     logger.warning(
                         "optimizer.hvp_mode: analytic is not supported for "
-                        "this objective (time-aware voxel chain) — falling "
-                        "back to the FD HVP"
+                        "this objective (time-aware: analytic-full, or a "
+                        "voxel too large for the HVP's VMEM footprint) — "
+                        "falling back to the FD HVP"
                     )
                     self._warned_analytic_hvp = True
         else:

@@ -1112,3 +1112,190 @@ def test_v10_analytic_hvp_global_models_match_oracle(model):
     aux = prep(motion, orig, *args)
     gn = hvp_staged(aux, motion, p, orig, *args)
     assert gn.shape == got.shape and np.all(np.isfinite(np.asarray(gn)))
+
+
+def _v10_vox_pack(H, W, T, n=900, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(1, H - 2, n)
+    y = rng.uniform(1, W - 2, n)
+    t = np.sort(rng.uniform(0, 1, n))
+    wt = np.ones(n)
+    wt[-n // 10:] = 0.0  # padded rows must be inert
+    ev = np.stack([x, y, t, rng.integers(0, 2, n)], 1)
+    dtf = (t - t.min()) / (t.max() - t.min())
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    return PB.pack_events_by_band_bin(ev, wt, dtf, H, T)
+
+
+@pytest.mark.parametrize("row_window", [None, 128])
+def test_v10_voxel_jvp_kernel_matches_forward_and_fd(row_window):
+    """fused_multi_iwe_banded_voxel_jvp: the images half is bit-identical
+    to the voxel forward kernel; the tangent half matches a central
+    difference of the forward along the tangent voxel (f64, interpret)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    H, W = (40, 52) if row_window is None else (200, 72)
+    T = 4
+    xs, ys, ds, ws, bands = _v10_vox_pack(H, W, T)
+    rng = np.random.default_rng(7)
+    voxel = jnp.asarray(rng.normal(0, 8.0, (T, 2, H, W)))
+    dvoxel = jnp.asarray(rng.normal(0, 1.0, (T, 2, H, W)))
+    offsets = (0.0, 0.5, 1.0)
+
+    def images_of(v):
+        return PB.fused_multi_iwe_banded_voxel(
+            v, xs, ys, ds, ws, bands, (H, W), offsets, False,
+            1e-6, False, row_window, False,
+        )
+
+    imgs, dimgs = PB.fused_multi_iwe_banded_voxel_jvp(
+        voxel, dvoxel, xs, ys, ds, ws, bands, (H, W), offsets,
+        eps=1e-6, use_bf16=False, row_window=row_window,
+    )
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(images_of(voxel)))
+    h = 1e-6
+    fd = (images_of(voxel + h * dvoxel) - images_of(voxel - h * dvoxel)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(dimgs), np.asarray(fd), atol=1e-6)
+    # staged form: tangents only, bit-identical to the fused tangent half
+    tan_only = PB.fused_multi_iwe_banded_voxel_jvp(
+        voxel, dvoxel, xs, ys, ds, ws, bands, (H, W), offsets,
+        eps=1e-6, use_bf16=False, row_window=row_window, emit_value=False,
+    )
+    np.testing.assert_array_equal(np.asarray(tan_only), np.asarray(dimgs))
+
+
+@pytest.mark.parametrize("row_window", [None, 128])
+def test_v10_voxel_hvp_bwd_kernel_matches_fd_of_vjp(row_window):
+    """fused_multi_iwe_banded_voxel_hvp_bwd == d/dh [vjp(voxel +
+    h*dvoxel)(g1 + h*g2)] at h=0 (central difference, f64) — the
+    directional derivative of the implemented voxel backward, per bin."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+
+    H, W = (40, 52) if row_window is None else (200, 72)
+    T = 4
+    xs, ys, ds, ws, bands = _v10_vox_pack(H, W, T, seed=5)
+    rng = np.random.default_rng(11)
+    voxel = jnp.asarray(rng.normal(0, 8.0, (T, 2, H, W)))
+    dvoxel = jnp.asarray(rng.normal(0, 1.0, (T, 2, H, W)))
+    offsets = (0.0, 1.0)
+    g1 = jnp.asarray(rng.normal(0, 1, (2, H, W)))
+    g2 = jnp.asarray(rng.normal(0, 1, (2, H, W)))
+
+    def images_of(v):
+        return PB.fused_multi_iwe_banded_voxel(
+            v, xs, ys, ds, ws, bands, (H, W), offsets, False,
+            1e-6, False, row_window, False,
+        )
+
+    def vjp_at(v, g):
+        _, f_vjp = jax.vjp(images_of, v)
+        return f_vjp(g)[0]
+
+    out = PB.fused_multi_iwe_banded_voxel_hvp_bwd(
+        voxel, dvoxel, g1, g2, xs, ys, ds, ws, bands, (H, W), offsets,
+        eps=1e-6, use_bf16=False, row_window=row_window,
+    )
+    h = 1e-6
+    fd = (
+        vjp_at(voxel + h * dvoxel, g1 + h * g2)
+        - vjp_at(voxel - h * dvoxel, g1 - h * g2)
+    ) / (2 * h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fd), atol=1e-5)
+    # Gauss-Newton form drops the vote-Hessian term but stays finite
+    gn = PB.fused_multi_iwe_banded_voxel_hvp_bwd(
+        voxel, dvoxel, g1, g2, xs, ys, ds, ws, bands, (H, W), offsets,
+        eps=1e-6, use_bf16=False, row_window=row_window, term_a=False,
+    )
+    assert gn.shape == out.shape and np.all(np.isfinite(np.asarray(gn)))
+
+
+@pytest.mark.slow
+def test_v10_time_aware_analytic_gn_hvp_matches_composite_oracle():
+    """The time-aware analytic HVP assembly (voxel JVP/HVP kernels +
+    jax.jvp/vjp through the Burgers chain; Gauss-Newton only — the
+    motion->voxel map is nonlinear) == the same GN quantity assembled
+    from INDEPENDENT paths: a central FD of the voxel forward for the
+    image tangent, jax autodiff of the cost Hessian, and the voxel
+    custom-vjp backward for the transposes.  Also: staged == unstaged,
+    and the builders refuse the full-Hessian form for time-aware."""
+    import dataclasses
+
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.ops.blur import gaussian_blur3
+    from event_based_optical_flow_tpu.solver.objective import (
+        build_objective_banded_hvp,
+        build_objective_banded_hvp_staged,
+        build_orig_iwe_banded,
+        make_cost,
+        motion_to_dense_flow,
+        nan_to_penalty,
+        objective_supports_analytic_hvp,
+    )
+    from tests.test_solver import _spec, _synthetic_events
+
+    spec = dataclasses.replace(_spec(True), iwe_backend="pallas")
+    assert objective_supports_analytic_hvp(spec, gauss_newton=True)
+    assert not objective_supports_analytic_hvp(spec, gauss_newton=False)
+    assert not objective_supports_analytic_hvp(spec, gauss_newton=True,
+                                               fleet=True)
+
+    ev = _synthetic_events(np.asarray([7.0, -5.0]), n=1200, seed=73)
+    padded, wgt = pad_events(ev, target_n=2048)
+    Hs, Ws = spec.image_shape
+    dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+    packed = PB.pack_events_by_band_bin(padded, wgt, dtf, Hs, spec.time_bin)
+    t_scale = jnp.asarray(ev[:, 2].max() - ev[:, 2].min())
+    args = tuple(jnp.asarray(a) for a in packed) + (t_scale,)
+    xs, ys, ds, ws, bands = (jnp.asarray(a) for a in packed)
+    rng = np.random.default_rng(9)
+    motion = jnp.asarray(rng.uniform(-4, 4, 8))
+    p = jnp.asarray(rng.normal(0, 1, 8))
+
+    orig = build_orig_iwe_banded(spec)(*args)
+    cost = make_cost(spec)
+    offsets = (0.0, 1.0, 0.5)  # backward, forward, middle (builder order)
+
+    def images_fn(m):
+        voxel = motion_to_dense_flow(spec, m, t_scale) * t_scale
+        return PB.fused_multi_iwe_banded_voxel(
+            voxel, xs, ys, ds, ws, bands, (Hs, Ws), offsets, False,
+            1e-6, False, PB.objective_row_window(Hs), False,
+        )
+
+    def cost_of(imgs, m):
+        if spec.blur_sigma > 0:
+            imgs = gaussian_blur3(imgs, spec.blur_sigma)
+        arg = {
+            "omit_boundary": True, "clip": True, "orig_iwe": orig,
+            "iwe": imgs[0], "backward_iwe": imgs[0],
+            "forward_iwe": imgs[1], "middle_iwe": imgs[2],
+            "flow": m.reshape((2,) + tuple(spec.patch_image_size)),
+        }
+        return nan_to_penalty(cost.calculate(arg))
+
+    grad_cost = jax.grad(cost_of, argnums=(0, 1))
+    I = images_fn(motion)
+    h = 1e-6
+    dI = (images_fn(motion + h * p) - images_fn(motion - h * p)) / (2 * h)
+    (g1, _), (g2, dgm) = jax.jvp(grad_cost, (I, motion), (dI, p))
+    _, vjp_I = jax.vjp(images_fn, motion)
+    oracle = vjp_I(g2)[0] + dgm
+
+    hvp = build_objective_banded_hvp(spec, precomputed_orig=True,
+                                     gauss_newton=True)
+    got = hvp(motion, p, orig, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=1e-6, atol=1e-6)
+
+    prep, hvp_staged = build_objective_banded_hvp_staged(
+        spec, precomputed_orig=True, gauss_newton=True
+    )
+    aux = prep(motion, orig, *args)
+    got_staged = hvp_staged(aux, motion, p, orig, *args)
+    np.testing.assert_allclose(np.asarray(got_staged), np.asarray(got),
+                               rtol=1e-12, atol=1e-12)
+
+    with pytest.raises(AssertionError):
+        build_objective_banded_hvp(spec, precomputed_orig=True,
+                                   gauss_newton=False)

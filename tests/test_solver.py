@@ -944,3 +944,40 @@ def test_global_solver_analytic_hvp_engages():
         "the analytic HVP fell back to FD on a linear global model"
     )
     np.testing.assert_allclose(best[:2], gt, atol=2.5)
+
+
+@pytest.mark.slow
+def test_time_aware_solver_analytic_hvp_engages():
+    """hvp_mode: analytic on the time-aware (voxel) solver: the
+    Gauss-Newton analytic HVP now routes through the voxel JVP/HVP
+    kernels (round-4) — it must engage (no FD-fallback warning) and
+    recover the translation; analytic-full must still fall back (the
+    motion->voxel Burgers chain is nonlinear, only GN is assembled)."""
+    gt = np.array([8.0, -6.0])
+    ev = _synthetic_events(gt)
+    slv_over = {
+        "method": "time_aware_mixed_patch_contrast_maximization",
+        "time_aware": True,
+        "time_bin": 4,
+        "flow_interpolation": "burgers",
+        "t0_flow_location": "middle",
+        "iwe_backend": "pallas",
+    }
+    slv_cfg, opt_cfg = _mixed_cfg(
+        solver=slv_over, optimizer={"max_iter": 10, "hvp_mode": "analytic"}
+    )
+    solv = solver.collections["time_aware_mixed_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, opt_cfg, {}, None
+    )
+    best = solv.optimize(ev)
+    assert not getattr(solv, "_warned_analytic_hvp", False), (
+        "the time-aware analytic HVP fell back to FD"
+    )
+    np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=3.0)
+
+    # the full-Hessian study mode is not assembled for time-aware
+    solv_full = solver.collections["time_aware_mixed_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, dict(opt_cfg, hvp_mode="analytic-full"), {}, None
+    )
+    solv_full.optimize(ev)
+    assert getattr(solv_full, "_warned_analytic_hvp", False)
