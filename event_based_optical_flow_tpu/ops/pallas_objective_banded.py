@@ -1996,3 +1996,88 @@ def fused_multi_iwe_banded_voxel_hvp_bwd(voxel, dvoxel, g1, g2, x, y, dtf, wt,
         interpret=_interpret(),
     )(_band_rows_2d(band_ids), x, y, dtf, wt, voxel_p, dvoxel_p, g_p)
     return out[:, :, :h, :w]
+
+
+def fused_multi_iwe_banded_voxel_jvp_batched(voxel, dvoxel, x, y, dtf, wt,
+                                             band_rows, image_size, offsets,
+                                             eps=1e-6, use_bf16=True,
+                                             row_window=None, emit_value=True):
+    """Fleet time-aware variant of ``fused_multi_iwe_banded_voxel_jvp``:
+    voxel / dvoxel [B,T,2,H,W], (frame, bin, band)-packed chunks
+    [B,T,G,1,CHUNK] (pack_fleet_banded with a time_bin), band_rows
+    [B,T,G,1,128]; grid (B, T, G) with each frame's image accumulator
+    shared across its bin axis.  Returns (images [B,K,H,W], dimages
+    [B,K,H,W]); the images half is bit-identical to
+    ``fused_multi_iwe_banded_voxel_batched`` with the same flags.
+    ``emit_value=False``: tangent images only (the staged-HVP fast
+    path)."""
+    assert offsets, "jvp kernel computes direction images (no orig slice)"
+    bsz, t_bins, g_chunks = x.shape[0], x.shape[1], x.shape[2]
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    n_k = len(offsets)
+    k_out = (2 if emit_value else 1) * n_k
+    voxel_p = jnp.zeros((bsz, t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :, :h, :w].set(voxel)
+    dvoxel_p = jnp.zeros((bsz, t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :, :h, :w].set(dvoxel)
+    band, row, flow_spec, out_spec = _vox_specs_batched(hp, hp_flow, wp, k_out)
+    out = pl.pallas_call(
+        functools.partial(
+            _jvp_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            use_bf16=use_bf16, row_window=row_window, chunk_axis=2,
+            init_axes=(1, 2), emit_value=emit_value,
+        ),
+        grid=(bsz, t_bins, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, flow_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, k_out, hp, wp), voxel.dtype),
+        interpret=_interpret(),
+    )(band_rows, x, y, dtf, wt, voxel_p, dvoxel_p)
+    if not emit_value:
+        return out[:, :, :h, :w]
+    return out[:, :n_k, :h, :w], out[:, n_k:, :h, :w]
+
+
+def fused_multi_iwe_banded_voxel_hvp_bwd_batched(voxel, dvoxel, g1, g2, x, y,
+                                                 dtf, wt, band_rows,
+                                                 image_size, offsets, eps=1e-6,
+                                                 use_bf16=True,
+                                                 row_window=None, term_a=True):
+    """Fleet time-aware variant of ``fused_multi_iwe_banded_voxel_hvp_bwd``:
+    per-frame tangents [B,T,2,H,W] and cotangents g1/g2 [B,K,H,W]; grid
+    (B, T, G).  Returns PER-BIN flow-space contributions [B,T,2,H,W]
+    (the caller's per-frame jax.vjp of the motion->voxel map carries
+    them back through the Burgers/upwind chain).  ``term_a=False`` = the
+    Gauss-Newton form, the only form the fleet solver assembles for
+    time-aware objectives (the motion->voxel map is nonlinear)."""
+    assert offsets, "hvp kernel computes direction contributions (no orig)"
+    bsz, t_bins, g_chunks = x.shape[0], x.shape[1], x.shape[2]
+    h, w = image_size
+    hp = _round_up(max(h + 1, BAND), 8)
+    hp_flow = _round_up(h, BAND)
+    wp = _round_up(w + 1, 128)
+    n_k = len(offsets)
+    voxel_p = jnp.zeros((bsz, t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :, :h, :w].set(voxel)
+    dvoxel_p = jnp.zeros((bsz, t_bins, 2, hp_flow, wp), voxel.dtype).at[:, :, :, :h, :w].set(dvoxel)
+    g_p = (
+        jnp.zeros((bsz, 2 * n_k, hp, wp), voxel.dtype)
+        .at[:, :n_k, :h, :w].set(g1)
+        .at[:, n_k:, :h, :w].set(g2)
+    )
+    band, row, flow_spec, _ = _vox_specs_batched(hp, hp_flow, wp, 2 * n_k)
+    g_spec = pl.BlockSpec((None, 2 * n_k, hp, wp), lambda b, t, i: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    dvox_spec = pl.BlockSpec((None, None, 2, hp_flow, wp), lambda b, t, i: (b, t, 0, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _hvp_bwd_kernel, hp=hp, wp=wp, eps=eps, offsets=offsets,
+            use_bf16=use_bf16, row_window=row_window, term_a=term_a,
+            chunk_axis=2,
+        ),
+        grid=(bsz, t_bins, g_chunks),
+        in_specs=[band, row, row, row, row, flow_spec, flow_spec, g_spec],
+        out_specs=dvox_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, t_bins, 2, hp_flow, wp), voxel.dtype),
+        interpret=_interpret(),
+    )(band_rows, x, y, dtf, wt, voxel_p, dvoxel_p, g_p)
+    return out[:, :, :, :h, :w]

@@ -281,7 +281,9 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
     lockstep CG iteration replaces central FD's 2 batched gradient
     evaluations.  Same decomposition and caveats as the single-frame
     builder (Gauss-Newton default; the analytic modes run under the
-    batched Newton's per-frame step cap).  Requires
+    batched Newton's per-frame step cap).  Time-aware specs route to the
+    batched voxel JVP/HVP kernels (grid (B, T, G); Gauss-Newton assembly
+    only — the motion->voxel map is nonlinear).  Requires
     objective_supports_analytic_hvp(spec).  ``staged=True`` returns
     ``(prep, hvp)`` where prep computes the per-frame value images once
     per CG solve and hvp runs the tangent-only JVP kernel (see
@@ -290,6 +292,8 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
     from ..ops.pallas_objective_banded import (
         fused_multi_iwe_banded_hvp_bwd_batched,
         fused_multi_iwe_banded_jvp_batched,
+        fused_multi_iwe_banded_voxel_hvp_bwd_batched,
+        fused_multi_iwe_banded_voxel_jvp_batched,
         objective_col_window,
         objective_dense_col_bands,
         objective_row_scale,
@@ -358,7 +362,21 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
         flows, dflows = jax.vmap(
             lambda m, pp, ts: jax.jvp(lambda mm: _flow_of(mm, ts), (m,), (pp,))
         )(motion, p, t_scales)
-        if images is None:
+        if spec.time_aware:
+            # voxel kernels (grid (B, T, G)); GN only — asserted above
+            vox_kw = dict(eps=flags["eps"], use_bf16=use_bf16,
+                          row_window=flags["row_window"])
+            if images is None:
+                images, dimages = fused_multi_iwe_banded_voxel_jvp_batched(
+                    flows, dflows, x, y, dtf, wt, band_rows,
+                    spec.image_shape, offsets, **vox_kw
+                )
+            else:
+                dimages = fused_multi_iwe_banded_voxel_jvp_batched(
+                    flows, dflows, x, y, dtf, wt, band_rows,
+                    spec.image_shape, offsets, emit_value=False, **vox_kw
+                )
+        elif images is None:
             images, dimages = fused_multi_iwe_banded_jvp_batched(
                 flows, dflows, x, y, dtf, wt, band_rows, spec.image_shape,
                 offsets, **flags
@@ -380,10 +398,18 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
             return g1, g2, dgm
 
         g1, g2, dgm = jax.vmap(cost_jvp)(images, motion, p, dimages, orig_b)
-        dgflow = fused_multi_iwe_banded_hvp_bwd_batched(
-            flows, dflows, g1, g2, x, y, dtf, wt, band_rows,
-            spec.image_shape, offsets, term_a=not gauss_newton, **flags
-        )
+        if spec.time_aware:
+            dgflow = fused_multi_iwe_banded_voxel_hvp_bwd_batched(
+                flows, dflows, g1, g2, x, y, dtf, wt, band_rows,
+                spec.image_shape, offsets, term_a=not gauss_newton,
+                eps=flags["eps"], use_bf16=use_bf16,
+                row_window=flags["row_window"],
+            )
+        else:
+            dgflow = fused_multi_iwe_banded_hvp_bwd_batched(
+                flows, dflows, g1, g2, x, y, dtf, wt, band_rows,
+                spec.image_shape, offsets, term_a=not gauss_newton, **flags
+            )
 
         def back(m, ts, df):
             _, f_vjp = jax.vjp(lambda mm: _flow_of(mm, ts), m)
@@ -393,11 +419,19 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
 
     def _prep_body(motion, x, y, dtf, wt, band_rows, t_scales):
         flows = jax.vmap(_flow_of)(motion, t_scales)
-        from ..ops.pallas_objective_banded import fused_multi_iwe_banded_batched
+        from ..ops.pallas_objective_banded import (
+            fused_multi_iwe_banded_batched,
+            fused_multi_iwe_banded_voxel_batched,
+        )
 
         # tent=False always: the JVP kernel's value half has no tent
         # support, and the staged analytic HVP documents value/tangent
         # consistency (mirrors the single-frame staged builder).
+        if spec.time_aware:
+            return fused_multi_iwe_banded_voxel_batched(
+                flows, x, y, dtf, wt, band_rows, spec.image_shape, offsets,
+                False, flags["eps"], use_bf16, flags["row_window"], False,
+            )
         return fused_multi_iwe_banded_batched(
             flows, x, y, dtf, wt, band_rows, spec.image_shape, offsets,
             False, flags["eps"], use_bf16, flags["col_bands"],
@@ -985,9 +1019,9 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 elif not getattr(self, "_warned_analytic_hvp", False):
                     logger.warning(
                         "optimizer.hvp_mode: analytic is not supported for "
-                        "this fleet objective (time-aware voxel chain: no "
-                        "batched voxel JVP/HVP kernels) — falling back to "
-                        "the FD HVP"
+                        "this fleet objective (time-aware: analytic-full, "
+                        "or a voxel too large for the HVP's VMEM "
+                        "footprint) — falling back to the FD HVP"
                     )
                     self._warned_analytic_hvp = True
         else:

@@ -566,14 +566,18 @@ def objective_supports_analytic_hvp(spec: ObjectiveSpec,
     (ops/warp.py flow_from_similarity/flow_from_rotation) — so the
     transpose-of-jvp assembly is exact there, full Hessian included.
 
-    The TIME-AWARE voxel chain routes to the voxel JVP/HVP kernels but
-    its motion->voxel map (Burgers/upwind propagation) is NONLINEAR, so
-    it qualifies for the Gauss-Newton assembly only (``gauss_newton``;
-    the flow-curvature term d2voxel/dm2 is never built) and needs the
-    larger HVP VMEM footprint to fit (slice + tangent + output slice
-    resident together).  The FLEET builders have no batched voxel
-    JVP/HVP kernels (``fleet``).  A future genuinely nonlinear dense
-    model (e.g. a homography) must also be gated to gauss_newton."""
+    The TIME-AWARE voxel chain routes to the voxel JVP/HVP kernels
+    (fleet included — the batched voxel JVP/HVP pair grids over
+    (B, T, G)) but its motion->voxel map (Burgers/upwind propagation) is
+    NONLINEAR, so it qualifies for the Gauss-Newton assembly only
+    (``gauss_newton``; the flow-curvature term d2voxel/dm2 is never
+    built) and needs the larger HVP VMEM footprint to fit (slice +
+    tangent + output slice resident together — per grid step, so the
+    same bound applies batched).  A future genuinely nonlinear dense
+    model (e.g. a homography) must also be gated to gauss_newton.
+    ``fleet`` is kept for callers and future fleet-only gates; today it
+    does not change the answer."""
+    del fleet  # batched voxel JVP/HVP kernels exist since round 4
     if not objective_uses_banded(spec):
         return False
     if spec.motion_model not in (
@@ -585,7 +589,6 @@ def objective_supports_analytic_hvp(spec: ObjectiveSpec,
         return True
     return (
         gauss_newton
-        and not fleet
         and _voxel_hvp_vmem_bytes(spec) <= _VOXEL_VMEM_LIMIT
     )
 

@@ -517,6 +517,187 @@ def test_batched_analytic_hvp_matches_single_frame_oracle():
     )
 
 
+def test_batched_voxel_jvp_hvp_kernels_match_batched_forward():
+    """The fleet voxel JVP kernel's value half is bit-identical to the
+    batched voxel forward; its tangent half matches a central difference
+    of the forward along the tangent voxel; the fleet voxel HVP-backward
+    equals d/dh [vjp(voxel + h*dvoxel)(g1 + h*g2)] at h=0 (all f64,
+    interpret)."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.solver.fleet import pack_fleet_banded
+
+    T = 4
+    gts = [(6.0, -4.0), (-5.0, 3.0)]
+    events_list = [
+        _synthetic_events(np.asarray(gt), n=900, seed=60 + i)
+        for i, gt in enumerate(gts)
+    ]
+    x2, y2, d2, w2, brows, _ = pack_fleet_banded(events_list, H, time_bin=T)
+    chunks = tuple(jnp.asarray(a) for a in (x2, y2, d2, w2))
+    brows = jnp.asarray(brows)
+    B = len(gts)
+    rng = np.random.default_rng(21)
+    voxel = jnp.asarray(rng.normal(0, 6.0, (B, T, 2, H, W)))
+    dvoxel = jnp.asarray(rng.normal(0, 1.0, (B, T, 2, H, W)))
+    offsets = (0.0, 1.0)
+
+    def images_of(v):
+        return PB.fused_multi_iwe_banded_voxel_batched(
+            v, *chunks, brows, (H, W), offsets, False, 1e-6, False, None,
+            False,
+        )
+
+    imgs, dimgs = PB.fused_multi_iwe_banded_voxel_jvp_batched(
+        voxel, dvoxel, *chunks, brows, (H, W), offsets,
+        eps=1e-6, use_bf16=False,
+    )
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(images_of(voxel)))
+    h = 1e-6
+    fd = (images_of(voxel + h * dvoxel) - images_of(voxel - h * dvoxel)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(dimgs), np.asarray(fd), atol=1e-6)
+    tan_only = PB.fused_multi_iwe_banded_voxel_jvp_batched(
+        voxel, dvoxel, *chunks, brows, (H, W), offsets,
+        eps=1e-6, use_bf16=False, emit_value=False,
+    )
+    np.testing.assert_array_equal(np.asarray(tan_only), np.asarray(dimgs))
+
+    g1 = jnp.asarray(rng.normal(0, 1, (B, len(offsets), H, W)))
+    g2 = jnp.asarray(rng.normal(0, 1, (B, len(offsets), H, W)))
+
+    def vjp_at(v, g):
+        _, f_vjp = jax.vjp(images_of, v)
+        return f_vjp(g)[0]
+
+    out = PB.fused_multi_iwe_banded_voxel_hvp_bwd_batched(
+        voxel, dvoxel, g1, g2, *chunks, brows, (H, W), offsets,
+        eps=1e-6, use_bf16=False,
+    )
+    fd = (
+        vjp_at(voxel + h * dvoxel, g1 + h * g2)
+        - vjp_at(voxel - h * dvoxel, g1 - h * g2)
+    ) / (2 * h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fd), atol=1e-5)
+    gn = PB.fused_multi_iwe_banded_voxel_hvp_bwd_batched(
+        voxel, dvoxel, g1, g2, *chunks, brows, (H, W), offsets,
+        eps=1e-6, use_bf16=False, term_a=False,
+    )
+    assert gn.shape == out.shape and np.all(np.isfinite(np.asarray(gn)))
+
+
+@pytest.mark.slow
+def test_batched_time_aware_analytic_gn_hvp_matches_single_frame():
+    """The fleet TA analytic GN HVP (batched voxel JVP/HVP kernels, grid
+    (B, T, G)) == the single-frame TA builder frame by frame, each on its
+    own (bin, band) pack (same event sets summed in different orders —
+    equality to f64 rounding); the staged fleet form is numerically
+    identical to the fused form."""
+    from event_based_optical_flow_tpu.ops import pallas_objective_banded as PB
+    from event_based_optical_flow_tpu.solver.fleet import (
+        build_batched_objective_banded_hvp,
+        build_orig_iwe_banded_batched,
+        pack_fleet_banded,
+    )
+    from event_based_optical_flow_tpu.solver.objective import (
+        build_objective_banded_hvp,
+        build_orig_iwe_banded,
+        objective_supports_analytic_hvp,
+    )
+
+    spec = dataclasses.replace(_spec(True), iwe_backend="pallas")
+    assert objective_supports_analytic_hvp(spec, fleet=True)
+    gts = [(9.0, -5.0), (-7.0, 3.0)]
+    events_list = [
+        _synthetic_events(np.asarray(gt), n=1400, seed=90 + i)
+        for i, gt in enumerate(gts)
+    ]
+    x2, y2, d2, w2, brows, scales = pack_fleet_banded(
+        events_list, H, time_bin=spec.time_bin
+    )
+    args = tuple(jnp.asarray(a) for a in (x2, y2, d2, w2, brows, scales))
+    orig_b = build_orig_iwe_banded_batched(spec)(*args[:-1])
+    rng = np.random.default_rng(17)
+    motion = jnp.asarray(rng.uniform(-4, 4, (2, 8)))
+    p = jnp.asarray(rng.normal(0, 1, (2, 8)))
+
+    hvp = build_batched_objective_banded_hvp(spec, precomputed_orig=True)
+    got = np.asarray(hvp(motion, p, orig_b, *args))
+
+    single_hvp = build_objective_banded_hvp(spec, precomputed_orig=True)
+    single_orig = build_orig_iwe_banded(spec)
+    for b in range(2):
+        ev = events_list[b]
+        padded, wgt = pad_events(ev, target_n=2048)
+        dtf = (padded[:, 2] - ev[:, 2].min()) / (ev[:, 2].max() - ev[:, 2].min())
+        packed = PB.pack_events_by_band_bin(padded, wgt, dtf, H, spec.time_bin)
+        t_scale = jnp.asarray(ev[:, 2].max() - ev[:, 2].min())
+        s_args = tuple(jnp.asarray(a) for a in packed) + (t_scale,)
+        orig = single_orig(*s_args)
+        np.testing.assert_allclose(np.asarray(orig), np.asarray(orig_b[b]),
+                                   rtol=1e-9, atol=1e-10)
+        want = np.asarray(single_hvp(motion[b], p[b], orig, *s_args))
+        np.testing.assert_allclose(got[b], want, rtol=1e-7, atol=1e-9)
+
+    prep, hvp_staged = build_batched_objective_banded_hvp(
+        spec, precomputed_orig=True, staged=True
+    )
+    aux = prep(motion, orig_b, *args)
+    np.testing.assert_allclose(
+        np.asarray(hvp_staged(aux, motion, p, orig_b, *args)), got, atol=1e-12
+    )
+
+
+@pytest.mark.slow
+def test_fleet_time_aware_analytic_hvp_engages():
+    """hvp_mode: analytic on the TIME-AWARE fleet path: the batched voxel
+    JVP/HVP kernels drive the lockstep Newton (no FD-fallback warning)
+    and recover per-frame translations; analytic-full still falls back
+    (the motion->voxel Burgers chain is nonlinear, only GN is
+    assembled)."""
+    gts = [(8.0, -6.0), (-6.0, 7.0)]
+    slv_cfg = {
+        "method": "fleet_pyramidal_patch_contrast_maximization",
+        "time_aware": True,
+        "time_bin": 4,
+        "flow_interpolation": "burgers",
+        "t0_flow_location": "middle",
+        "patch": {"initialize": "zero", "scale": 3, "crop_height": 20, "crop_width": 28, "filter_type": "bilinear"},
+        "motion_model": "2d-translation",
+        "warp_direction": "first",
+        "parameters": ["trans_x", "trans_y"],
+        "cost": "hybrid",
+        "outer_padding": 0,
+        "cost_with_weight": {"multi_focal_normalized_gradient_magnitude": 1.0, "total_variation": 0.01},
+        "iwe": {"method": "bilinear_vote", "blur_sigma": 1},
+        "iwe_backend": "pallas",
+        "precision": "64",
+    }
+    opt_cfg = {
+        "n_iter": 8,
+        "method": "Newton-CG",
+        "max_iter": 10,
+        "hvp_mode": "analytic",
+        "parameters": {"trans_x": {"min": -25, "max": 25}, "trans_y": {"min": -25, "max": 25}},
+    }
+    solv = solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, opt_cfg, {}, None
+    )
+    events_list = [_synthetic_events(np.asarray(gt), n=2500, seed=30 + i) for i, gt in enumerate(gts)]
+    results = solv.optimize_batch(events_list)
+    assert not getattr(solv, "_warned_analytic_hvp", False), (
+        "the fleet time-aware analytic HVP fell back to FD"
+    )
+    for res, gt in zip(results, gts):
+        finest = res[max(res)]
+        np.testing.assert_allclose(finest.reshape(2, -1).mean(1), gt, atol=3.5)
+
+    # the full-Hessian study mode is not assembled for time-aware
+    solv_full = solver.collections["fleet_pyramidal_patch_contrast_maximization"](
+        (H, W), {}, slv_cfg, dict(opt_cfg, hvp_mode="analytic-full"), {}, None
+    )
+    solv_full.optimize_batch(events_list)
+    assert getattr(solv_full, "_warned_analytic_hvp", False)
+
+
 @pytest.mark.slow
 def test_fleet_analytic_hvp_recovers():
     """hvp_mode: analytic (the per-scale hybrid) on the fleet path: the

@@ -1237,8 +1237,9 @@ def test_v10_time_aware_analytic_gn_hvp_matches_composite_oracle():
     spec = dataclasses.replace(_spec(True), iwe_backend="pallas")
     assert objective_supports_analytic_hvp(spec, gauss_newton=True)
     assert not objective_supports_analytic_hvp(spec, gauss_newton=False)
-    assert not objective_supports_analytic_hvp(spec, gauss_newton=True,
-                                               fleet=True)
+    # fleet supported too since round 4 (batched voxel JVP/HVP kernels)
+    assert objective_supports_analytic_hvp(spec, gauss_newton=True,
+                                           fleet=True)
 
     ev = _synthetic_events(np.asarray([7.0, -5.0]), n=1200, seed=73)
     padded, wgt = pad_events(ev, target_n=2048)

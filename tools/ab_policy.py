@@ -16,6 +16,8 @@ cancels the tunnel's session drift (single-shot e2e numbers swing
         # select (speed + flowMAE, 30%-clutter MVSEC geometry)
     python tools/ab_policy.py [n_rounds] lbfgs-dsec  # device L-BFGS vs
         # Newton-CG at DSEC geometry (same clutter scene)
+    python tools/ab_policy.py [n_rounds] hvp-ta  # time-aware (Burgers
+        # T=10) voxel analytic HVP vs central FD (30%-clutter, MVSEC geom)
 """
 import os
 import sys
@@ -38,10 +40,10 @@ H, W = 260, 346
 N_EV = 30000
 
 
-def build_solver(opt_over=None):
+def build_solver(opt_over=None, slv_over=None):
     from event_based_optical_flow_tpu import solver as _s
 
-    slv = dict(SLV_CFG)
+    slv = dict(SLV_CFG, **(slv_over or {}))
     if (H, W) != (260, 346):
         slv["patch"] = dict(slv["patch"], crop_height=H, crop_width=W)
     return _s.collections["pyramidal_patch_contrast_maximization"](
@@ -57,6 +59,7 @@ def main():
     mode = sys.argv[2] if len(sys.argv) > 2 else "packing"
 
     noise_frac = 0.0
+    slv_over = None
     if mode.startswith(("flex", "coarse", "budget", "lbfgs")):
         if mode.endswith("-dsec"):
             import bench_e2e as _be
@@ -144,6 +147,23 @@ def main():
             # warm parity at 2.6x speed, cold frame misroutes)
             "C(analytic-all)": dict(base, hvp_mode="analytic-all"),
         }
+    elif mode == "hvp-ta":
+        # v10 voxel analytic HVP (time-aware Burgers objective, GN via the
+        # banded voxel JVP/HVP kernels) vs the central-FD default: speed +
+        # flowMAE on the 30%-clutter scene at MVSEC geometry, T=10 bins.
+        noise_frac = 0.3
+        slv_over = dict(
+            time_aware=True, time_bin=10, flow_interpolation="burgers",
+            t0_flow_location="middle",
+        )
+        POLICIES = {
+            "A(central-fd)": ("flex", 96),
+            "B(hybrid)": ("flex", 96),
+        }
+        OPT_OVER = {
+            "A(central-fd)": {},
+            "B(hybrid)": {"hvp_mode": "analytic"},
+        }
     elif mode == "tent":
         # v8 vote-block build (OBJECTIVE_TENT consumed at objective BUILD
         # time; builds happen lazily under with_policy): speed + accuracy
@@ -177,7 +197,7 @@ def main():
             (PB.OBJECTIVE_DENSE_PACKING, PB.OBJECTIVE_ROW_WINDOW,
              PB.OBJECTIVE_TENT) = default_policy
 
-    solvers = {name: build_solver(OPT_OVER[name]) for name in POLICIES}
+    solvers = {name: build_solver(OPT_OVER[name], slv_over) for name in POLICIES}
 
     def make_frame(seed):
         ev = synth(GT, seed=seed, n=N_EV)

@@ -8,7 +8,11 @@ streams/s = K / p50.  Inputs VARY every push (the tunnel relay memoizes
 identical (program, input) executions).
 
     python tools/bench_serving.py [n_pushes=12] [K=8] [mode=multi|http] \
-        [hvp_mode=fd|analytic|analytic-warm]
+        [hvp_mode=fd|analytic|analytic-warm] [ta=1]
+
+``ta=1`` serves the TIME-AWARE (Burgers, T=10) solver instead of the
+dense one (the fleet TA chain; round-4 batched voxel JVP/HVP kernels
+make the analytic modes live there too).
 
 ``hvp_mode`` feeds the estimator's optimizer_config (the serving
 surfaces are warm-dominated: every push after the first is a warm
@@ -37,6 +41,7 @@ from bench_e2e import GT, synth  # noqa: E402
 
 H, W = 260, 346
 N_EV = 30000
+TA_SLV = None  # set by ta=1: time-aware Burgers solver config
 
 
 def make_window(seed):
@@ -54,7 +59,7 @@ def bench_multi(n_pushes, k, hvp_mode="fd"):
 
     est = MultiStreamFlowEstimator(
         (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
-        optimizer_config={"hvp_mode": hvp_mode},
+        solver_config=TA_SLV, optimizer_config={"hvp_mode": hvp_mode},
     )
     # warm push: compiles the fleet chain
     t0 = time.time()
@@ -74,6 +79,7 @@ def bench_multi(n_pushes, k, hvp_mode="fd"):
         json.dumps(
             {
                 "bench": "multistream",
+                "ta": bool(TA_SLV),
                 "K": k,
                 "hvp_mode": hvp_mode,
                 "geometry": f"{H}x{W}/{N_EV}ev",
@@ -98,7 +104,7 @@ def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
     ests = {
         m: MultiStreamFlowEstimator(
             (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
-            optimizer_config={"hvp_mode": m},
+            solver_config=TA_SLV, optimizer_config={"hvp_mode": m},
         )
         for m in modes
     }
@@ -132,7 +138,7 @@ def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
         print(
             json.dumps(
                 {
-                    "bench": "multistream-ab", "K": k, "hvp_mode": m,
+                    "bench": "multistream-ab", "ta": bool(TA_SLV), "K": k, "hvp_mode": m,
                     "geometry": f"{H}x{W}/{N_EV}ev",
                     "p50_s": round(p50, 3), "p99_s": round(p99, 3),
                     "streams_per_s": round(k / p50, 2), "windows": n_pushes,
@@ -148,6 +154,7 @@ def bench_http(n_pushes, hvp_mode="fd"):
     from event_based_optical_flow_tpu.serve import FlowServer
 
     srv = FlowServer((H, W), port=0, fixed_event_count=N_EV,
+                     solver_config=TA_SLV,
                      optimizer_config={"hvp_mode": hvp_mode})
     srv.start()
     url = f"http://127.0.0.1:{srv.port}/flow"
@@ -184,6 +191,7 @@ def bench_http(n_pushes, hvp_mode="fd"):
         json.dumps(
             {
                 "bench": "http",
+                "ta": bool(TA_SLV),
                 "hvp_mode": hvp_mode,
                 "geometry": f"{H}x{W}/{N_EV}ev",
                 "p50_s": round(pct(lats, 50), 3),
@@ -202,6 +210,11 @@ if __name__ == "__main__":
     k = int(pos[1]) if len(pos) > 1 else 8
     mode = pos[2] if len(pos) > 2 else "multi"
     hvp_mode = kv.get("hvp_mode", "fd")
+    if kv.get("ta") in ("1", "true", "yes"):
+        TA_SLV = {
+            "time_aware": True, "time_bin": 10,
+            "flow_interpolation": "burgers", "t0_flow_location": "middle",
+        }
     if mode == "http":
         bench_http(n_pushes, hvp_mode)
     elif mode == "ab":
