@@ -10,7 +10,9 @@ dense flow back — the serving story on top of
 Protocol (npz over HTTP, no pickling):
     POST /flow    body: npz with ``events`` [n, 4] float (x=height, y=width,
                   t seconds, p) -> 200, npz with ``flow`` [2, H, W]
-                  float32 (px displacement over the window) and ``span``
+                  float32 (px displacement over the window; [T, 2, H, W]
+                  — per-bin fields — for time-aware solver configs) and
+                  ``span``
     POST /reset   drop the warm-start chain (scene cut)
     GET  /healthz 200 JSON {"status": "ok", "n_windows": N}
 

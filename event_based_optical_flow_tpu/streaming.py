@@ -225,8 +225,11 @@ class StreamingFlowEstimator:
     def push(self, events: np.ndarray) -> np.ndarray:
         """Solve one event window; returns the dense flow as a
         [2, H, W] float array in PIXEL DISPLACEMENT over the window's
-        time span (divide by the span for px/s).  Events are [n, 4]
-        (x=height coord, y=width coord, t, p) like everywhere else."""
+        time span (divide by the span for px/s).  Time-aware solvers
+        (``solver_config: {time_aware: true, time_bin: T}``) return the
+        flow VOXEL instead: [T, 2, H, W], one flow field per time bin.
+        Events are [n, 4] (x=height coord, y=width coord, t, p) like
+        everywhere else."""
         events = np.asarray(events, dtype=np.float64)
         if events.ndim != 2 or events.shape[1] != 4 or not len(events):
             raise ValueError("push expects a non-empty [n, 4] event array")
@@ -381,7 +384,9 @@ class MultiStreamFlowEstimator:
     def push(self, windows) -> np.ndarray:
         """Solve one event window per stream (list of ``n_streams``
         [n, 4] arrays, any per-stream length); returns [n_streams, 2, H,
-        W] pixel displacements over each stream's window span."""
+        W] pixel displacements over each stream's window span
+        ([n_streams, T, 2, H, W] — one field per time bin — for
+        time-aware solver configs)."""
         if len(windows) != self.n_streams:
             raise ValueError(
                 f"push expects {self.n_streams} windows, got {len(windows)}"

@@ -346,3 +346,31 @@ def test_http_flow_server_roundtrip(tmp_path):
     )
     assert server2.estimator.n_windows == 1
     server2.httpd.server_close()
+
+
+@pytest.mark.slow
+def test_time_aware_push_returns_voxel_shape():
+    """Time-aware estimators return the flow VOXEL: [T, 2, H, W] for a
+    single stream, [K, T, 2, H, W] multi-stream (the round-4 TA serving
+    bench asserted the dense [K, 2, H, W] shape and misread the failure
+    as non-finite flows — this pins the documented contract)."""
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    ta = {
+        "time_aware": True, "time_bin": 2,
+        "flow_interpolation": "burgers", "t0_flow_location": "middle",
+        "patch": {"initialize": "zero", "scale": 2, "crop_height": 20,
+                  "crop_width": 28, "filter_type": "bilinear"},
+    }
+    opt = {"n_iter": 2, "max_iter": 2}
+    est = StreamingFlowEstimator((H, W), solver_config=ta,
+                                 optimizer_config=opt)
+    flow = est.push(_window(t0=0.0, seed=5))
+    assert flow.shape == (2, 2, H, W)
+    assert np.isfinite(flow).all()
+
+    ms = MultiStreamFlowEstimator((H, W), n_streams=2, solver_config=ta,
+                                  optimizer_config=opt)
+    flows = ms.push([_window(t0=0.0, seed=6), _window(t0=0.0, seed=7)])
+    assert flows.shape == (2, 2, 2, H, W)
+    assert np.isfinite(flows).all()

@@ -44,6 +44,13 @@ N_EV = 30000
 TA_SLV = None  # set by ta=1: time-aware Burgers solver config
 
 
+def expected_shape(k=None):
+    """Per-push flow shape: [2, H, W] dense, [T, 2, H, W] time-aware
+    (the voxel — one field per bin), K-leading for multi-stream."""
+    core = (TA_SLV["time_bin"], 2, H, W) if TA_SLV else (2, H, W)
+    return core if k is None else (k,) + core
+
+
 def make_window(seed):
     ev = synth(GT, seed=seed, n=int(N_EV * 1.15))
     return ev[: N_EV + (seed % 64)]  # vary the raw count; estimator fixes it
@@ -72,7 +79,8 @@ def bench_multi(n_pushes, k, hvp_mode="fd"):
         t0 = time.time()
         flows = est.push(wins)
         lats.append(time.time() - t0)
-        assert flows.shape == (k, 2, H, W) and np.isfinite(flows).all()
+        assert flows.shape == expected_shape(k), flows.shape
+        assert np.isfinite(flows).all()
         print(f"push {p + 1}/{n_pushes}: {lats[-1]:.2f}s", flush=True)
     p50, p99 = pct(lats, 50), pct(lats, 99)
     print(
@@ -127,7 +135,8 @@ def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
             t0 = time.time()
             flows = est.push(wins)
             lats[m].append(time.time() - t0)
-            assert flows.shape == (k, 2, H, W) and np.isfinite(flows).all()
+            assert flows.shape == expected_shape(k), flows.shape
+            assert np.isfinite(flows).all()
         print(
             f"push {p + 1}/{n_pushes}: "
             + "  ".join(f"{m} {lats[m][-1]:.2f}s" for m in modes),
@@ -185,7 +194,7 @@ def bench_http(n_pushes, hvp_mode="fd"):
         t0 = time.time()
         flow = post(ev)
         lats.append(time.time() - t0)
-        assert flow.shape == (2, H, W)
+        assert flow.shape == expected_shape(), flow.shape
         print(f"http push {p + 1}/{n_pushes}: {lats[-1]:.2f}s", flush=True)
     print(
         json.dumps(
