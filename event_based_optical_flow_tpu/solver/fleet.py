@@ -294,7 +294,6 @@ def build_batched_objective_banded_hvp(spec: ObjectiveSpec,
         fused_multi_iwe_banded_jvp_batched,
         fused_multi_iwe_banded_voxel_hvp_bwd_batched,
         fused_multi_iwe_banded_voxel_jvp_batched,
-        objective_col_window,
         objective_dense_col_bands,
         objective_row_scale,
         objective_row_window,

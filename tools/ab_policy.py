@@ -159,10 +159,15 @@ def main():
         POLICIES = {
             "A(central-fd)": ("flex", 96),
             "B(hybrid)": ("flex", 96),
+            "C(analytic-warm)": ("flex", 96),
         }
         OPT_OVER = {
             "A(central-fd)": {},
             "B(hybrid)": {"hvp_mode": "analytic"},
+            # warm frames run full-analytic GN at every scale — the TA
+            # serving default since round 4 (all measured rounds here are
+            # warm: round 0 is the untimed compile/cold frame)
+            "C(analytic-warm)": {"hvp_mode": "analytic-warm"},
         }
     elif mode == "tent":
         # v8 vote-block build (OBJECTIVE_TENT consumed at objective BUILD
