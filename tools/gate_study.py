@@ -189,8 +189,8 @@ def main():
         return
 
     if out_path is None:
-        os.makedirs("outputs/gate", exist_ok=True)
         out_path = f"outputs/gate/gate_{geometry}.jsonl"
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
 
     done = set()
     if os.path.exists(out_path):
