@@ -1214,6 +1214,31 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
 
         bsz = len(events_list)
         scales = list(range(self.coarsest_scale, self.patch_scales))
+
+        warm = self.previous_frame_best_estimation
+        # warm modes: a single per-scale motion dict (every frame starts
+        # from it — consecutive batches of ONE sequence), or a LIST of
+        # per-frame dicts (frame b starts from its own motion — the
+        # multi-stream serving case, one independent stream per slot)
+        per_frame_warm = (
+            isinstance(warm, (list, tuple))
+            and len(warm) > 0
+            and all(isinstance(w, dict) and all(s in w for s in scales) for w in warm)
+        )
+        if per_frame_warm and len(warm) < bsz:  # mesh padding pads frames
+            warm = list(warm) + [warm[-1]] * (bsz - len(warm))
+        use_warm = per_frame_warm or (
+            isinstance(warm, dict) and all(s in warm for s in scales)
+        )
+        warm_mode = ("per_frame" if per_frame_warm else "shared") if use_warm else None
+
+        if self._warm_finest_active(use_warm):
+            # warm finest-only fast path: skips the coarse chain, the
+            # per-frame patch-event gathers, and the init sweeps
+            return self._optimize_batch_warm_finest(
+                solver_args, warm, per_frame_warm, bsz, scales
+            )
+
         specs, search_meta, grid_shapes = {}, {}, {}
         patch_inputs = []
         max_n = max(len(e) for e in events_list)
@@ -1237,22 +1262,6 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                     jnp.asarray(np.stack(pcs)),
                 ))
 
-        warm = self.previous_frame_best_estimation
-        # warm modes: a single per-scale motion dict (every frame starts
-        # from it — consecutive batches of ONE sequence), or a LIST of
-        # per-frame dicts (frame b starts from its own motion — the
-        # multi-stream serving case, one independent stream per slot)
-        per_frame_warm = (
-            isinstance(warm, (list, tuple))
-            and len(warm) > 0
-            and all(isinstance(w, dict) and all(s in w for s in scales) for w in warm)
-        )
-        if per_frame_warm and len(warm) < bsz:  # mesh padding pads frames
-            warm = list(warm) + [warm[-1]] * (bsz - len(warm))
-        use_warm = per_frame_warm or (
-            isinstance(warm, dict) and all(s in warm for s in scales)
-        )
-        warm_mode = ("per_frame" if per_frame_warm else "shared") if use_warm else None
         self.overload_patch_configuration(self.coarsest_scale)
         if per_frame_warm:
             x0 = np.stack([
@@ -1328,6 +1337,46 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         for b in range(bsz):
             per_frame = {s: best_per_scale[s][b] for s in best_per_scale}
             results.append(self.update_coarse_from_fine(per_frame))
+        return results
+
+    def _optimize_batch_warm_finest(self, solver_args, warm, per_frame_warm,
+                                    bsz, scales):
+        """Fleet warm finest-only fast path (``optimizer.warm_finest_only``):
+        every frame solves ONLY the finest scale from its own previous
+        motion (per-frame warm — the multi-stream serving case) or the
+        shared one, on the FULL fleet pack, as one batched Newton
+        program.  Coarse entries of the per-frame result dicts are
+        rebuilt by pyramid_reduce (same semantics as
+        update_coarse_from_fine on the full path, and the next batch's
+        warm detection needs every scale present).  See
+        pyramid._optimize_warm_finest for rationale and gating."""
+        from ..ops.interp import pyramid_reduce
+
+        s_fin = scales[-1]
+        self.overload_patch_configuration(s_fin)
+        spec = self._current_spec()
+        grid_shape = tuple(self.patch_image_size)
+        maxiter = self.opt_config.get("max_iter", 25)
+        if per_frame_warm:
+            x0 = np.stack([
+                np.asarray(w_[s_fin], dtype=np.float64).reshape(-1) for w_ in warm
+            ])
+        else:
+            x0 = np.tile(
+                np.asarray(warm[s_fin], dtype=np.float64).reshape(1, -1), (bsz, 1)
+            )
+        fin = self._get_fleet_finest_solver(spec, bsz, maxiter, gtol=1e-5, warm=True)
+        bx, bf = fin(jnp.asarray(x0, self.dtype), *solver_args)
+        bx = np.asarray(bx, np.float64).reshape((bsz, 2) + grid_shape)
+        logger.info(
+            f"fleet warm finest-only done ({bsz} frames); losses {np.asarray(bf)}"
+        )
+        results = []
+        for b in range(bsz):
+            refined = {s_fin: bx[b]}
+            for i in range(s_fin, self.coarsest_scale, -1):
+                refined[i - 1] = pyramid_reduce(refined[i])
+            results.append(refined)
         return results
 
     def _get_fleet_chain_solver(self, scales, specs, search_meta, grid_shapes, bsz,

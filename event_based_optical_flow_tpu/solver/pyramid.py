@@ -159,6 +159,78 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                 cg = int(self.opt_config["coarse_cg_maxiter"])
         return mi, cg
 
+    def _warm_finest_active(self, use_warm: bool) -> bool:
+        """Decide, ONCE per frame/batch, whether this solve takes the warm
+        finest-only fast path (``optimizer.warm_finest_only``).  Cold
+        frames reset the warm streak; ``optimizer.warm_full_every: K``
+        (K > 0) makes every K-th consecutive warm frame run the full
+        pyramid instead, re-anchoring the basin after motion drift
+        (K = 1 therefore disables the fast path entirely).  The decision
+        is recorded in ``self._wfo_last`` for tests/telemetry."""
+        self._wfo_last = False
+        if not use_warm:
+            self._warm_streak = 0
+            return False
+        if not bool(self.opt_config.get("warm_finest_only", False)):
+            return False
+        self._warm_streak = getattr(self, "_warm_streak", 0) + 1
+        every = int(self.opt_config.get("warm_full_every", 0))
+        self._wfo_last = not (every > 0 and self._warm_streak % every == 0)
+        return self._wfo_last
+
+    def _optimize_warm_finest(self, events_np, ev, w, metric_in=()):
+        """Warm finest-only fast path: a warm-started frame skips the
+        coarse pyramid scales AND the per-scale init sweeps and runs ONE
+        finest-scale Newton solve from the previous frame's finest
+        motion; the coarse entries of the returned per-scale dict are
+        rebuilt by pyramid_reduce exactly as update_coarse_from_fine
+        does on the full path.  Rationale: the coarse scales exist to
+        SELECT the basin, and on a warm chain the basin is carried by
+        the previous solution — a tracking mode for warm-dominated
+        streaming/serving surfaces.  DEVIATION from the reference
+        (which always runs every scale, ref patch_contrast_pyramid.py
+        sequential scale loop); default off, gated per BENCHMARKS.md.
+        """
+        s_fin = self.patch_scales - 1
+        self.overload_patch_configuration(s_fin)
+        spec = self._current_spec()
+        grid_shape = tuple(self.patch_image_size)
+        if self._uses_banded(spec):
+            newton_args = self._banded_newton_args(events_np)
+        else:
+            newton_args = (ev, w)
+        maxiter = self.opt_config.get("max_iter", 25)
+        warm = self.previous_frame_best_estimation
+        x0 = jnp.asarray(
+            np.asarray(warm[s_fin], dtype=np.float64).reshape(-1), self.dtype
+        )
+        fin_fn = self._get_finest_solver(
+            spec, maxiter, 1e-5, bool(metric_in), warm=True
+        )
+        self.cost_func.enable_history_register()
+        out = fin_fn(x0, tuple(metric_in), *newton_args)
+        if metric_in:
+            bx, bf, it, err = out
+            self._last_chain_metrics = {k: float(v) for k, v in err.items()}
+        else:
+            bx, bf, it = out
+            self._last_chain_metrics = None
+        self._history_cb(float(bf), None)
+        logger.info(
+            f"Warm finest-only solve: {int(it)} iters, loss {float(bf):.6f}"
+        )
+        refined = {
+            s_fin: np.asarray(bx, dtype=np.float64).reshape((2,) + grid_shape)
+        }
+        for i in range(s_fin, self.coarsest_scale, -1):
+            refined[i - 1] = pyramid_reduce(refined[i])
+        if self.visualizer and self.cost_func.get_history()["loss"]:
+            self.visualizer.visualize_scipy_history(
+                self.cost_func.get_history(), self.cost_weight
+            )
+        self.cost_func.clear_history()
+        return refined
+
     def optimize(self, events: np.ndarray) -> Dict[int, np.ndarray]:
         logger.info(f"Start optimization. DoF {self.motion_vector_size * self.total_n_patch}")
         events = np.asarray(events, dtype=np.float64)
@@ -166,6 +238,16 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
 
         if self._chain_ready():
             return self._optimize_chain(events, ev, w)
+
+        if self.opt_config.get("warm_finest_only") and not getattr(
+            self, "_warned_wfo", False
+        ):
+            logger.warning(
+                "optimizer.warm_finest_only requires the device chain path "
+                "(optimizer.chain with device Newton-CG, >=2 scales); the "
+                "per-scale loop runs the full pyramid"
+            )
+            self._warned_wfo = True
 
         best_motion_per_scale: Dict[int, np.ndarray] = {}
         sub = self._coarse_events(events)
@@ -267,6 +349,11 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
         import jax
 
         scales = list(range(self.coarsest_scale, self.patch_scales))
+        warm0 = self.previous_frame_best_estimation
+        if self._warm_finest_active(
+            isinstance(warm0, dict) and scales[-1] in warm0
+        ):
+            return self._optimize_warm_finest(events_np, ev, w, metric_in)
         specs = {}
         search_meta = {}
         patch_inputs = []

@@ -61,6 +61,11 @@ _DEFAULT_OPT = {
     # deployments override with optimizer_config={"hvp_mode": "fd"}
     # (the eval-protocol default).  On CPU (or non-fused backends) the
     # analytic path is inert and the solver falls back to FD.
+    # A further latency lever: optimizer_config={"warm_finest_only":
+    # True} makes warm frames skip the coarse scales + init sweeps
+    # entirely (one finest-scale Newton from the previous motion);
+    # pair with "warm_full_every": K to re-anchor every K-th frame.
+    # Not default — gate numbers/decision in BENCHMARKS.md.
     "hvp_mode": "analytic-warm",
     "parameters": {"trans_x": {"min": -150, "max": 150},
                    "trans_y": {"min": -150, "max": 150}},

@@ -63,6 +63,7 @@ _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
     "chain", "hvp_central", "hvp_mode", "hvp_max_step", "coarse_event_fraction",
     "coarse_max_iter", "coarse_cg_maxiter", "device_solver", "lbfgs_memory",
+    "warm_finest_only", "warm_full_every",
 }
 _KNOWN_DNN_KEYS = {
     "n_bin", "batch_size", "n_steps", "lr", "data_parallel",
@@ -216,6 +217,17 @@ def validate_config(config: Dict[str, Any]) -> List[str]:
                 raise ConfigError(
                     f"'optimizer.{budget_key}' must be a positive int, got {val!r}"
                 )
+    if "warm_finest_only" in opt and not isinstance(opt["warm_finest_only"], bool):
+        raise ConfigError(
+            "'optimizer.warm_finest_only' must be a bool, got "
+            f"{opt['warm_finest_only']!r}"
+        )
+    if "warm_full_every" in opt:
+        val = opt["warm_full_every"]
+        if not isinstance(val, int) or val < 0:
+            raise ConfigError(
+                f"'optimizer.warm_full_every' must be an int >= 0, got {val!r}"
+            )
     dev_solver = opt.get("device_solver", "newton-cg")
     if str(dev_solver).lower() not in ("newton-cg", "lbfgs"):
         raise ConfigError(

@@ -169,6 +169,29 @@ def main():
             # warm: round 0 is the untimed compile/cold frame)
             "C(analytic-warm)": {"hvp_mode": "analytic-warm"},
         }
+    elif mode == "warmfinest":
+        # optimizer.warm_finest_only: warm frames skip the coarse scales
+        # and init sweeps and run one finest-scale Newton from the
+        # previous motion.  Speed + flowMAE on the warm-chained
+        # 30%-clutter scene at MVSEC geometry, stacked on the
+        # analytic-warm serving default.  (Accuracy under tile-level
+        # motion CHANGE is the 6-family gate's job — disc is the canary.)
+        noise_frac = 0.3
+        POLICIES = {
+            "A(analytic-warm)": ("flex", 96),
+            "B(+warm-finest)": ("flex", 96),
+            "C(+wf,full-every-8)": ("flex", 96),
+        }
+        OPT_OVER = {
+            "A(analytic-warm)": {"hvp_mode": "analytic-warm"},
+            "B(+warm-finest)": {
+                "hvp_mode": "analytic-warm", "warm_finest_only": True,
+            },
+            "C(+wf,full-every-8)": {
+                "hvp_mode": "analytic-warm", "warm_finest_only": True,
+                "warm_full_every": 8,
+            },
+        }
     elif mode == "tent":
         # v8 vote-block build (OBJECTIVE_TENT consumed at objective BUILD
         # time; builds happen lazily under with_policy): speed + accuracy

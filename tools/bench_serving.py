@@ -10,6 +10,10 @@ identical (program, input) executions).
     python tools/bench_serving.py [n_pushes=12] [K=8] [mode=multi|http] \
         [hvp_mode=fd|analytic|analytic-warm] [ta=1]
 
+Mode tokens accept ``+wf`` / ``+wfK`` suffixes (optimizer
+warm_finest_only [+ warm_full_every K]): e.g. ``analytic-warm+wf8``,
+``modes=analytic-warm,analytic-warm+wf`` for the ab mode.
+
 ``ta=1`` serves the TIME-AWARE (Burgers, T=10) solver instead of the
 dense one (the fleet TA chain; round-4 batched voxel JVP/HVP kernels
 make the analytic modes live there too).
@@ -61,17 +65,44 @@ def pct(xs, q):
     return xs[min(len(xs) - 1, int(round(q / 100 * (len(xs) - 1))))]
 
 
+def opt_cfg_for(mode_str):
+    """Mode token -> optimizer_config.  ``+wf`` appends
+    warm_finest_only (``+wfK`` also sets warm_full_every=K):
+    e.g. ``analytic-warm+wf``, ``analytic-warm+wf8``."""
+    base, *flags = mode_str.split("+")
+    cfg = {"hvp_mode": base}
+    for f in flags:
+        if f.startswith("wf"):
+            cfg["warm_finest_only"] = True
+            if f[2:]:
+                cfg["warm_full_every"] = int(f[2:])
+        else:
+            raise SystemExit(f"unknown mode flag {f!r} in {mode_str!r}")
+    return cfg
+
+
+def _warm_program_differs(mode_str):
+    """Whether the warm-frame program differs from the cold one (needs
+    its own warm-up push before timing)."""
+    return mode_str.startswith("analytic") or "+wf" in mode_str
+
+
 def bench_multi(n_pushes, k, hvp_mode="fd"):
     from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
 
     est = MultiStreamFlowEstimator(
         (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
-        solver_config=TA_SLV, optimizer_config={"hvp_mode": hvp_mode},
+        solver_config=TA_SLV, optimizer_config=opt_cfg_for(hvp_mode),
     )
     # warm push: compiles the fleet chain
     t0 = time.time()
     est.push([make_window(1000 + s) for s in range(k)])
     print(f"K={k} first push (compiles): {time.time() - t0:.1f}s", flush=True)
+    if _warm_program_differs(hvp_mode):
+        t0 = time.time()
+        est.push([make_window(1500 + s) for s in range(k)])
+        print(f"second push (warm program compiles): {time.time() - t0:.1f}s",
+              flush=True)
 
     lats = []
     for p in range(n_pushes):
@@ -112,7 +143,7 @@ def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
     ests = {
         m: MultiStreamFlowEstimator(
             (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
-            solver_config=TA_SLV, optimizer_config={"hvp_mode": m},
+            solver_config=TA_SLV, optimizer_config=opt_cfg_for(m),
         )
         for m in modes
     }
@@ -121,7 +152,7 @@ def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
         est.push([make_window(1000 + s) for s in range(k)])
         print(f"[{m}] K={k} first push (compiles): {time.time() - t0:.1f}s",
               flush=True)
-        if m.startswith("analytic"):
+        if _warm_program_differs(m):
             # second compile: the warm-frame program can differ from cold
             t0 = time.time()
             est.push([make_window(1500 + s) for s in range(k)])
@@ -164,7 +195,7 @@ def bench_http(n_pushes, hvp_mode="fd"):
 
     srv = FlowServer((H, W), port=0, fixed_event_count=N_EV,
                      solver_config=TA_SLV,
-                     optimizer_config={"hvp_mode": hvp_mode})
+                     optimizer_config=opt_cfg_for(hvp_mode))
     srv.start()
     url = f"http://127.0.0.1:{srv.port}/flow"
 
