@@ -1153,7 +1153,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         self._coarse_fleet_applied = bool(coarse_args)
         if self._chain_ready():
             return self._optimize_batch_chain(
-                events_list, solver_args, coarse_args
+                events_list, solver_args, coarse_args, orig_bsz=orig_bsz
             )[:orig_bsz]
         if self.previous_frame_best_estimation is not None:
             logger.warning(
@@ -1195,7 +1195,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
 
     # ---------------------------------------------- whole-fleet device chain
     def _optimize_batch_chain(self, events_list: List[np.ndarray], solver_args,
-                              coarse_args=()):
+                              coarse_args=(), orig_bsz=None):
         """Every pyramid scale of every frame in ONE device program: the
         init search runs batched over frames x patches (vs. B sequential
         host calls per scale in the loop path), coarse->fine expansion is
@@ -1225,18 +1225,24 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
             and len(warm) > 0
             and all(isinstance(w, dict) and all(s in w for s in scales) for w in warm)
         )
-        if per_frame_warm and len(warm) < bsz:  # mesh padding pads frames
+        if isinstance(warm, (list, tuple)) and 0 < len(warm) < bsz:
+            # mesh padding pads frames (harmless for lists the full chain
+            # later rejects: they stay unused)
             warm = list(warm) + [warm[-1]] * (bsz - len(warm))
         use_warm = per_frame_warm or (
             isinstance(warm, dict) and all(s in warm for s in scales)
         )
         warm_mode = ("per_frame" if per_frame_warm else "shared") if use_warm else None
 
-        if self._warm_finest_active(use_warm):
+        # the fast-path gate uses the SHARED warmth predicate (finest-scale
+        # presence, pyramid._warm_has_finest) so streak accounting matches
+        # the sequential surface for the same stream
+        if self._warm_finest_active(self._warm_has_finest(warm, scales[-1])):
             # warm finest-only fast path: skips the coarse chain, the
             # per-frame patch-event gathers, and the init sweeps
             return self._optimize_batch_warm_finest(
-                solver_args, warm, per_frame_warm, bsz, scales
+                solver_args, warm, isinstance(warm, (list, tuple)), bsz, scales,
+                orig_bsz=orig_bsz,
             )
 
         specs, search_meta, grid_shapes = {}, {}, {}
@@ -1340,7 +1346,7 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         return results
 
     def _optimize_batch_warm_finest(self, solver_args, warm, per_frame_warm,
-                                    bsz, scales):
+                                    bsz, scales, orig_bsz=None):
         """Fleet warm finest-only fast path (``optimizer.warm_finest_only``):
         every frame solves ONLY the finest scale from its own previous
         motion (per-frame warm — the multi-stream serving case) or the
@@ -1368,8 +1374,12 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
         fin = self._get_fleet_finest_solver(spec, bsz, maxiter, gtol=1e-5, warm=True)
         bx, bf = fin(jnp.asarray(x0, self.dtype), *solver_args)
         bx = np.asarray(bx, np.float64).reshape((bsz, 2) + grid_shape)
+        n_real = bsz if orig_bsz is None else int(orig_bsz)
+        losses = np.asarray(bf)[:n_real]  # mesh-padding duplicates excluded
         logger.info(
-            f"fleet warm finest-only done ({bsz} frames); losses {np.asarray(bf)}"
+            f"fleet warm finest-only done ({n_real} frames"
+            + (f", {bsz} with mesh padding" if bsz != n_real else "")
+            + f"); losses {losses}"
         )
         results = []
         for b in range(bsz):

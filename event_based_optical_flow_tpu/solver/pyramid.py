@@ -159,6 +159,20 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
                 cg = int(self.opt_config["coarse_cg_maxiter"])
         return mi, cg
 
+    @staticmethod
+    def _warm_has_finest(warm, s_fin: int) -> bool:
+        """Shared warmth predicate for the ``warm_finest_only`` gate —
+        used by BOTH the sequential chain and the fleet surface so the
+        warm-streak / ``warm_full_every`` cadence is identical for the
+        same stream.  The fast path needs the finest scale's previous
+        motion: a per-scale dict containing ``s_fin``, or (fleet
+        per-frame mode) a non-empty list of such dicts."""
+        if isinstance(warm, (list, tuple)):
+            return len(warm) > 0 and all(
+                isinstance(w, dict) and s_fin in w for w in warm
+            )
+        return isinstance(warm, dict) and s_fin in warm
+
     def _warm_finest_active(self, use_warm: bool) -> bool:
         """Decide, ONCE per frame/batch, whether this solve takes the warm
         finest-only fast path (``optimizer.warm_finest_only``).  Cold
@@ -350,9 +364,7 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
 
         scales = list(range(self.coarsest_scale, self.patch_scales))
         warm0 = self.previous_frame_best_estimation
-        if self._warm_finest_active(
-            isinstance(warm0, dict) and scales[-1] in warm0
-        ):
+        if self._warm_finest_active(self._warm_has_finest(warm0, scales[-1])):
             return self._optimize_warm_finest(events_np, ev, w, metric_in)
         specs = {}
         search_meta = {}

@@ -41,6 +41,9 @@ _GRAD_FREE = {"Nelder-Mead", "Powell", "COBYLA"}
 # Methods whose scipy option set has no "gtol" (the reference passes gtol
 # unconditionally, ref src/solver/patch_contrast_mixed.py:150; scipy warns).
 _NO_GTOL = {"Nelder-Mead", "Powell", "COBYLA", "SLSQP", "dogleg", "trust-exact"}
+# scipy's Newton-CG takes only a step tolerance ("xtol") — translate the
+# configured gtol into it rather than dropping the tolerance on the floor.
+_GTOL_AS_XTOL = {"Newton-CG"}
 
 
 def minimize(
@@ -62,8 +65,15 @@ def minimize(
     """
     options = dict(options or {})
     options.pop("eps", None)  # finite-difference step: unused with exact grads
+    if method == "L-BFGS-B" and not options.get("disp", False):
+        options.pop("disp", None)  # deprecated (scipy 1.18) when merely False
     if method in _NO_GTOL:
         options.pop("gtol", None)
+    elif method in _GTOL_AS_XTOL and "gtol" in options:
+        gtol = options.pop("gtol")
+        if "xtol" not in options:
+            options["xtol"] = gtol
+            logger.debug("%s: mapped gtol=%g to xtol", method, gtol)
     x0 = np.asarray(x0, dtype=np.float64).reshape(-1)
 
     def fun(x):

@@ -119,6 +119,17 @@ def _snapshot_solver_rng(solver):
     )
 
 
+def _snapshot_warm_streak(solver):
+    """Capture the warm_finest_only streak counters so warmup pushes don't
+    shift which real frames re-anchor under ``warm_full_every`` (the
+    'restores pre-warmup state' guarantee covers cadence too)."""
+    return (getattr(solver, "_warm_streak", 0), getattr(solver, "_wfo_last", False))
+
+
+def _restore_warm_streak(solver, snap):
+    solver._warm_streak, solver._wfo_last = snap
+
+
 def _restore_solver_rng(solver, snap):
     key, rng_state = snap
     if key is not None:
@@ -290,6 +301,7 @@ class StreamingFlowEstimator:
         warm_prev = self._solver.previous_frame_best_estimation
         tail_prev, span_prev, n_prev = self._tail, self.last_span, self.n_windows
         rng_snap = _snapshot_solver_rng(self._solver)
+        streak_snap = _snapshot_warm_streak(self._solver)
         try:
             for i in range(int(n_windows)):
                 self.push(_warmup_window(
@@ -299,6 +311,7 @@ class StreamingFlowEstimator:
             self._tail, self.last_span, self.n_windows = (
                 tail_prev, span_prev, n_prev)
             _restore_solver_rng(self._solver, rng_snap)
+            _restore_warm_streak(self._solver, streak_snap)
         return _time.time() - t_start
 
     def save_state(self, path) -> None:
@@ -437,6 +450,7 @@ class MultiStreamFlowEstimator:
         warm_prev = self._solver.previous_frame_best_estimation
         tails_prev, n_prev = list(self._tails), self.n_batches
         rng_snap = _snapshot_solver_rng(self._solver)
+        streak_snap = _snapshot_warm_streak(self._solver)
         try:
             for i in range(int(n_windows)):
                 self.push([
@@ -448,6 +462,7 @@ class MultiStreamFlowEstimator:
             self._solver.previous_frame_best_estimation = warm_prev
             self._tails, self.n_batches = tails_prev, n_prev
             _restore_solver_rng(self._solver, rng_snap)
+            _restore_warm_streak(self._solver, streak_snap)
         return _time.time() - t_start
 
     def reset(self, stream: Optional[int] = None) -> None:

@@ -158,6 +158,36 @@ def test_scipy_host_bridge_path(method):
     np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=2.5)
 
 
+def test_scipy_bridge_newton_cg_gtol_maps_to_xtol():
+    """scipy's Newton-CG has no gtol option (it wants xtol); the bridge must
+    translate the configured tolerance instead of dropping it (which raised
+    scipy's "Unknown solver options: gtol" OptimizeWarning)."""
+    import warnings
+
+    from event_based_optical_flow_tpu.solver import scipy_bridge
+
+    def vg(x):
+        return float(np.sum((x - 3.0) ** 2)), 2.0 * (np.asarray(x) - 3.0)
+
+    def hvp(x, p):
+        return 2.0 * np.asarray(p)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any OptimizeWarning -> failure
+        res = scipy_bridge.minimize(
+            vg, np.zeros(2), method="Newton-CG",
+            options={"gtol": 1e-5, "maxiter": 50}, hvp=hvp,
+        )
+    np.testing.assert_allclose(res.x, [3.0, 3.0], atol=1e-4)
+    # an explicit xtol wins over the mapped gtol
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        scipy_bridge.minimize(
+            vg, np.zeros(2), method="Newton-CG",
+            options={"gtol": 1e-5, "xtol": 1e-6}, hvp=hvp,
+        )
+
+
 def test_sampling_optimizer_path():
     gt = np.array([8.0, -12.0])
     ev = _synthetic_events(gt)

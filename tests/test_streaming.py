@@ -118,6 +118,35 @@ def test_serving_default_hvp_mode_is_analytic_warm():
 
 
 @pytest.mark.slow
+def test_warmup_preserves_warm_streak():
+    """With warm_finest_only + warm_full_every configured, warmup() must
+    not advance the warm streak: WHICH real frames re-anchor (run the
+    full pyramid) is part of the restored serving state — otherwise
+    warmup pushes shift the re-anchor cadence of real traffic (round-4
+    advisor finding)."""
+    est = StreamingFlowEstimator(
+        (H, W),
+        solver_config={
+            "patch": {"initialize": "zero", "scale": 3, "crop_height": 20,
+                      "crop_width": 28, "filter_type": "bilinear"},
+            # the wf fast path needs the device chain (banded objective)
+            "iwe_backend": "pallas",
+        },
+        optimizer_config={"n_iter": 2, "max_iter": 2, "warm_finest_only": True,
+                          "warm_full_every": 3},
+        fixed_event_count=1500,
+    )
+    est.push(_window(t0=0.0, seed=1))   # cold
+    est.push(_window(t0=0.4, seed=2))   # warm: streak -> 1, fast path
+    streak = est._solver._warm_streak
+    wfo = est._solver._wfo_last
+    assert streak == 1 and wfo is True
+    est.warmup(n_windows=2, n_events=1500)
+    assert est._solver._warm_streak == streak
+    assert est._solver._wfo_last == wfo
+
+
+@pytest.mark.slow
 def test_warmup_compiles_without_leaking_state():
     """warmup() drives the cold->warm program sequence and restores the
     pre-warmup serving state: after warmup, the first REAL push must be
