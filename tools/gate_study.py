@@ -46,6 +46,8 @@ GEOMETRIES = {
     # name -> (H, W, crop_h, crop_w, n_events, event_rate, n_dots)
     "dsec": (480, 640, 480, 640, 300_000, 3_000_000.0, 4000),
     "mvsec": (260, 346, 256, 336, 30_000, 300_000.0, 1200),
+    # CPU smoke test of the harness itself (EPEs are meaningless here)
+    "tiny": (64, 64, 64, 64, 3_000, 40_000.0, 80),
 }
 
 ARMS = {
@@ -78,7 +80,17 @@ def make_loader(family, geometry):
     return loader, cfg
 
 
-def run_family(family, n_windows, geometry):
+# --ta: the gate runs on the TIME-AWARE (Burgers voxel, T=10) pyramid
+# solver instead of the dense one — same arms, same families;
+# calculate_flow_error collapses the voxel to t0 flow for the EPE
+# (solver/base.py get_original_flow_from_time_aware_flow_voxel).
+TA_SLV_OVER = {
+    "time_aware": True, "time_bin": 10,
+    "flow_interpolation": "burgers", "t0_flow_location": "middle",
+}
+
+
+def run_family(family, n_windows, geometry, ta=False):
     """One family, all arms, interleaved — runs inside the worker (the
     parent collects the printed JSONL rows from worker stdout)."""
     h, w, crop_h, crop_w, _, _, _ = GEOMETRIES[geometry]
@@ -89,6 +101,8 @@ def run_family(family, n_windows, geometry):
     slv_cfg["patch"] = dict(
         slv_cfg["patch"], crop_height=crop_h, crop_width=crop_w
     )
+    if ta:
+        slv_cfg.update(TA_SLV_OVER)
 
     loader, cfg = make_loader(family, geometry)
     ts = loader.eval_frame_time_list()
@@ -132,6 +146,7 @@ def run_family(family, n_windows, geometry):
                 "family": family,
                 "arm": arm,
                 "geometry": geometry,
+                "ta": bool(ta),
                 "EPE_mean": round(float(np.mean(stats[arm]["epe"])), 4),
                 "EPE_per_window": [round(e, 4) for e in stats[arm]["epe"]],
                 # cold-window accuracy (its wall is compile-dominated and
@@ -149,7 +164,7 @@ def run_family(family, n_windows, geometry):
 
 
 def parse_args(args):
-    geometry, out_path, worker, rest = "dsec", None, False, []
+    geometry, out_path, worker, ta, rest = "dsec", None, False, False, []
     it = iter(args)
     for a in it:
         if a in ("--geometry", "--out"):
@@ -162,6 +177,8 @@ def parse_args(args):
                 out_path = val
         elif a == "--worker":
             worker = True
+        elif a == "--ta":
+            ta = True
         else:
             rest.append(a)
     if geometry not in GEOMETRIES:
@@ -175,21 +192,21 @@ def parse_args(args):
         )
     fams = [a for a in rest if a in PS.FAMILIES] or list(PS.FAMILIES)
     n_windows = next((int(a) for a in rest if a.isdigit()), 2)
-    return fams, n_windows, geometry, out_path, worker
+    return fams, n_windows, geometry, out_path, worker, ta
 
 
 def main():
-    fams, n_windows, geometry, out_path, worker = parse_args(sys.argv[1:])
+    fams, n_windows, geometry, out_path, worker, ta = parse_args(sys.argv[1:])
 
     if worker:
         # one family inline (the crash-isolated unit) — JSON rows go to
         # stdout; the parent collects them into the out file
         assert len(fams) == 1
-        run_family(fams[0], n_windows, geometry)
+        run_family(fams[0], n_windows, geometry, ta=ta)
         return
 
     if out_path is None:
-        out_path = f"outputs/gate/gate_{geometry}.jsonl"
+        out_path = f"outputs/gate/gate_{'ta_' if ta else ''}{geometry}.jsonl"
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
 
     done = set()
@@ -200,6 +217,7 @@ def main():
             arms_done = {
                 r["arm"] for r in rows
                 if r["family"] == fam and r.get("geometry", "dsec") == geometry
+                and r.get("ta", False) == ta
             }
             if arms_done >= set(ARMS):
                 done.add(fam)
@@ -211,7 +229,7 @@ def main():
     base_cmd = [
         sys.executable, os.path.abspath(__file__), "--worker",
         "--geometry", geometry, str(n_windows),
-    ]
+    ] + (["--ta"] if ta else [])
     failures = []
     with open(out_path, "a") as out_fh:
         for family in todo:

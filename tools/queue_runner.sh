@@ -42,6 +42,10 @@ import numpy as np
 import jax.numpy as jnp
 x = jnp.asarray(np.random.default_rng(int(time.time())).normal(size=(8, 128)), jnp.float32)
 print("alive", float((x @ x.T).sum()), d, flush=True)
+# the tunneled PJRT client can hang at interpreter teardown AFTER the
+# device answered — a hung exit must not read as "tpu down"
+import os
+os._exit(0)
 EOF
 }
 
