@@ -104,6 +104,7 @@ def test_dsec_h5_loader(tmp_path):
     np.testing.assert_allclose(flow[..., 1], 2.0, atol=1e-6)   # width comp
 
 
+@pytest.mark.slow  # 8 s; loader basics stay fast in the other synthetic tests
 def test_synthetic_scene_families_gt_consistency():
     """Every synthetic scene family (parity-study substrate) must be
     self-consistent: warping the events by the exact GT displacement

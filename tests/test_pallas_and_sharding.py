@@ -571,15 +571,11 @@ def test_evflownet_forward_shapes():
     assert flows["flow0"].shape == (1, 2, 4, 4)
 
 
-@pytest.mark.parametrize(
-    "time_aware",
-    [
-        # the dense variant is the 25 s outlier of the fast tier; the
-        # time-aware variant keeps the capability covered there
-        pytest.param(False, marks=pytest.mark.slow),
-        True,
-    ],
-)
+# both variants are fast-tier outliers (19-25 s); the orig-hoist
+# capability keeps kernel-level fast coverage via
+# test_banded_voxel_kernel_matches_composed and runs here in the full tier
+@pytest.mark.slow
+@pytest.mark.parametrize("time_aware", [False, True])
 def test_precomputed_orig_objective_matches(time_aware):
     """Hoisted motion-independent orig IWE (build_orig_iwe_banded +
     build_objective_banded(precomputed_orig=True)) == the fused-orig
@@ -1049,7 +1045,12 @@ def test_sharded_analytic_hvp_matches_single():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
 
 
-@pytest.mark.parametrize("model", ["4-param-similarity", "3-rotation"])
+# the similarity variant is a 17 s fast-tier outlier; rotation keeps the
+# global-model analytic-HVP oracle covered fast
+@pytest.mark.parametrize(
+    "model",
+    [pytest.param("4-param-similarity", marks=pytest.mark.slow), "3-rotation"],
+)
 def test_v10_analytic_hvp_global_models_match_oracle(model):
     """The global motion models' flow fields are LINEAR in their
     parameters (fixed spatial coefficient fields — flow_from_similarity

@@ -61,7 +61,11 @@ def _spec(time_aware=False):
     )
 
 
-@pytest.mark.parametrize("time_aware", [False, True])
+# the dense variant duplicates fast coverage in
+# test_golden_parity.test_objective_gradient_matches_reference_autograd
+@pytest.mark.parametrize(
+    "time_aware", [pytest.param(False, marks=pytest.mark.slow), True]
+)
 def test_objective_gradient_finite_difference(time_aware):
     spec = _spec(time_aware)
     ev = _synthetic_events()
@@ -218,6 +222,7 @@ def test_time_aware_mixed_solver():
     np.testing.assert_allclose(best.reshape(2, -1).mean(1), gt, atol=3.0)
 
 
+@pytest.mark.slow  # pipeline e2e is covered fast by test_main_eval
 def test_pyramid_solver_end_to_end_with_metrics():
     gt = np.array([10.0, -8.0])
     ev = _synthetic_events(gt, n=4000, h=36, w=44)

@@ -73,6 +73,7 @@ def test_metrics_contract():
     assert err["EPE"] == pytest.approx(np.hypot(0.25, 0.25), rel=1e-3)
 
 
+@pytest.mark.slow  # 11 s (solver builds); merge semantics unchanged since r2
 def test_partial_configs_merge_and_fit_sensor():
     """Partial solver configs deep-merge over the defaults and the crop
     still fits the sensor (regression: a partial patch dict used to
