@@ -108,8 +108,16 @@ def build_newton_cg(
     hvp_fn=None,
     hvp_prep_fn=None,
     max_step=None,
+    fd_polish: int = 0,
 ):
     """Return solve(x0, *args) -> (x_best, f_best, n_iters).
+
+    ``fd_polish`` (analytic mode only): append up to K central-FD Newton
+    iterations from the analytic solve's best iterate — local
+    refinement with the curvature model that still resolves the
+    washboard's floor-crossing structure (no step cap, no escape
+    probe).  The round-5 candidate fix for the warm-frame GN freeze
+    (see BENCHMARKS.md hvp-divergence study).
 
     value_fn(x, *args) -> scalar loss (pure, jit-able).
     hvp_mode: "autodiff" (grad-of-gradient), "fd" (difference of
@@ -144,14 +152,15 @@ def build_newton_cg(
     def value_grad(x, args):
         return jax.value_and_grad(lambda xx: value_fn(xx, *args))(x)
 
-    def hvp(x, p, args, g0=None, aux=None):
-        if hvp_mode == "analytic":
+    def hvp(x, p, args, g0=None, aux=None, mode=None):
+        mode = hvp_mode if mode is None else mode
+        if mode == "analytic":
             # staged (build_objective_banded_hvp_staged): ``aux`` holds the
             # CG-solve-invariant value images computed once by hvp_prep_fn
             if hvp_prep_fn is not None:
                 return hvp_fn(aux, x, p, *args)
             return hvp_fn(x, p, *args)
-        if hvp_mode == "fd":
+        if mode == "fd":
             # step ~fd_step in parameter units (pixels for CMax tiles):
             # the objective is piecewise-smooth in sub-pixel structure, so
             # a pixel-scale difference measures the useful curvature and
@@ -175,15 +184,19 @@ def build_newton_cg(
 
         return jax.grad(gdotp)(x)
 
-    def cg_solve(x, g, args):
+    def cg_solve(x, g, args, mode=None):
         """Truncated CG on H p = -g (scipy forcing sequence + negative
         curvature handling)."""
+        mode = hvp_mode if mode is None else mode
         g_norm = jnp.linalg.norm(g)
         eta = jnp.minimum(0.5, jnp.sqrt(g_norm)) * g_norm
         # the staged analytic path hoists the x-dependent (p-independent)
         # value images out of the CG loop: one forward vote here instead
         # of one per HVP
-        aux = hvp_prep_fn(x, *args) if hvp_prep_fn is not None else None
+        aux = (
+            hvp_prep_fn(x, *args)
+            if hvp_prep_fn is not None and mode == "analytic" else None
+        )
 
         def cond(state):
             i, r, d, p, done = state
@@ -191,7 +204,7 @@ def build_newton_cg(
 
         def body(state):
             i, r, d, p, done = state
-            hd = hvp(x, d, args, g0=g, aux=aux)
+            hd = hvp(x, d, args, g0=g, aux=aux, mode=mode)
             curv = jnp.vdot(d, hd)
             rs = jnp.vdot(r, r)
             neg_curv = curv <= 1e-16 * jnp.vdot(d, d)
@@ -222,24 +235,23 @@ def build_newton_cg(
     def escape_probe(x, f0, p, args):
         return _escape_probe(value_fn, x, f0, p, args)
 
-    def solve(x0, *args):
-        f0, g0 = value_grad(x0, args)
-
-        def cond(state):
-            x, f, g, k, done, best_x, best_f = state
-            return (~done) & (k < maxiter)
+    def make_body(mode, cap, args, escape=True):
+        """Newton outer-iteration body for one curvature model; ``cap``
+        applies the per-component step clip, ``escape`` arms the
+        plateau-escape probe (off for the FD polish loop: polish is pure
+        local refinement and must not jump basins)."""
 
         def body(state):
             x, f, g, k, done, best_x, best_f = state
-            p = cg_solve(x, g, args)
-            if max_step is not None:
+            p = cg_solve(x, g, args, mode=mode)
+            if cap is not None:
                 # per-COMPONENT clip, not a global inf-norm rescale: on
                 # spatially-varying motion fields (rot/zoom) one tile's
                 # large update would otherwise crush every other tile's
                 # step to near zero (measured: the rescale cost +13% EPE
                 # on the rot family at DSEC geometry; clipping restores
                 # parity — BENCHMARKS.md gate table)
-                ms = jnp.asarray(max_step, x.dtype)
+                ms = jnp.asarray(cap, x.dtype)
                 p = jnp.clip(p, -ms, ms)
             alpha, f_new = line_search(x, f, g, p, args)
             # plateau escape: outward probe when backtracking failed OR the
@@ -252,6 +264,8 @@ def build_newton_cg(
             trigger = (alpha == 0.0) | (
                 (k == 0) & (f - f_new <= 1e-6 * (1.0 + jnp.abs(f)))
             )
+            if not escape:
+                trigger = jnp.asarray(False)
             a_esc, p_hat = jax.lax.cond(
                 trigger,
                 lambda: escape_probe(x, f, p, args),
@@ -270,9 +284,38 @@ def build_newton_cg(
             small_grad = jnp.linalg.norm(g_new, ord=jnp.inf) <= gtol
             return (x_new, f_new2, g_new, k + 1, small_step | small_grad | (alpha == 0.0), best_x, best_f)
 
+        return body
+
+    def solve(x0, *args):
+        f0, g0 = value_grad(x0, args)
+
+        def cond(state):
+            x, f, g, k, done, best_x, best_f = state
+            return (~done) & (k < maxiter)
+
         x, f, g, k, done, best_x, best_f = jax.lax.while_loop(
-            cond, body, (x0, f0, g0, 0, False, x0, f0)
+            cond, make_body(None, max_step, args), (x0, f0, g0, 0, False, x0, f0)
         )
+        if fd_polish > 0 and hvp_mode == "analytic":
+            # bounded central-FD refinement from the analytic solve's best
+            # iterate: the GN a.e. curvature can read ~zero at warm
+            # near-stationary points (the washboard's floor-crossing delta
+            # curvature is invisible to it) and freeze before the final
+            # sub-pixel polish that central differences still resolve —
+            # the round-5 candidate fix for the DSEC warm-frame
+            # rot/sparse cost (BENCHMARKS.md).  No step cap (FD-arm
+            # semantics), no plateau-escape probe (local only).
+            fb, gb = value_grad(best_x, args)
+
+            def cond_pol(state):
+                x_, f_, g_, k_, done_, bx_, bf_ = state
+                return (~done_) & (k_ < fd_polish)
+
+            _, _, _, k2, _, best_x, best_f = jax.lax.while_loop(
+                cond_pol, make_body("fd", None, args, escape=False),
+                (best_x, fb, gb, 0, False, best_x, fb),
+            )
+            k = k + k2
         return best_x, best_f, k
 
     return solve

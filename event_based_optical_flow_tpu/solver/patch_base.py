@@ -435,6 +435,13 @@ class PatchContrastMaximization(SolverBase):
                 hvp_fn=hvp_fn,
                 hvp_prep_fn=hvp_prep_fn,
                 max_step=max_step,
+                # optimizer.fd_polish: K central-FD refinement iterations
+                # appended to the ANALYTIC solve (newton_cg doc) — inert
+                # on FD/autodiff paths
+                fd_polish=(
+                    int(self.opt_config.get("fd_polish", 0))
+                    if hvp_fn is not None else 0
+                ),
             )
         if orig_fn is None:
             return solve_inner

@@ -63,7 +63,7 @@ _KNOWN_OPT_KEYS = {
     "n_iter", "method", "max_iter", "sampler", "parameters", "cg_maxiter", "device",
     "chain", "hvp_central", "hvp_mode", "hvp_max_step", "coarse_event_fraction",
     "coarse_max_iter", "coarse_cg_maxiter", "device_solver", "lbfgs_memory",
-    "warm_finest_only", "warm_full_every",
+    "warm_finest_only", "warm_full_every", "fd_polish",
 }
 _KNOWN_DNN_KEYS = {
     "n_bin", "batch_size", "n_steps", "lr", "data_parallel",

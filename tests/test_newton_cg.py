@@ -52,6 +52,47 @@ def test_negative_curvature_escape():
     assert float(fv) < float(f(x0)) - 0.5
 
 
+def test_fd_polish_refines_weak_analytic_curvature():
+    """optimizer.fd_polish: K central-FD iterations appended to the
+    ANALYTIC solve.  With an hvp_fn that grossly UNDER-estimates
+    curvature (the warm-frame GN failure shape: near-zero measured
+    curvature -> huge capped steps the line search rejects), the main
+    loop stalls short of the optimum; the FD polish must close the
+    gap.  With hvp_mode fd, fd_polish is inert."""
+    A = jnp.asarray(np.diag([2.0, 6.0, 12.0]))
+    b = jnp.asarray([1.0, -2.0, 3.0])
+    f = lambda x: 0.5 * x @ A @ x - b @ x
+    x_star = np.linalg.solve(np.asarray(A), np.asarray(b))
+
+    weak_hvp = lambda x, p: 1e-4 * (A @ p)  # GN-style under-curvature
+
+    stall = jax.jit(build_newton_cg(
+        lambda x: f(x), maxiter=3, cg_maxiter=8, hvp_mode="analytic",
+        hvp_fn=weak_hvp, max_step=0.05,
+    ))
+    x_s, f_s, k_s = stall(jnp.zeros(3))
+    assert np.linalg.norm(np.asarray(x_s) - x_star) > 0.3  # genuinely short
+
+    polished = jax.jit(build_newton_cg(
+        lambda x: f(x), maxiter=3, cg_maxiter=8, hvp_mode="analytic",
+        hvp_fn=weak_hvp, max_step=0.05, fd_polish=4,
+    ))
+    x_p, f_p, k_p = polished(jnp.zeros(3))
+    assert float(f_p) <= float(f_s)
+    np.testing.assert_allclose(np.asarray(x_p), x_star, atol=1e-2)
+    assert int(k_p) > int(k_s)
+
+    # inert outside analytic mode: identical program results
+    base = jax.jit(build_newton_cg(lambda x: f(x), maxiter=10, cg_maxiter=8,
+                                   hvp_mode="fd"))
+    same = jax.jit(build_newton_cg(lambda x: f(x), maxiter=10, cg_maxiter=8,
+                                   hvp_mode="fd", fd_polish=3))
+    xb, fb, kb = base(jnp.zeros(3))
+    xs2, fs2, ks2 = same(jnp.zeros(3))
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(xs2))
+    assert int(kb) == int(ks2)
+
+
 def test_lbfgs_quadratic_and_rosenbrock():
     """build_lbfgs (optimizer.device_solver: lbfgs): exact on a quadratic
     in few iterations; converges on Rosenbrock; threads extra args."""
