@@ -634,6 +634,7 @@ def build_newton_cg_batched(
     hvp_fn=None,
     hvp_prep_fn=None,
     max_step=None,
+    fd_polish: int = 0,
 ):
     """Lockstep per-frame truncated Newton.
 
@@ -646,6 +647,9 @@ def build_newton_cg_batched(
     (the v10 fused-kernel path, build_batched_objective_banded_hvp) —
     overrides fd_hvp; requires ``max_step`` (per-frame inf-norm Newton
     step cap, same trust safeguard as newton_cg.build_newton_cg).
+    ``fd_polish``: with an analytic hvp_fn, append up to K lockstep
+    central-FD Newton iterations from the best iterates (the
+    sequential-path fd_polish; see newton_cg.build_newton_cg).
     """
 
     def _sum_fn(x, args):
@@ -660,12 +664,13 @@ def build_newton_cg_batched(
     def rdot(a, b):
         return jnp.sum(a * b, axis=-1)  # [B]
 
-    def hvp(x, d, g0, args, aux=None):
-        if hvp_fn is not None:
+    def hvp(x, d, g0, args, aux=None, analytic=None):
+        analytic = (hvp_fn is not None) if analytic is None else analytic
+        if analytic and hvp_fn is not None:
             if hvp_prep_fn is not None:
                 return hvp_fn(aux, x, d, *args)
             return hvp_fn(x, d, *args)
-        if not fd_hvp:
+        if not fd_hvp and not analytic:
             def gsum_dot(xx):
                 return jnp.sum(jax.grad(_sum_fn)(xx, args) * d)
 
@@ -680,11 +685,15 @@ def build_newton_cg_batched(
             return (g_plus - g_minus) / (2.0 * eps)
         return (g_plus - g0) / eps
 
-    def cg_solve(x, g, args):
+    def cg_solve(x, g, args, analytic=None):
+        analytic = (hvp_fn is not None) if analytic is None else analytic
         g_norm = jnp.linalg.norm(g, axis=-1)  # [B]
         eta = jnp.minimum(0.5, jnp.sqrt(g_norm)) * g_norm
         # staged analytic: per-frame value images hoisted out of the CG loop
-        aux = hvp_prep_fn(x, *args) if hvp_prep_fn is not None else None
+        aux = (
+            hvp_prep_fn(x, *args)
+            if hvp_prep_fn is not None and analytic else None
+        )
 
         def cond(state):
             i, r, d, p, done = state
@@ -694,7 +703,7 @@ def build_newton_cg_batched(
         def body(state):
             i, r, d, p, done = state
             active = (~done) & (jnp.linalg.norm(r, axis=-1) > eta)
-            hd = hvp(x, d, g, args, aux=aux)
+            hd = hvp(x, d, g, args, aux=aux, analytic=analytic)
             curv = rdot(d, hd)
             rs = rdot(r, r)
             neg = curv <= 1e-16 * rdot(d, d)
@@ -731,20 +740,17 @@ def build_newton_cg_batched(
     def escape_probe(x, f0, p, args):
         return _batched_escape_probe(batched_value_fn, x, f0, p, args)
 
-    def solve(x0, *args):
-        f0, g0 = value_grad(x0, args)
-
-        def cond(state):
-            x, f, g, k, done, bx, bf = state
-            return (k < maxiter) & jnp.any(~done)
+    def make_body(analytic, cap, args, escape=True):
+        """Lockstep outer-iteration body for one curvature model (see
+        newton_cg.make_body; ``escape`` off for the FD polish loop)."""
 
         def body(state):
             x, f, g, k, done, bx, bf = state
-            p = cg_solve(x, g, args)
-            if max_step is not None:
+            p = cg_solve(x, g, args, analytic=analytic)
+            if cap is not None:
                 # per-component clip (see newton_cg: a per-frame inf-norm
                 # rescale crushes small-tile steps on rot/zoom fields)
-                ms = jnp.asarray(max_step, x.dtype)
+                ms = jnp.asarray(cap, x.dtype)
                 p = jnp.clip(p, -ms, ms)
             alpha, f_ls = line_search(x, f, g, p, args)
             # plateau escape per frame: backtracking failed OR the first
@@ -757,6 +763,8 @@ def build_newton_cg_batched(
                 (alpha == 0.0)
                 | ((k == 0) & (f - f_ls <= 1e-6 * (1.0 + jnp.abs(f))))
             )
+            if not escape:
+                trigger = jnp.zeros_like(trigger)
             a_esc, p_hat = jax.lax.cond(
                 jnp.any(trigger),
                 lambda: escape_probe(x, f, p, args),
@@ -775,9 +783,34 @@ def build_newton_cg_batched(
             done_new = done | small_step | small_grad | (alpha == 0.0)
             return (x_new, f_new, g_new, k + 1, done_new, bx, bf)
 
+        return body
+
+    def solve(x0, *args):
+        f0, g0 = value_grad(x0, args)
+
+        def cond(state):
+            x, f, g, k, done, bx, bf = state
+            return (k < maxiter) & jnp.any(~done)
+
         bsz = x0.shape[0]
         state = (x0, f0, g0, 0, jnp.zeros(bsz, bool), x0, f0)
-        x, f, g, k, done, bx, bf = jax.lax.while_loop(cond, body, state)
+        x, f, g, k, done, bx, bf = jax.lax.while_loop(
+            cond, make_body(None, max_step, args), state
+        )
+        if fd_polish > 0 and hvp_fn is not None:
+            # bounded lockstep central-FD refinement from the best
+            # iterates (the batched fd_polish — newton_cg doc)
+            fb, gb = value_grad(bx, args)
+
+            def cond_pol(state):
+                x_, f_, g_, k_, done_, bx_, bf_ = state
+                return (k_ < fd_polish) & jnp.any(~done_)
+
+            _, _, _, k2, _, bx, bf = jax.lax.while_loop(
+                cond_pol, make_body(False, None, args, escape=False),
+                (bx, fb, gb, 0, jnp.zeros(bsz, bool), bx, fb),
+            )
+            k = k + k2
         return bx, bf, k
 
     return solve
@@ -1064,6 +1097,10 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 max_step=(
                     float(self.opt_config.get("hvp_max_step", 10.0))
                     if hvp_fn is not None else None
+                ),
+                fd_polish=(
+                    int(self.opt_config.get("fd_polish", 0))
+                    if hvp_fn is not None else 0
                 ),
             )
         if orig_fn is None:

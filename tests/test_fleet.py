@@ -43,6 +43,42 @@ def test_batched_objective_matches_single():
         assert losses[b] == pytest.approx(want, rel=1e-6)
 
 
+def test_batched_fd_polish_refines_weak_analytic_curvature():
+    """Fleet fd_polish (lockstep FD refinement after the analytic
+    solve): under-curved batched hvp_fn stalls short per frame; the
+    polish closes the gap for EVERY frame; inert without hvp_fn."""
+    A = jnp.asarray(np.diag([2.0, 6.0, 12.0]))
+    bs = jnp.asarray([[1.0, -2.0, 3.0], [-3.0, 1.0, -1.0]])
+
+    def batched(x, b):
+        return 0.5 * jnp.einsum("bi,ij,bj->b", x, A, x) - jnp.sum(x * b, -1)
+
+    x_star = np.asarray(bs) / np.diag(np.asarray(A))
+    weak = lambda x, d, b: 1e-4 * (d @ A)
+
+    stall = jax.jit(build_newton_cg_batched(
+        batched, maxiter=3, cg_maxiter=8, hvp_fn=weak, max_step=0.05))
+    xs, fs, ks = stall(jnp.zeros((2, 3)), bs)
+    assert np.linalg.norm(np.asarray(xs) - x_star, axis=-1).min() > 0.3
+
+    pol = jax.jit(build_newton_cg_batched(
+        batched, maxiter=3, cg_maxiter=8, hvp_fn=weak, max_step=0.05,
+        fd_polish=4))
+    xp, fp, kp = pol(jnp.zeros((2, 3)), bs)
+    assert (np.asarray(fp) <= np.asarray(fs)).all()
+    np.testing.assert_allclose(np.asarray(xp), x_star, atol=2e-2)
+    assert int(kp) > int(ks)
+
+    # inert without an analytic hvp_fn: identical results
+    base = jax.jit(build_newton_cg_batched(batched, maxiter=6, cg_maxiter=8))
+    same = jax.jit(build_newton_cg_batched(batched, maxiter=6, cg_maxiter=8,
+                                           fd_polish=3))
+    xb, fb, kb = base(jnp.zeros((2, 3)), bs)
+    xs2, fs2, ks2 = same(jnp.zeros((2, 3)), bs)
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(xs2))
+    assert int(kb) == int(ks2)
+
+
 @pytest.mark.slow
 def test_batched_newton_recovers_both_frames():
     spec = _spec(False)

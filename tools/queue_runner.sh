@@ -79,12 +79,19 @@ while IFS= read -r line || [ -n "$line" ]; do
     status "skip $name (done)"
     continue
   fi
-  wait_tpu
+  # Do NOT re-ping between tasks: the tunnel serializes clients and a
+  # redundant liveness probe can hang and eat the up-window the task
+  # needed (observed 11:10 UTC day 1).  Re-wait only after a failure.
+  if [ "${NEED_WAIT:-0}" = "1" ]; then
+    wait_tpu
+    NEED_WAIT=0
+  fi
   status "=== $name start"
   timeout "$tmo" bash -c "$cmd" > "$LOG/$name.log" 2>&1
   rc=$?
   echo "exit=$rc $(date '+%F %T')" > "$DONE/$name.done"
   status "=== $name exit=$rc"
+  [ "$rc" -ne 0 ] && NEED_WAIT=1
 done < "$QUEUE_FILE"
 
 status "QUEUE DONE ($QUEUE_FILE)"
