@@ -63,9 +63,13 @@ _DEFAULT_OPT = {
     # analytic path is inert and the solver falls back to FD.
     # A further latency lever: optimizer_config={"warm_finest_only":
     # True} makes warm frames skip the coarse scales + init sweeps
-    # entirely (one finest-scale Newton from the previous motion);
-    # pair with "warm_full_every": K to re-anchor every K-th frame.
-    # Not default — gate numbers/decision in BENCHMARKS.md.
+    # entirely (one finest-scale Newton from the previous motion).
+    # Round-5 6-family gate (BENCHMARKS.md, results/gate/wf_mvsec.jsonl):
+    # ~3x faster warm windows at accuracy parity-or-better on
+    # quadrants/disc/rot/noise, +3% sparse — but +33% EPE on the zoom
+    # family (persistent scale motion keeps benefiting from the full
+    # pyramid's refinement).  Kept OPT-IN for that reason; pair with
+    # "warm_full_every": 4 to halve the zoom cost (+12%) at still ~2x.
     "hvp_mode": "analytic-warm",
     "parameters": {"trans_x": {"min": -150, "max": 150},
                    "trans_y": {"min": -150, "max": 150}},
