@@ -361,18 +361,36 @@ class StreamingFlowEstimator:
 
 
 class MultiStreamFlowEstimator:
-    """Lockstep dense flow for several INDEPENDENT event streams
-    (multi-sensor / multi-client serving): each ``push`` takes one window
-    per stream and solves the whole batch in ONE device program via the
-    fleet solver's batched chain, with PER-STREAM warm-start chaining
-    (the fleet chain's per-frame warm mode — each stream's window
+    """Dense flow for several INDEPENDENT event streams (multi-sensor /
+    multi-client serving): each ``push`` takes one window per stream,
+    with PER-STREAM warm-start chaining (each stream's window
     initializes from that stream's own previous solution, not a shared
-    one).  With a top-level ``parallel: {data: N}`` mesh the streams
-    shard over devices.
+    one).
+
+    ``batching`` picks how the batch is solved on the device:
+
+    - ``"sequential"``: one sequential whole-pyramid device chain per
+      stream, back to back.  The round-5 TA decomposition
+      (BENCHMARKS.md, results/serving/ta_decomposition.log) measured
+      the K=8 fleet batch at **1.55×** the wall of 8 sequential
+      solves — lockstep Newton runs every frame for the slowest
+      frame's iterations at every scale, and that straggler surcharge
+      exceeds the batching win on a single chip.
+    - ``"fleet"``: the whole batch as ONE lockstep device program (the
+      fleet chain's per-frame warm mode).  Required when the streams
+      shard over a ``parallel: {data: N}`` device mesh — there the
+      batch IS the scaling mechanism.
+    - ``"auto"`` (default): ``"fleet"`` when a multi-device data mesh
+      is configured, else ``"sequential"``.
 
     Same config surface as :class:`StreamingFlowEstimator`; all streams
-    share one sensor geometry and solver configuration (that is what
-    makes the lockstep batch a single compiled program).
+    share one sensor geometry and solver configuration.  Warm state is
+    a per-stream list on the solver in BOTH modes (save_state /
+    load_state round-trip across modes).  With
+    ``optimizer.warm_finest_only``, sequential mode keeps per-stream
+    warm-streak counters so ``warm_full_every`` re-anchors each stream
+    on its own cadence (and staggers the re-anchor cost across pushes
+    instead of one all-stream spike batch).
     """
 
     def __init__(
@@ -384,23 +402,46 @@ class MultiStreamFlowEstimator:
         warm_start: bool = True,
         fixed_event_count: Optional[int] = None,
         parallel_config: Optional[dict] = None,
+        batching: str = "auto",
     ):
         from . import solver as solver_mod
 
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
+        if batching not in ("auto", "fleet", "sequential"):
+            raise ValueError(
+                f"batching must be auto|fleet|sequential, got {batching!r}"
+            )
         H, W = image_shape
         slv, opt = _prepare_configs(image_shape, solver_config, optimizer_config)
+        data_mesh = bool(parallel_config) and int(
+            (parallel_config or {}).get("data", 1)
+        ) > 1
+        if batching == "auto":
+            batching = "fleet" if data_mesh else "sequential"
+        if batching == "sequential" and data_mesh:
+            raise ValueError(
+                "batching='sequential' cannot shard streams over a "
+                "parallel data mesh; use batching='fleet'"
+            )
         if parallel_config:
             slv = dict(slv, parallel=dict(parallel_config))
         self.image_shape = (H, W)
         self.n_streams = int(n_streams)
         self.warm_start = warm_start
         self.fixed_event_count = fixed_event_count
+        self.batching = batching
         self._tails = [None] * self.n_streams
-        self._solver = solver_mod.collections[
-            "fleet_pyramidal_patch_contrast_maximization"
-        ]((H, W), {}, slv, opt, {}, None)
+        solver_name = (
+            "pyramidal_patch_contrast_maximization"
+            if batching == "sequential"
+            else "fleet_pyramidal_patch_contrast_maximization"
+        )
+        self._solver = solver_mod.collections[solver_name](
+            (H, W), {}, slv, opt, {}, None
+        )
+        # per-stream warm_finest_only streak counters (sequential mode)
+        self._streaks = [(0, False)] * self.n_streams
         self.n_batches = 0
 
     def push(self, windows) -> np.ndarray:
@@ -426,10 +467,13 @@ class MultiStreamFlowEstimator:
                 ev = _subsample_fixed(ev, n_fix)
                 self._tails[k] = ev
             prepped.append(ev)
-        results = self._solver.optimize_batch(prepped)
-        if self.warm_start:
-            # list of per-frame motion dicts -> per-stream warm chaining
-            self._solver.set_previous_frame_best_estimation(results)
+        if self.batching == "sequential":
+            results = self._solve_sequential(prepped)
+        else:
+            results = self._solver.optimize_batch(prepped)
+            if self.warm_start:
+                # list of per-frame motion dicts -> per-stream warm chaining
+                self._solver.set_previous_frame_best_estimation(results)
         self.n_batches += 1
         flows = []
         for k, (ev, best) in enumerate(zip(prepped, results)):
@@ -440,11 +484,34 @@ class MultiStreamFlowEstimator:
             )
         return np.stack(flows).astype(np.float64)
 
+    def _solve_sequential(self, prepped):
+        """One sequential device chain per stream (``batching:
+        "sequential"``): per-stream warm state and warm-streak counters
+        swap in around each solve; the solver attribute holds the SAME
+        per-stream warm list as fleet mode afterwards (state-surface
+        compatibility — save_state/reset/tests see one representation)."""
+        warm = self._solver.previous_frame_best_estimation
+        warm_list = (
+            list(warm) if isinstance(warm, (list, tuple))
+            else [None] * self.n_streams
+        )
+        results = []
+        for k, ev in enumerate(prepped):
+            self._solver.previous_frame_best_estimation = warm_list[k]
+            _restore_warm_streak(self._solver, self._streaks[k])
+            results.append(self._solver.optimize(ev))
+            self._streaks[k] = _snapshot_warm_streak(self._solver)
+        if self.warm_start:
+            self._solver.previous_frame_best_estimation = list(results)
+        else:
+            self._solver.previous_frame_best_estimation = warm
+        return results
+
     def warmup(self, n_windows: int = 2, n_events: Optional[int] = None,
                seed: int = 0) -> float:
-        """Compile the fleet-batch programs before real traffic; see
+        """Compile the solve programs before real traffic; see
         :meth:`StreamingFlowEstimator.warmup` (same contract: two pushes
-        cover the cold and warm fleet chains under the analytic-warm
+        cover the cold and warm programs under the analytic-warm
         serving default; per-stream warm state, tails, and the batch
         counter are restored afterwards)."""
         import time as _time
@@ -453,6 +520,7 @@ class MultiStreamFlowEstimator:
         count = int(n_events or self.fixed_event_count or 30000)
         warm_prev = self._solver.previous_frame_best_estimation
         tails_prev, n_prev = list(self._tails), self.n_batches
+        streaks_prev = list(self._streaks)
         rng_snap = _snapshot_solver_rng(self._solver)
         streak_snap = _snapshot_warm_streak(self._solver)
         try:
@@ -465,6 +533,7 @@ class MultiStreamFlowEstimator:
         finally:
             self._solver.previous_frame_best_estimation = warm_prev
             self._tails, self.n_batches = tails_prev, n_prev
+            self._streaks = streaks_prev
             _restore_solver_rng(self._solver, rng_snap)
             _restore_warm_streak(self._solver, streak_snap)
         return _time.time() - t_start
@@ -477,8 +546,10 @@ class MultiStreamFlowEstimator:
         if stream is None:
             self._solver.previous_frame_best_estimation = None
             self._tails = [None] * self.n_streams
+            self._streaks = [(0, False)] * self.n_streams
         else:
             self._tails[stream] = None
+            self._streaks[stream] = (0, False)
 
     def save_state(self, path) -> None:
         """Persist per-stream serving state (warm motions + tails); see

@@ -366,6 +366,7 @@ def test_multistream_estimator_per_stream_warm():
                           "parameters": {"trans_x": {"min": -25, "max": 25},
                                          "trans_y": {"min": -25, "max": 25}}},
         fixed_event_count=2000,
+        batching="fleet",  # this test pins the fleet per-frame warm path
     )
     for step in range(2):
         # _synthetic_events(g) recovers MOTION g, whose dense flow is -g

@@ -283,6 +283,43 @@ def test_save_load_state_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_multistream_sequential_batching():
+    """batching="sequential" (the single-chip auto default since the
+    round-5 TA decomposition measured the fleet batch at 1.55x the wall
+    of back-to-back sequential solves): per-stream solves, per-stream
+    warm chaining, and the SAME warm-list state surface as fleet mode
+    (save_state/load_state round-trips across modes)."""
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    cfg = {"patch": {"initialize": "zero", "scale": 3,
+                     "crop_height": 20, "crop_width": 28},
+           "iwe_backend": "pallas", "precision": "64"}
+    opt = {"n_iter": 4, "max_iter": 6}
+    est = MultiStreamFlowEstimator((H, W), 2, solver_config=cfg,
+                                   optimizer_config=opt,
+                                   fixed_event_count=1500)
+    assert est.batching == "sequential"  # auto resolves without a mesh
+    for step in range(2):
+        flows = est.push([_window(t0=0.4 * step, seed=30 + step),
+                          _window(t0=0.4 * step, seed=40 + step)])
+        assert flows.shape == (2, 2, H, W) and np.isfinite(flows).all()
+    warm = est._solver.previous_frame_best_estimation
+    assert isinstance(warm, list) and len(warm) == 2
+    assert all(isinstance(d, dict) for d in warm)
+    # streams are independent: different windows -> different warm state
+    fin = max(warm[0])
+    assert not np.array_equal(np.asarray(warm[0][fin]),
+                              np.asarray(warm[1][fin]))
+    # explicit fleet under a mesh-less config still works; sequential
+    # under a data mesh is rejected
+    with pytest.raises(ValueError):
+        MultiStreamFlowEstimator((H, W), 2, solver_config=cfg,
+                                 optimizer_config=opt,
+                                 parallel_config={"data": 2},
+                                 batching="sequential")
+
+
+@pytest.mark.slow
 def test_save_load_state_roundtrip_multistream(tmp_path):
     """Multi-stream (fleet) serving restart round-trip."""
     from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator

@@ -46,6 +46,7 @@ from bench_e2e import GT, synth  # noqa: E402
 H, W = 260, 346
 N_EV = 30000
 TA_SLV = None  # set by ta=1: time-aware Burgers solver config
+BATCHING = "fleet"  # batching= kv: fleet (historical default) | sequential | auto
 
 
 def expected_shape(k=None):
@@ -65,10 +66,21 @@ def pct(xs, q):
     return xs[min(len(xs) - 1, int(round(q / 100 * (len(xs) - 1))))]
 
 
+def split_batching(mode_str):
+    """``<mode>@seq|@fleet|@auto`` -> (mode, batching); no suffix ->
+    the global BATCHING (so the ab mode can interleave batching modes:
+    ``modes=analytic-warm@fleet,analytic-warm@seq``)."""
+    if "@" in mode_str:
+        base, b = mode_str.rsplit("@", 1)
+        return base, {"seq": "sequential"}.get(b, b)
+    return mode_str, BATCHING
+
+
 def opt_cfg_for(mode_str):
     """Mode token -> optimizer_config.  ``+wf`` appends
     warm_finest_only (``+wfK`` also sets warm_full_every=K):
     e.g. ``analytic-warm+wf``, ``analytic-warm+wf8``."""
+    mode_str, _ = split_batching(mode_str)
     base, *flags = mode_str.split("+")
     cfg = {"hvp_mode": base}
     for f in flags:
@@ -93,6 +105,7 @@ def bench_multi(n_pushes, k, hvp_mode="fd"):
     est = MultiStreamFlowEstimator(
         (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
         solver_config=TA_SLV, optimizer_config=opt_cfg_for(hvp_mode),
+        batching=BATCHING,
     )
     # warm push: compiles the fleet chain
     t0 = time.time()
@@ -117,7 +130,7 @@ def bench_multi(n_pushes, k, hvp_mode="fd"):
     print(
         json.dumps(
             {
-                "bench": "multistream",
+                "bench": "multistream", "batching": BATCHING,
                 "ta": bool(TA_SLV),
                 "K": k,
                 "hvp_mode": hvp_mode,
@@ -144,6 +157,7 @@ def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
         m: MultiStreamFlowEstimator(
             (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
             solver_config=TA_SLV, optimizer_config=opt_cfg_for(m),
+            batching=split_batching(m)[1],
         )
         for m in modes
     }
@@ -178,7 +192,7 @@ def bench_multi_ab(n_pushes, k, modes=("fd", "analytic-warm")):
         print(
             json.dumps(
                 {
-                    "bench": "multistream-ab", "ta": bool(TA_SLV), "K": k, "hvp_mode": m,
+                    "bench": "multistream-ab", "batching": split_batching(m)[1], "ta": bool(TA_SLV), "K": k, "hvp_mode": m,
                     "geometry": f"{H}x{W}/{N_EV}ev",
                     "p50_s": round(p50, 3), "p99_s": round(p99, 3),
                     "streams_per_s": round(k / p50, 2), "windows": n_pushes,
@@ -250,6 +264,7 @@ if __name__ == "__main__":
     k = int(pos[1]) if len(pos) > 1 else 8
     mode = pos[2] if len(pos) > 2 else "multi"
     hvp_mode = kv.get("hvp_mode", "fd")
+    BATCHING = kv.get("batching", "fleet")
     if kv.get("ta") in ("1", "true", "yes"):
         TA_SLV = {
             "time_aware": True, "time_bin": 10,
