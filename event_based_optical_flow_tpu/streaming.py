@@ -381,7 +381,12 @@ class MultiStreamFlowEstimator:
       shard over a ``parallel: {data: N}`` device mesh — there the
       batch IS the scaling mechanism.
     - ``"auto"`` (default): ``"fleet"`` when a multi-device data mesh
-      is configured, else ``"sequential"``.
+      is configured OR the solver is dense; ``"sequential"`` for
+      TIME-AWARE configs on a single chip.  Measured K=8 interleaved
+      A/Bs (results/serving/seq_{dense,ta}_ab.log): TA sequential wins
+      1.27× (9.31 vs 11.78 s/batch — lockstep stragglers dominate the
+      deep voxel solves) while dense fleet wins 1.11× (3.83 vs 4.27 —
+      dispatch amortization beats the smaller straggler spread there).
 
     Same config surface as :class:`StreamingFlowEstimator`; all streams
     share one sensor geometry and solver configuration.  Warm state is
@@ -418,7 +423,8 @@ class MultiStreamFlowEstimator:
             (parallel_config or {}).get("data", 1)
         ) > 1
         if batching == "auto":
-            batching = "fleet" if data_mesh else "sequential"
+            is_ta = bool(slv.get("time_aware"))
+            batching = "sequential" if (is_ta and not data_mesh) else "fleet"
         if batching == "sequential" and data_mesh:
             raise ValueError(
                 "batching='sequential' cannot shard streams over a "

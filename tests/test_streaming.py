@@ -297,8 +297,17 @@ def test_multistream_sequential_batching():
     opt = {"n_iter": 4, "max_iter": 6}
     est = MultiStreamFlowEstimator((H, W), 2, solver_config=cfg,
                                    optimizer_config=opt,
-                                   fixed_event_count=1500)
-    assert est.batching == "sequential"  # auto resolves without a mesh
+                                   fixed_event_count=1500,
+                                   batching="sequential")
+    # auto rule (measured A/Bs): dense -> fleet, single-chip TA -> seq
+    assert MultiStreamFlowEstimator(
+        (H, W), 2, solver_config=cfg, optimizer_config=opt
+    ).batching == "fleet"
+    ta_cfg = dict(cfg, time_aware=True, time_bin=2,
+                  flow_interpolation="burgers", t0_flow_location="middle")
+    assert MultiStreamFlowEstimator(
+        (H, W), 2, solver_config=ta_cfg, optimizer_config=opt
+    ).batching == "sequential"
     for step in range(2):
         flows = est.push([_window(t0=0.4 * step, seed=30 + step),
                           _window(t0=0.4 * step, seed=40 + step)])
