@@ -107,6 +107,7 @@ def main():
         OPT_CFG.setdefault("cg_maxiter", 8)
         OPT_CFG.setdefault("coarse_event_fraction", 0.25)
         OPT_CFG.setdefault("hvp_mode", "analytic")
+        OPT_CFG.setdefault("fd_polish", 2)  # adopted round 5 (BENCHMARKS)
     if which in ("ref", "ta-ref"):
         from src.solver.patch_contrast_pyramid import PyramidalPatchContrastMaximization as Solver
     else:
