@@ -446,8 +446,19 @@ class MultiStreamFlowEstimator:
         self._solver = solver_mod.collections[solver_name](
             (H, W), {}, slv, opt, {}, None
         )
-        # per-stream warm_finest_only streak counters (sequential mode)
-        self._streaks = [(0, False)] * self.n_streams
+        # per-stream warm_finest_only streak counters (sequential mode).
+        # With warm_full_every configured, stagger the initial streaks so
+        # the K streams re-anchor on DIFFERENT pushes — the wf serving
+        # A/B measured an all-stream re-anchor batch as the p99 tail
+        # (69-109 s); offsetting by stream index spreads that cost as
+        # one full solve per push instead.  (Fleet mode cannot stagger:
+        # one lockstep program, one streak.)
+        wfe = int(opt.get("warm_full_every", 0) or 0)
+        if batching == "sequential" and wfe > 1 and opt.get("warm_finest_only"):
+            self._streaks = [(k % wfe, False) for k in range(self.n_streams)]
+        else:
+            self._streaks = [(0, False)] * self.n_streams
+        self._streaks0 = list(self._streaks)
         self.n_batches = 0
 
     def push(self, windows) -> np.ndarray:
@@ -506,7 +517,12 @@ class MultiStreamFlowEstimator:
             self._solver.previous_frame_best_estimation = warm_list[k]
             _restore_warm_streak(self._solver, self._streaks[k])
             results.append(self._solver.optimize(ev))
-            self._streaks[k] = _snapshot_warm_streak(self._solver)
+            snap = _snapshot_warm_streak(self._solver)
+            if snap[0] == 0:
+                # a cold solve reset the chain: re-seed this stream's
+                # stagger offset so its re-anchor cadence stays shifted
+                snap = (self._streaks0[k][0], snap[1])
+            self._streaks[k] = snap
         if self.warm_start:
             self._solver.previous_frame_best_estimation = list(results)
         else:
@@ -552,10 +568,10 @@ class MultiStreamFlowEstimator:
         if stream is None:
             self._solver.previous_frame_best_estimation = None
             self._tails = [None] * self.n_streams
-            self._streaks = [(0, False)] * self.n_streams
+            self._streaks = list(self._streaks0)
         else:
             self._tails[stream] = None
-            self._streaks[stream] = (0, False)
+            self._streaks[stream] = self._streaks0[stream]
 
     def save_state(self, path) -> None:
         """Persist per-stream serving state (warm motions + tails); see

@@ -329,6 +329,35 @@ def test_multistream_sequential_batching():
 
 
 @pytest.mark.slow
+def test_multistream_sequential_staggered_reanchor():
+    """Sequential batching + warm_finest_only + warm_full_every: stream
+    re-anchors are STAGGERED by stream index (the wf serving A/B
+    measured an all-stream re-anchor batch as a 69-109 s p99 spike;
+    sequential mode spreads it to one full solve per push)."""
+    from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
+
+    cfg = {"patch": {"initialize": "zero", "scale": 3,
+                     "crop_height": 20, "crop_width": 28},
+           "iwe_backend": "pallas", "precision": "64"}
+    opt = {"n_iter": 2, "max_iter": 3, "warm_finest_only": True,
+           "warm_full_every": 2}
+    est = MultiStreamFlowEstimator((H, W), 3, solver_config=cfg,
+                                   optimizer_config=opt,
+                                   fixed_event_count=1500,
+                                   batching="sequential")
+    # stagger offsets k % wfe = [0, 1, 0]
+    assert [s[0] for s in est._streaks] == [0, 1, 0]
+    est.push([_window(t0=0.0, seed=50 + k) for k in range(3)])   # cold
+    assert [s[0] for s in est._streaks] == [0, 1, 0]  # re-seeded offsets
+    est.push([_window(t0=0.4, seed=60 + k) for k in range(3)])   # warm
+    # streaks advanced from their offsets: [1, 2, 1] -> stream 1
+    # re-anchored (streak % 2 == 0) while streams 0/2 took the fast path
+    assert [s[0] for s in est._streaks] == [1, 2, 1]
+    reanchored = [s[0] % 2 == 0 for s in est._streaks]
+    assert reanchored == [False, True, False]
+
+
+@pytest.mark.slow
 def test_save_load_state_roundtrip_multistream(tmp_path):
     """Multi-stream (fleet) serving restart round-trip."""
     from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
