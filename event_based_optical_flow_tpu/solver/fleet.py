@@ -1098,9 +1098,10 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                     float(self.opt_config.get("hvp_max_step", 10.0))
                     if hvp_fn is not None else None
                 ),
+                # finest scale only — see patch_base._build_newton
                 fd_polish=(
                     int(self.opt_config.get("fd_polish", 0))
-                    if hvp_fn is not None else 0
+                    if hvp_fn is not None and finest else 0
                 ),
             )
         if orig_fn is None:

@@ -436,11 +436,14 @@ class PatchContrastMaximization(SolverBase):
                 hvp_prep_fn=hvp_prep_fn,
                 max_step=max_step,
                 # optimizer.fd_polish: K central-FD refinement iterations
-                # appended to the ANALYTIC solve (newton_cg doc) — inert
-                # on FD/autodiff paths
+                # appended to the ANALYTIC solve, FINEST scale only (the
+                # GN freeze it fixes is a final-sub-pixel-refinement
+                # phenomenon; polishing coarse scales doubled the
+                # analytic-warm wall for zero EPE — r5 awpolish gate) —
+                # inert on FD/autodiff paths
                 fd_polish=(
                     int(self.opt_config.get("fd_polish", 0))
-                    if hvp_fn is not None else 0
+                    if hvp_fn is not None and finest else 0
                 ),
             )
         if orig_fn is None:
