@@ -1045,12 +1045,10 @@ def test_sharded_analytic_hvp_matches_single():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
 
 
-# the similarity variant is a 17 s fast-tier outlier; rotation keeps the
-# global-model analytic-HVP oracle covered fast
-@pytest.mark.parametrize(
-    "model",
-    [pytest.param("4-param-similarity", marks=pytest.mark.slow), "3-rotation"],
-)
+# full tier only (17-19 s each); the global-model analytic path keeps
+# fast coverage via test_global_solver_analytic_hvp_engages
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["4-param-similarity", "3-rotation"])
 def test_v10_analytic_hvp_global_models_match_oracle(model):
     """The global motion models' flow fields are LINEAR in their
     parameters (fixed spatial coefficient fields — flow_from_similarity

@@ -61,11 +61,11 @@ def _spec(time_aware=False):
     )
 
 
-# the dense variant duplicates fast coverage in
-# test_golden_parity.test_objective_gradient_matches_reference_autograd
-@pytest.mark.parametrize(
-    "time_aware", [pytest.param(False, marks=pytest.mark.slow), True]
-)
+# full tier only: dense duplicates test_golden_parity's gradient-vs-
+# reference check; the TA gradient keeps fast kernel-level coverage via
+# the banded voxel JVP/forward equivalence tests
+@pytest.mark.slow
+@pytest.mark.parametrize("time_aware", [False, True])
 def test_objective_gradient_finite_difference(time_aware):
     spec = _spec(time_aware)
     ev = _synthetic_events()
