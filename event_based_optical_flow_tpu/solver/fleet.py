@@ -664,7 +664,7 @@ def build_newton_cg_batched(
     def rdot(a, b):
         return jnp.sum(a * b, axis=-1)  # [B]
 
-    def hvp(x, d, g0, args, aux=None, analytic=None):
+    def hvp(x, d, g0, args, aux=None, analytic=None, force_central=False):
         analytic = (hvp_fn is not None) if analytic is None else analytic
         if analytic and hvp_fn is not None:
             if hvp_prep_fn is not None:
@@ -680,12 +680,14 @@ def build_newton_cg_batched(
         d_norm = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
         eps = _FD_EPS_SCALE * (1.0 + 1e-3 * jnp.linalg.norm(x, axis=-1, keepdims=True)) / d_norm
         g_plus = grad_only(x + eps * d, args)
-        if fd_central:
+        if fd_central or force_central:
+            # force_central: the fd_polish loop is gated on central
+            # differences only (see newton_cg "fd-central")
             g_minus = grad_only(x - eps * d, args)
             return (g_plus - g_minus) / (2.0 * eps)
         return (g_plus - g0) / eps
 
-    def cg_solve(x, g, args, analytic=None):
+    def cg_solve(x, g, args, analytic=None, force_central=False):
         analytic = (hvp_fn is not None) if analytic is None else analytic
         g_norm = jnp.linalg.norm(g, axis=-1)  # [B]
         eta = jnp.minimum(0.5, jnp.sqrt(g_norm)) * g_norm
@@ -703,7 +705,8 @@ def build_newton_cg_batched(
         def body(state):
             i, r, d, p, done = state
             active = (~done) & (jnp.linalg.norm(r, axis=-1) > eta)
-            hd = hvp(x, d, g, args, aux=aux, analytic=analytic)
+            hd = hvp(x, d, g, args, aux=aux, analytic=analytic,
+                     force_central=force_central)
             curv = rdot(d, hd)
             rs = rdot(r, r)
             neg = curv <= 1e-16 * rdot(d, d)
@@ -740,13 +743,14 @@ def build_newton_cg_batched(
     def escape_probe(x, f0, p, args):
         return _batched_escape_probe(batched_value_fn, x, f0, p, args)
 
-    def make_body(analytic, cap, args, escape=True):
+    def make_body(analytic, cap, args, escape=True, force_central=False):
         """Lockstep outer-iteration body for one curvature model (see
         newton_cg.make_body; ``escape`` off for the FD polish loop)."""
 
         def body(state):
             x, f, g, k, done, bx, bf = state
-            p = cg_solve(x, g, args, analytic=analytic)
+            p = cg_solve(x, g, args, analytic=analytic,
+                         force_central=force_central)
             if cap is not None:
                 # per-component clip (see newton_cg: a per-frame inf-norm
                 # rescale crushes small-tile steps on rot/zoom fields)
@@ -807,7 +811,8 @@ def build_newton_cg_batched(
                 return (k_ < fd_polish) & jnp.any(~done_)
 
             _, _, _, k2, _, bx, bf = jax.lax.while_loop(
-                cond_pol, make_body(False, None, args, escape=False),
+                cond_pol, make_body(False, None, args, escape=False,
+                                    force_central=True),
                 (bx, fb, gb, 0, jnp.zeros(bsz, bool), bx, fb),
             )
             k = k + k2
@@ -1066,7 +1071,8 @@ class FleetPyramidalSolver(PyramidalPatchContrastMaximization):
                 self._warned_analytic_hvp = True
         if str(self.opt_config.get("device_solver", "newton-cg")).lower() == "lbfgs":
             ignored = [
-                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central", "hvp_mode")
+                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central",
+                            "hvp_mode", "fd_polish")
                 if k in self.opt_config
             ]
             if ignored and not getattr(self, "_warned_lbfgs_ignored", False):

@@ -160,15 +160,19 @@ def build_newton_cg(
             if hvp_prep_fn is not None:
                 return hvp_fn(aux, x, p, *args)
             return hvp_fn(x, p, *args)
-        if mode == "fd":
+        if mode in ("fd", "fd-central"):
             # step ~fd_step in parameter units (pixels for CMax tiles):
             # the objective is piecewise-smooth in sub-pixel structure, so
             # a pixel-scale difference measures the useful curvature and
-            # avoids cancellation at flat starts
+            # avoids cancellation at flat starts.  "fd-central" (the
+            # polish loop) forces central differences regardless of the
+            # hvp_central speed knob — the fd_polish gate evidence is
+            # central-only, and the one-sided form's Hessian noise is the
+            # round-2 misrouting finding.
             p_norm = jnp.linalg.norm(p) + 1e-12
             eps = jnp.asarray(_FD_EPS_SCALE, x.dtype) * (1.0 + 1e-3 * jnp.linalg.norm(x)) / p_norm
             g_plus = jax.grad(lambda m: value_fn(m, *args))(x + eps * p)
-            if fd_central:
+            if fd_central or mode == "fd-central":
                 g0 = None
             if g0 is not None:
                 # one-sided difference against the iterate's gradient:
@@ -312,7 +316,7 @@ def build_newton_cg(
                 return (~done_) & (k_ < fd_polish)
 
             _, _, _, k2, _, best_x, best_f = jax.lax.while_loop(
-                cond_pol, make_body("fd", None, args, escape=False),
+                cond_pol, make_body("fd-central", None, args, escape=False),
                 (best_x, fb, gb, 0, False, best_x, fb),
             )
             k = k + k2

@@ -392,7 +392,8 @@ class PatchContrastMaximization(SolverBase):
             from .newton_cg import build_lbfgs
 
             ignored = [
-                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central", "hvp_mode")
+                k for k in ("cg_maxiter", "coarse_cg_maxiter", "hvp_central",
+                            "hvp_mode", "fd_polish")
                 if k in self.opt_config
             ]
             if ignored and not getattr(self, "_warned_lbfgs_ignored", False):

@@ -364,7 +364,12 @@ class PyramidalPatchContrastMaximization(PatchContrastMaximization):
 
         scales = list(range(self.coarsest_scale, self.patch_scales))
         warm0 = self.previous_frame_best_estimation
-        if self._warm_finest_active(self._warm_has_finest(warm0, scales[-1])):
+        # dict-only on the sequential surface: a per-frame warm LIST here
+        # is a mis-threaded fleet state — _optimize_warm_finest would
+        # integer-index it as warm[s_fin] (review r5)
+        if self._warm_finest_active(
+            isinstance(warm0, dict) and self._warm_has_finest(warm0, scales[-1])
+        ):
             return self._optimize_warm_finest(events_np, ev, w, metric_in)
         specs = {}
         search_meta = {}

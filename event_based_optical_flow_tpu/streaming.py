@@ -513,20 +513,25 @@ class MultiStreamFlowEstimator:
             else [None] * self.n_streams
         )
         results = []
-        for k, ev in enumerate(prepped):
-            self._solver.previous_frame_best_estimation = warm_list[k]
-            _restore_warm_streak(self._solver, self._streaks[k])
-            results.append(self._solver.optimize(ev))
-            snap = _snapshot_warm_streak(self._solver)
-            if snap[0] == 0:
-                # a cold solve reset the chain: re-seed this stream's
-                # stagger offset so its re-anchor cadence stays shifted
-                snap = (self._streaks0[k][0], snap[1])
-            self._streaks[k] = snap
-        if self.warm_start:
-            self._solver.previous_frame_best_estimation = list(results)
-        else:
-            self._solver.previous_frame_best_estimation = warm
+        try:
+            for k, ev in enumerate(prepped):
+                self._solver.previous_frame_best_estimation = warm_list[k]
+                _restore_warm_streak(self._solver, self._streaks[k])
+                results.append(self._solver.optimize(ev))
+                snap = _snapshot_warm_streak(self._solver)
+                if snap[0] == 0:
+                    # a cold solve reset the chain: re-seed this stream's
+                    # stagger offset so its re-anchor cadence stays shifted
+                    snap = (self._streaks0[k][0], snap[1])
+                self._streaks[k] = snap
+        finally:
+            # never leave a single stream's dict as the solver state: a
+            # mid-batch failure would otherwise drop EVERY stream's warm
+            # list (next push and save_state both expect the list form)
+            if self.warm_start and len(results) == len(prepped):
+                self._solver.previous_frame_best_estimation = list(results)
+            else:
+                self._solver.previous_frame_best_estimation = warm
         return results
 
     def warmup(self, n_windows: int = 2, n_events: Optional[int] = None,
@@ -585,6 +590,10 @@ class MultiStreamFlowEstimator:
         for k, t in enumerate(self._tails):
             if t is not None:
                 state[f"tail_{k}"] = t
+        # warm_finest_only re-anchor cadence survives restarts
+        state["streaks"] = np.asarray(
+            [[st, int(wf)] for st, wf in self._streaks]
+        )
         np.savez(path, **state)
 
     def load_state(self, path) -> None:
@@ -602,4 +611,8 @@ class MultiStreamFlowEstimator:
             data[f"tail_{k}"] if f"tail_{k}" in data.files else None
             for k in range(self.n_streams)
         ]
+        if "streaks" in data.files:
+            self._streaks = [
+                (int(st), bool(wf)) for st, wf in data["streaks"]
+            ][: self.n_streams]
         self.n_batches = int(data["n_batches"])

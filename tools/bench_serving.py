@@ -105,7 +105,7 @@ def bench_multi(n_pushes, k, hvp_mode="fd"):
     est = MultiStreamFlowEstimator(
         (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
         solver_config=TA_SLV, optimizer_config=opt_cfg_for(hvp_mode),
-        batching=BATCHING,
+        batching=split_batching(hvp_mode)[1],
     )
     # warm push: compiles the fleet chain
     t0 = time.time()
@@ -130,7 +130,7 @@ def bench_multi(n_pushes, k, hvp_mode="fd"):
     print(
         json.dumps(
             {
-                "bench": "multistream", "batching": BATCHING,
+                "bench": "multistream", "batching": est.batching,
                 "ta": bool(TA_SLV),
                 "K": k,
                 "hvp_mode": hvp_mode,

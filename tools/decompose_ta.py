@@ -59,10 +59,14 @@ ARMS = {
 def build_est(k, over):
     from event_based_optical_flow_tpu.streaming import MultiStreamFlowEstimator
 
+    # explicit fleet: this tool DECOMPOSES the fleet batch; the auto
+    # default resolves single-chip TA to sequential since round 5 and
+    # would silently measure the wrong program
     return MultiStreamFlowEstimator(
         (H, W), n_streams=k, fixed_event_count=N_EV, warm_start=True,
         solver_config=dict(TA_SLV),
         optimizer_config=dict({"hvp_mode": "analytic-warm"}, **over),
+        batching="fleet",
     )
 
 

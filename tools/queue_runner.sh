@@ -87,7 +87,7 @@ while IFS= read -r line || [ -n "$line" ]; do
     NEED_WAIT=0
   fi
   status "=== $name start"
-  timeout "$tmo" bash -c "$cmd" > "$LOG/$name.log" 2>&1
+  timeout "$tmo" bash -c "$cmd" < /dev/null > "$LOG/$name.log" 2>&1
   rc=$?
   echo "exit=$rc $(date '+%F %T')" > "$DONE/$name.done"
   status "=== $name exit=$rc"
