@@ -395,7 +395,11 @@ class MultiStreamFlowEstimator:
     ``optimizer.warm_finest_only``, sequential mode keeps per-stream
     warm-streak counters so ``warm_full_every`` re-anchors each stream
     on its own cadence (and staggers the re-anchor cost across pushes
-    instead of one all-stream spike batch).
+    instead of one all-stream spike batch).  Measured wf8 TA K=8 A/B
+    (BENCHMARKS.md round 5): fleet p50 3.18 s/batch but p99 **119.6 s**
+    (all-stream re-anchor); staggered sequential p50 4.79, p99 5.18 —
+    pick ``"fleet"`` for throughput, ``"sequential"`` for tail-latency
+    SLOs when enabling wf.
     """
 
     def __init__(
