@@ -399,7 +399,10 @@ class MultiStreamFlowEstimator:
     (BENCHMARKS.md round 5): fleet p50 3.18 s/batch but p99 **119.6 s**
     (all-stream re-anchor); staggered sequential p50 4.79, p99 5.18 —
     pick ``"fleet"`` for throughput, ``"sequential"`` for tail-latency
-    SLOs when enabling wf.
+    SLOs when enabling wf — and call
+    ``warmup(n_windows=warm_full_every + 1)`` so the re-anchor
+    program variant compiles before real traffic (the default 2
+    windows cover only the cold and plain-warm programs).
     """
 
     def __init__(
